@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.Dedup
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each query key exercises. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q1(spark, "/root/testdata/sf0.001")
+
+  /** Rows-only-checked operators (not expressible in ANSI SQL): near-dup
+    * LSH structures. Pair-level semantics are spec-tested with
+    * hand-computed oracles in src/test. */
+  private val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashBands(Tables(s, dir, "documents"), "doc_id", "text")),
+    "dd_simhash" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))),
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Tables(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text",
+        n = 4, threshold = 0.0)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ GraphQueries.queries ++ EventQueries.queries ++
+      TextQueries.queries ++ rowsOnly
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ EventQueries.oracles ++
+      TextQueries.oracles
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.6) for web-scale corpora.
+  *
+  * Exact dedup is a single hash-shuffle on a 32-byte digest — at 100 TB the
+  * shuffle carries (hash, id) pairs only, never the documents. Near-dup
+  * variants (MinHash-LSH, SimHash, n-gram Jaccard, embedding LSH) bound the
+  * candidate-pair explosion by banding/bucketing before any pairwise work.
+  */
+object Dedup {
+
+  /** Content digest used for exact grouping. sha2-256 of the raw text. */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** Exact-duplicate groups: one row per distinct content, the kept
+    * (minimum) id and the number of copies. Shuffles only (hash, id). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(contentHash(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping the minimum-id row per distinct content. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word shingles (n-grams of whitespace tokens) as an array column. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    // sliding index range [0, size-n]; codegen'd transform, no UDF
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** 64-bit hashes of the shingle set (distinct), the MinHash input. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(array_distinct(wordShingles(text, n)), s => xxhash64(s))
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash signature of `numHashes` permutations via the standard
+    * (a*x + b) mod p universal-hash trick over xxhash64 shingle hashes,
+    * folded to 32 bits first so a*x never overflows a signed 64-bit long
+    * (p ≈ 2^32, a < 2^30 → a*x < 2^62). Pure column expressions — the
+    * signature computation never leaves whole-stage codegen. */
+  def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val p = lit(4294967311L) // smallest prime > 2^32
+    val rnd = new scala.util.Random(seed)
+    val params = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % 1000000007L + 1, math.abs(rnd.nextLong()) % 1000000007L))
+    val folded = transform(shingles, h => pmod(h, p))
+    array(params.map { case (a, b) =>
+      array_min(transform(folded, h => pmod(h * lit(a) + lit(b), p)))
+    }: _*)
+  }
+
+  /** LSH band keys: hash `rows`-sized slices of the signature; docs sharing
+    * any band key become candidate pairs. */
+  def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(array_join(slice(signature, b * rows + 1, rows), ",")).as("bucket"))
+    }: _*)
+
+  /** LSH band-bucket assignment per document: (doc_id, band, bucket).
+    * The join key space of the near-dup candidate generation — exposed as
+    * its own operator so the banding can be checked/benchmarked directly. */
+  def minHashBands(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol).as("doc_id"),
+      minHashSignature(shingleHashes(col(textCol), shingleSize), numHashes).as("sig"))
+      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Near-duplicate candidate pairs via MinHash-LSH, with exact Jaccard
+    * verification over the shingle sets.
+    *
+    * Pipeline: shingle → minhash → explode band keys → self-join per
+    * bucket (skew-guarded by capping bucket size) → Jaccard verify.
+    * Only (id, signature/shingle) columns move through the shuffles.
+    */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      jaccardThreshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+    val banded = base
+      .select(col("doc_id"), col("shingles"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("shingles"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // skew guard: drop pathological buckets (boilerplate explosion)
+    val sized = banded.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bucket_n") <= maxBucketSize)
+    val l = sized.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val r = sized.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val pairs = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash: per-token 64-bit hash, signed bit-vote across tokens,
+    * sign → bit. Implemented as 64 conditional sums over the token array —
+    * fully codegen'd column math. */
+  def simHash(text: Column): Column = {
+    val tokenHashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit signature quarters
+    * (any pair within hamming distance 3 shares at least one quarter),
+    * then verify the full distance. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sig"))
+    val quarters = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL)).as("qk"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.q").as("q"), col("b.qk").as("qk"))
+    val l = quarters.select(col("q"), col("qk"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = quarters.select(col("q"), col("qk"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("q", "qk")).where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ------------------------------------------------------- ngram jaccard
+
+  /** Character n-gram Jaccard similarity of candidate pairs produced by a
+    * cheap length-bucket blocking (documents within ±10% length). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val g = (c: Column) => array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => c.substr(i, lit(n))))
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("grams", g(col("text")))
+      .withColumn("len_bucket", floor(log(1.1, greatest(length(col("text")), lit(1)).cast("double"))))
+    val l = base.select(col("len_bucket"), col("doc_id").as("id_a"), col("grams").as("g_a"))
+    val r = base.select(col("len_bucket"), col("doc_id").as("id_b"), col("grams").as("g_b"))
+    l.join(r, Seq("len_bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

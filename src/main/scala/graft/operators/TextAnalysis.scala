@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY §2.8) — all built from codegen'd
+  * `org.apache.spark.sql.functions`, no UDFs, so they stay inside
+  * whole-stage codegen and scale linearly with input bytes.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Tokens of a BPE-ish segmentation: runs of word chars, runs of digits,
+    * or single non-space punctuation — a cheap proxy for subword token
+    * pressure. */
+  def bpeishTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Count of characters matching a regex character class. */
+  def classCount(text: Column, clazz: String): Column =
+    length(text) - length(regexp_replace(text, clazz, ""))
+
+  def punctCount(text: Column): Column = classCount(text, "[.,!?;:]")
+  def digitCount(text: Column): Column = classCount(text, "[0-9]")
+  def upperCount(text: Column): Column = classCount(text, "[A-Z]")
+  def whitespaceCount(text: Column): Column = classCount(text, "\\s")
+
+  /** Ratio helpers return NULL-safe doubles rounded to 6 digits so both
+    * engines agree bit-for-bit after identical rounding. */
+  private def ratio(num: Column, den: Column): Column =
+    round(when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double")), 6)
+
+  def punctRatio(text: Column): Column = ratio(punctCount(text), charCount(text))
+  def digitRatio(text: Column): Column = ratio(digitCount(text), charCount(text))
+  def upperRatio(text: Column): Column = ratio(upperCount(text), charCount(text))
+  def whitespaceRatio(text: Column): Column = ratio(whitespaceCount(text), charCount(text))
+
+  /** Fraction of tokens that are in the given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(trim(text), "\\s+")
+    val stops = array(stopwords.map(lit): _*)
+    ratio(size(filter(toks, t => array_contains(stops, t))), tokenCount(text))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation
+    * density, has stopwords (fluent-text prior), few digits. */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lenScore = least(charCount(text).cast("double") / 200.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val digitPenalty = least(digitRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    round((lenScore * 0.4 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.15
+      + (lit(1.0) - digitPenalty) * 0.15), 6)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the events table (SURVEY §2.11's batch-equivalent
+  * forms — the streaming versions live in graft.streaming and are spec-
+  * tested; these give the DuckDB oracle the same semantics).
+  *
+  * `ts` is int64 *nanoseconds* (Tables.events) — bit-exact with DuckDB's
+  * `epoch_ns(ts)`, so window boundaries and session gaps agree across
+  * engines with zero truncation ambiguity.
+  */
+object EventQueries {
+
+  private val HourNs = 3600L * 1000000000L
+  private val GapUs = 30L * 60 * 1000000L // 30-minute session gap, microseconds
+
+  /** Tumbling 1-hour windowed aggregation (epoch-aligned, like Spark's
+    * `window(ts, "1 hour")`). */
+  def windowedAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy((floor(col("ts") / HourNs) * HourNs).cast("long").as("window_start_ns"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+  }
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * > 30 minutes. Classic lag → gap-flag → running-sum session id.
+    * Works on microseconds (DuckDB truncates the ns parquet to µs on read,
+    * so µs is the precision both engines share). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000")) // integer division: exact at ns magnitudes where double floor is not
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+  }
+
+  /** Per-user top event types by frequency (rank over grouped counts). */
+  def topEventTypes(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w)).where(col("rank") === 1)
+      .select(col("user_id"), col("event_type"), col("n"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_windowed_agg" -> (windowedAgg _),
+    "ev_sessionize" -> (sessionize _),
+    "ev_top_event_types" -> (topEventTypes _))
+
+  val oracles: Map[String, String] = Map(
+    "ev_windowed_agg" ->
+      """SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) * 3600000000000 AS BIGINT) AS window_start_ns,
+        |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, value, ts_us,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
+    "ev_top_event_types" ->
+      """SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rank
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rank = 1""".stripMargin)
+}

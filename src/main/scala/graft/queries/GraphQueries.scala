@@ -1,0 +1,335 @@
+package graft.queries
+
+import graft.Tables
+import graft.model.{RelPattern, TpchGraph}
+import graft.operators.{NodeTableBuilder, RelTableBuilder}
+import graft.schema.{IdentifierDetector, SchemaInference, TypeInference}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph-ETL queries (SURVEY §2.1–§2.4): the reference's export pipeline
+  * steps, each as a DataFrame transform whose result DuckDB can reproduce
+  * in ANSI SQL.
+  */
+object GraphQueries {
+
+  // ---------------------------------------------------------------- nodes
+
+  /** Node table for Customer: identifier detected via the declared unique
+    * constraint (rule 1), NULL-id filter, id-first/rest-sorted columns —
+    * export_nodes re-expressed (neo4j_export.py:269-332). */
+  def nodesCustomer(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables(s, dir, "customer")
+    val id = IdentifierDetector.detect(df, "Customer", TpchGraph.catalog)
+    NodeTableBuilder.build(df, id)
+  }
+
+  def nodesPart(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables(s, dir, "part")
+    val id = IdentifierDetector.detect(df, "Part", TpchGraph.catalog)
+    NodeTableBuilder.build(df, id)
+  }
+
+  // ---------------------------------------------------------------- rels
+
+  /** Customer-PLACED->Order edge table: endpoint columns named
+    * {Label}_{idProp} (neo4j_export.py:383-390), source endpoint validated
+    * by semi-join against the Customer node table. */
+  def relCustomerPlacedOrder(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val customerIds = Tables(s, dir, "customer").select(col("c_custkey"))
+    RelTableBuilder.build(
+      RelPattern("Customer", "PLACED", "Order"), orders,
+      srcFk = "o_custkey", dstFk = "o_orderkey",
+      srcIdProp = "c_custkey", dstIdProp = "o_orderkey",
+      relProps = Nil, srcNodeIds = Some(customerIds))._1
+  }
+
+  /** Order-CONTAINS->Part edge table with relationship properties
+    * (lineitem measures), endpoints validated both sides. l_shipdate is
+    * surfaced as DATE (values are midnight-aligned). */
+  def relOrderContainsPart(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("l_shipdate", to_date(col("l_shipdate")))
+    val orderIds = Tables(s, dir, "orders").select(col("o_orderkey"))
+    val partIds = Tables(s, dir, "part").select(col("p_partkey"))
+    RelTableBuilder.build(
+      RelPattern("Order", "CONTAINS", "Part"), li,
+      srcFk = "l_orderkey", dstFk = "l_partkey",
+      srcIdProp = "o_orderkey", dstIdProp = "p_partkey",
+      relProps = Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      srcNodeIds = Some(orderIds), dstNodeIds = Some(partIds))._1
+  }
+
+  def relSupplierInNation(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier")
+    val nationIds = Tables(s, dir, "nation").select(col("n_nationkey"))
+    RelTableBuilder.build(
+      RelPattern("Supplier", "LOCATED_IN", "Nation"), sup,
+      srcFk = "s_suppkey", dstFk = "s_nationkey",
+      srcIdProp = "s_suppkey", dstIdProp = "n_nationkey",
+      relProps = Nil, dstNodeIds = Some(nationIds))._1
+  }
+
+  // ------------------------------------------------------------ patterns
+
+  /** Relationship-pattern inventory with edge counts — the reference's
+    * DISTINCT pattern discovery (neo4j_export.py:342-354) over the whole
+    * mapped graph. */
+  def relPatterns(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    val counts = TpchGraph.edges.map { em =>
+      val df = g.rels(em.pattern)
+      df.agg(count(lit(1)).as("n_edges"))
+        .select(
+          lit(em.srcLabel).as("src_label"),
+          lit(em.relType).as("rel_type"),
+          lit(em.dstLabel).as("dst_label"),
+          col("n_edges"))
+    }
+    counts.reduce(_.unionAll(_))
+  }
+
+  // ------------------------------------------------------------- degrees
+
+  /** Out-degree of Customer along PLACED — groupBy on the edge source key
+    * (map-side partial agg; no graph library needed for degrees). */
+  def degreeOutCustomer(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    g.rels(RelPattern("Customer", "PLACED", "Order"))
+      .groupBy(col("Customer_c_custkey"))
+      .agg(count(lit(1)).as("out_degree"))
+  }
+
+  /** In-degree of Nation along Customer IN_NATION. */
+  def degreeInNation(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    g.rels(RelPattern("Customer", "IN_NATION", "Nation"))
+      .groupBy(col("Nation_n_nationkey"))
+      .agg(count(lit(1)).as("in_degree"))
+  }
+
+  // ----------------------------------------------------- schema/metadata
+
+  /** Per-property metadata for Customer — the apoc.meta.data analog
+    * (neo4j_export.py:58-81): one distributed agg pass, result is
+    * schema-sized. */
+  def schemaCustomer(s: SparkSession, dir: String): DataFrame = {
+    val stats = SchemaInference.columnStats(Tables(s, dir, "customer"))
+    val rows = stats.map(cs => Row(cs.name, cs.typeToken, cs.total, cs.nonNull))
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("property", StringType, nullable = false),
+        StructField("type_token", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_nonnull", LongType, nullable = false))))
+  }
+
+  /** Identifier-candidate statistics for Customer — the distributed form
+    * of rule 4's uniqueness probe (neo4j_export.py:162-167). */
+  def identifierStats(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables(s, dir, "customer")
+    val cols = df.columns.sorted.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"), count_distinct(col(c)).as(s"d_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      Row(c, r.getLong(2 * i), r.getLong(2 * i + 1), r.getLong(2 * i) == r.getLong(2 * i + 1))
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("property", StringType, nullable = false),
+        StructField("n_nonnull", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("all_unique", BooleanType, nullable = false))))
+  }
+
+  /** Uniqueness-constraint validation over every declared constraint —
+    * SHOW CONSTRAINTS (neo4j_export.py:83-130) plus an actual data check
+    * the reference trusts the database for. */
+  def constraintCheck(s: SparkSession, dir: String): DataFrame = {
+    val checks = TpchGraph.catalog.constraints.map { c =>
+      val label = c.labels.head
+      val table = TpchGraph.nodes.find(_.label == label).get.table
+      val prop = c.properties.head
+      Tables(s, dir, table)
+        .agg(count(col(prop)).as("n_nonnull"), count_distinct(col(prop)).as("n_distinct"))
+        .select(
+          lit(label).as("label"), lit(prop).as("property"),
+          col("n_nonnull"), col("n_distinct"),
+          (col("n_nonnull") === col("n_distinct")).as("valid"))
+    }
+    checks.reduce(_.unionAll(_))
+  }
+
+  /** Sample-based type inference (neo4j_export.py:1221-1244) applied to the
+    * deterministic min-string rendering of a column — integer → float →
+    * boolean → string fallback chain as a codegen'd expression. */
+  def typeInfer(s: SparkSession, dir: String): DataFrame = {
+    // Python-int() semantics: only pure digit strings are integers
+    // ("100.0" is NOT — unlike SQL try_cast, which truncates).
+    def classify(sample: org.apache.spark.sql.Column) =
+      when(sample.isNull || sample === "" || sample === "NULL", "string")
+        .when(regexp_like(sample, lit("^[+-]?[0-9]+$")), "integer")
+        .when(sample.try_cast(DoubleType).isNotNull, "float")
+        .when(lower(sample).isin("true", "false"), "boolean")
+        .otherwise("string")
+    val part = Tables(s, dir, "part")
+    val samples = part.agg(
+      min(col("p_partkey").cast("string")).as("s_p_partkey"),
+      min(col("p_retailprice").cast("string")).as("s_p_retailprice"),
+      min(col("p_name")).as("s_p_name"),
+      min(col("p_size").cast("string")).as("s_p_size"))
+    samples.select(
+      explode(array(
+        struct(lit("p_partkey").as("property"), classify(col("s_p_partkey")).as("token")),
+        struct(lit("p_retailprice").as("property"), classify(col("s_p_retailprice")).as("token")),
+        struct(lit("p_name").as("property"), classify(col("s_p_name")).as("token")),
+        struct(lit("p_size").as("property"), classify(col("s_p_size")).as("token")))).as("kv"))
+      .select(col("kv.property"), col("kv.token"))
+  }
+
+  // ------------------------------------------------------------- null id
+
+  /** NULL-identifier filter accounting (neo4j_export.py:303-313): per
+    * label, rows total vs rows with a usable identifier. */
+  def nullIdFilter(s: SparkSession, dir: String): DataFrame = {
+    val labels = Seq(("Customer", "customer", "c_custkey"), ("Order", "orders", "o_orderkey"),
+      ("Part", "part", "p_partkey"))
+    labels.map { case (label, table, id) =>
+      val df = Tables(s, dir, table)
+      df.agg(
+        count(lit(1)).as("n_total"),
+        count(when(NodeTableBuilder.validId(df, id), 1)).as("n_valid"))
+        .select(lit(label).as("label"), col("n_total"), col("n_valid"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_nodes_customer" -> (nodesCustomer _),
+    "g_nodes_part" -> (nodesPart _),
+    "g_rel_customer_placed_order" -> (relCustomerPlacedOrder _),
+    "g_rel_order_contains_part" -> (relOrderContainsPart _),
+    "g_rel_supplier_in_nation" -> (relSupplierInNation _),
+    "g_rel_patterns" -> (relPatterns _),
+    "g_degree_out_customer" -> (degreeOutCustomer _),
+    "g_degree_in_nation" -> (degreeInNation _),
+    "g_schema_customer" -> (schemaCustomer _),
+    "g_identifier_stats" -> (identifierStats _),
+    "g_constraint_check" -> (constraintCheck _),
+    "g_type_infer" -> (typeInfer _),
+    "g_null_id_filter" -> (nullIdFilter _))
+
+  val oracles: Map[String, String] = Map(
+    "g_nodes_customer" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment, c_name, c_nationkey
+        |FROM customer WHERE c_custkey IS NOT NULL""".stripMargin,
+    "g_nodes_part" ->
+      """SELECT p_partkey, p_brand, p_name, p_retailprice, p_size, p_type
+        |FROM part WHERE p_partkey IS NOT NULL""".stripMargin,
+    "g_rel_customer_placed_order" ->
+      """SELECT o_custkey AS "Customer_c_custkey", o_orderkey AS "Order_o_orderkey"
+        |FROM orders o
+        |WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        |  AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+    "g_rel_order_contains_part" ->
+      """SELECT l_orderkey AS "Order_o_orderkey", l_partkey AS "Part_p_partkey",
+        |  l_discount, l_extendedprice, l_linenumber, l_linestatus, l_quantity,
+        |  l_returnflag, CAST(l_shipdate AS DATE) AS l_shipdate, l_tax
+        |FROM lineitem l
+        |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  AND EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)""".stripMargin,
+    "g_rel_supplier_in_nation" ->
+      """SELECT s_suppkey AS "Supplier_s_suppkey", s_nationkey AS "Nation_n_nationkey"
+        |FROM supplier s
+        |WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
+        |  AND EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)""".stripMargin,
+    "g_rel_patterns" ->
+      """SELECT 'Nation' AS src_label, 'IN_REGION' AS rel_type, 'Region' AS dst_label,
+        |  (SELECT count(*) FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL) AS n_edges
+        |UNION ALL SELECT 'Customer', 'IN_NATION', 'Nation',
+        |  (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL)
+        |UNION ALL SELECT 'Supplier', 'LOCATED_IN', 'Nation',
+        |  (SELECT count(*) FROM supplier WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL)
+        |UNION ALL SELECT 'Customer', 'PLACED', 'Order',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL)
+        |UNION ALL SELECT 'Order', 'CONTAINS', 'Part',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+        |UNION ALL SELECT 'Order', 'SUPPLIED_BY', 'Supplier',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL)""".stripMargin,
+    "g_degree_out_customer" ->
+      """SELECT o_custkey AS "Customer_c_custkey", count(*) AS out_degree
+        |FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        |GROUP BY o_custkey""".stripMargin,
+    "g_degree_in_nation" ->
+      """SELECT c_nationkey AS "Nation_n_nationkey", count(*) AS in_degree
+        |FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+        |GROUP BY c_nationkey""".stripMargin,
+    "g_schema_customer" ->
+      """SELECT 'c_custkey' AS property, 'integer' AS type_token,
+        |  (SELECT count(*) FROM customer) AS n_rows, (SELECT count(c_custkey) FROM customer) AS n_nonnull
+        |UNION ALL SELECT 'c_name', 'string', (SELECT count(*) FROM customer), (SELECT count(c_name) FROM customer)
+        |UNION ALL SELECT 'c_nationkey', 'integer', (SELECT count(*) FROM customer), (SELECT count(c_nationkey) FROM customer)
+        |UNION ALL SELECT 'c_acctbal', 'float', (SELECT count(*) FROM customer), (SELECT count(c_acctbal) FROM customer)
+        |UNION ALL SELECT 'c_mktsegment', 'string', (SELECT count(*) FROM customer), (SELECT count(c_mktsegment) FROM customer)""".stripMargin,
+    "g_identifier_stats" ->
+      """SELECT 'c_acctbal' AS property, count(c_acctbal) AS n_nonnull, count(DISTINCT c_acctbal) AS n_distinct,
+        |  count(c_acctbal) = count(DISTINCT c_acctbal) AS all_unique FROM customer
+        |UNION ALL SELECT 'c_custkey', count(c_custkey), count(DISTINCT c_custkey),
+        |  count(c_custkey) = count(DISTINCT c_custkey) FROM customer
+        |UNION ALL SELECT 'c_mktsegment', count(c_mktsegment), count(DISTINCT c_mktsegment),
+        |  count(c_mktsegment) = count(DISTINCT c_mktsegment) FROM customer
+        |UNION ALL SELECT 'c_name', count(c_name), count(DISTINCT c_name),
+        |  count(c_name) = count(DISTINCT c_name) FROM customer
+        |UNION ALL SELECT 'c_nationkey', count(c_nationkey), count(DISTINCT c_nationkey),
+        |  count(c_nationkey) = count(DISTINCT c_nationkey) FROM customer""".stripMargin,
+    "g_constraint_check" ->
+      """SELECT 'Region' AS label, 'r_regionkey' AS property, count(r_regionkey) AS n_nonnull,
+        |  count(DISTINCT r_regionkey) AS n_distinct, count(r_regionkey) = count(DISTINCT r_regionkey) AS valid FROM region
+        |UNION ALL SELECT 'Nation', 'n_nationkey', count(n_nationkey), count(DISTINCT n_nationkey),
+        |  count(n_nationkey) = count(DISTINCT n_nationkey) FROM nation
+        |UNION ALL SELECT 'Customer', 'c_custkey', count(c_custkey), count(DISTINCT c_custkey),
+        |  count(c_custkey) = count(DISTINCT c_custkey) FROM customer
+        |UNION ALL SELECT 'Supplier', 's_suppkey', count(s_suppkey), count(DISTINCT s_suppkey),
+        |  count(s_suppkey) = count(DISTINCT s_suppkey) FROM supplier
+        |UNION ALL SELECT 'Part', 'p_partkey', count(p_partkey), count(DISTINCT p_partkey),
+        |  count(p_partkey) = count(DISTINCT p_partkey) FROM part
+        |UNION ALL SELECT 'Order', 'o_orderkey', count(o_orderkey), count(DISTINCT o_orderkey),
+        |  count(o_orderkey) = count(DISTINCT o_orderkey) FROM orders""".stripMargin,
+    "g_type_infer" ->
+      """WITH s AS (SELECT
+        |  min(CAST(p_partkey AS VARCHAR)) AS s_p_partkey,
+        |  min(CAST(p_retailprice AS VARCHAR)) AS s_p_retailprice,
+        |  min(p_name) AS s_p_name,
+        |  min(CAST(p_size AS VARCHAR)) AS s_p_size FROM part)
+        |SELECT 'p_partkey' AS property, CASE
+        |  WHEN s_p_partkey IS NULL OR s_p_partkey = '' OR s_p_partkey = 'NULL' THEN 'string'
+        |  WHEN regexp_full_match(s_p_partkey, '[+-]?[0-9]+') THEN 'integer'
+        |  WHEN TRY_CAST(s_p_partkey AS DOUBLE) IS NOT NULL THEN 'float'
+        |  WHEN lower(s_p_partkey) IN ('true','false') THEN 'boolean' ELSE 'string' END AS token FROM s
+        |UNION ALL SELECT 'p_retailprice', CASE
+        |  WHEN s_p_retailprice IS NULL OR s_p_retailprice = '' OR s_p_retailprice = 'NULL' THEN 'string'
+        |  WHEN regexp_full_match(s_p_retailprice, '[+-]?[0-9]+') THEN 'integer'
+        |  WHEN TRY_CAST(s_p_retailprice AS DOUBLE) IS NOT NULL THEN 'float'
+        |  WHEN lower(s_p_retailprice) IN ('true','false') THEN 'boolean' ELSE 'string' END FROM s
+        |UNION ALL SELECT 'p_name', CASE
+        |  WHEN s_p_name IS NULL OR s_p_name = '' OR s_p_name = 'NULL' THEN 'string'
+        |  WHEN regexp_full_match(s_p_name, '[+-]?[0-9]+') THEN 'integer'
+        |  WHEN TRY_CAST(s_p_name AS DOUBLE) IS NOT NULL THEN 'float'
+        |  WHEN lower(s_p_name) IN ('true','false') THEN 'boolean' ELSE 'string' END FROM s
+        |UNION ALL SELECT 'p_size', CASE
+        |  WHEN s_p_size IS NULL OR s_p_size = '' OR s_p_size = 'NULL' THEN 'string'
+        |  WHEN regexp_full_match(s_p_size, '[+-]?[0-9]+') THEN 'integer'
+        |  WHEN TRY_CAST(s_p_size AS DOUBLE) IS NOT NULL THEN 'float'
+        |  WHEN lower(s_p_size) IN ('true','false') THEN 'boolean' ELSE 'string' END FROM s""".stripMargin,
+    "g_null_id_filter" ->
+      """SELECT 'Customer' AS label, (SELECT count(*) FROM customer) AS n_total,
+        |  (SELECT count(c_custkey) FROM customer) AS n_valid
+        |UNION ALL SELECT 'Order', (SELECT count(*) FROM orders), (SELECT count(o_orderkey) FROM orders)
+        |UNION ALL SELECT 'Part', (SELECT count(*) FROM part), (SELECT count(p_partkey) FROM part)""".stripMargin)
+}

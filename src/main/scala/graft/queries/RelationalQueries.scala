@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics headliners (SURVEY §2.5) — full-scan aggregation,
+  * star joins, window functions, semi/anti joins. These exercise the same
+  * join/agg machinery the graph operators are built on, at bench scale.
+  *
+  * Oracle-parity rules (SURVEY §5): every computed numeric is decimal
+  * (exact in both Spark and DuckDB — double summation order would not
+  * be); final casts only *widen* precision (38) and never reduce scale, so
+  * no engine-specific rounding is involved; temporal outputs are DATE.
+  */
+object RelationalQueries {
+
+  // Exact decimal views of the double columns. Inputs are 2- or 4-decimal
+  // money/ratio values, so these casts are value-preserving.
+  private def dec2(c: String) = col(c).cast("decimal(12,2)")
+  private def dec4(c: String) = col(c).cast("decimal(7,4)")
+
+  def q1(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec2("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dec2("l_extendedprice") * (lit(1) - dec4("l_discount")))
+          .cast("decimal(38,6)").as("sum_disc_price"),
+        sum((dec2("l_extendedprice") * (lit(1) - dec4("l_discount"))).cast("decimal(18,6)")
+          * (lit(1) + dec4("l_tax"))).cast("decimal(38,10)").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders")
+      .where(to_date(col("o_orderdate")) < lit("1998-03-15"))
+    val l = Tables(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) > lit("1998-03-15"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dec2("l_extendedprice") * (lit(1) - dec4("l_discount")))
+        .cast("decimal(38,6)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables(s, dir, "region").where(col("r_name") === "ASIA")
+    val n = Tables(s, dir, "nation")
+    val cst = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1997-01-01"))
+    val l = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    // Star join: dims broadcast, fact tables shuffle once on the join key.
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(cst, o("o_custkey") === cst("c_custkey") &&
+        cst("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), cst("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2("l_extendedprice") * (lit(1) - dec4("l_discount")))
+        .cast("decimal(38,6)").as("revenue"))
+  }
+
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit("1996-10-01") &&
+        to_date(col("o_orderdate")) < lit("1997-01-01"))
+    val l = Tables(s, dir, "lineitem").where(col("l_returnflag") === "R")
+    val n = Tables(s, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec2("l_extendedprice") * (lit(1) - dec4("l_discount")))
+        .cast("decimal(38,6)").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  def windowTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+  }
+
+  def antiNoOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  def semiPartsShipped(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part")
+    val l = Tables(s, dir, "lineitem").select(col("l_partkey"))
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1 _),
+    "q3_shipping_priority" -> (q3 _),
+    "q5_supplier_volume" -> (q5 _),
+    "q10_returned" -> (q10 _),
+    "q_window_top_orders" -> (windowTopOrders _),
+    "q_anti_no_orders" -> (antiNoOrders _),
+    "q_semi_parts_shipped" -> (semiPartsShipped _))
+
+  private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         |  CAST($rev AS DECIMAL(38,6)) AS sum_disc_price,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))) AS DECIMAL(18,6)) * (1 + CAST(l_tax AS DECIMAL(7,4)))) AS DECIMAL(38,10)) AS sum_charge,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+         |  CAST($rev AS DECIMAL(38,6)) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_supplier_volume" ->
+      s"""SELECT n_name, CAST($rev AS DECIMAL(38,6)) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, n_name, CAST($rev AS DECIMAL(38,6)) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_anti_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_semi_parts_shipped" ->
+      """SELECT p_partkey, p_name, p_brand FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""".stripMargin)
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + exact-dedup queries over the documents table
+  * (SURVEY §2.6, §2.8) — the DuckDB-oracle-checked subset. The candidate-
+  * pair near-dup operators (MinHash/SimHash/ngram) are rows-only checked
+  * and spec-tested with hand-computed oracles.
+  */
+object TextQueries {
+
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables(s, dir, "documents"), "doc_id", "text")
+
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"),
+      TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TA.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens"),
+      TA.charCount(col("text")).cast("long").as("n_chars"))
+  }
+
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"),
+      TA.punctRatio(col("text")).as("punct_ratio"),
+      TA.digitRatio(col("text")).as("digit_ratio"),
+      TA.whitespaceRatio(col("text")).as("ws_ratio"),
+      TA.stopwordRatio(col("text"), TA.EnglishStopwords).as("stop_ratio"),
+      TA.qualityScore(col("text")).as("quality"))
+  }
+
+  /** Corpus statistics per (lang, source) — groupBy over derived text
+    * features; the shape of a corpus-curation report at 100 TB. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TA.tokenCount(col("text")).cast("long")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        count_distinct(Dedup.contentHash(col("text"))).as("n_distinct_texts"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (exactDedup _),
+    "tx_token_count" -> (tokenCount _),
+    "tx_quality" -> (quality _),
+    "tx_corpus_stats" -> (corpusStats _))
+
+  private val stopList = TA.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val ntokens =
+    """CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "tx_token_count" ->
+      s"""SELECT doc_id, $ntokens AS n_tokens,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) END AS n_bpeish_tokens,
+         |  length(text) AS n_chars
+         |FROM documents""".stripMargin,
+    "tx_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |    length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_ws,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains($stopList, x))) AS n_stop,
+         |    $ntokens AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_chars,
+         |    round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6) AS punct_ratio,
+         |    round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6) AS digit_ratio,
+         |    round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_ws AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6) AS ws_ratio,
+         |    round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6) AS stop_ratio
+         |  FROM f)
+         |SELECT doc_id, punct_ratio, digit_ratio, ws_ratio, stop_ratio,
+         |  round((least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
+         |    + least(stop_ratio * 4.0, 1.0) * 0.3
+         |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.15
+         |    + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.15), 6) AS quality
+         |FROM r""".stripMargin,
+    "tx_corpus_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(SUM($ntokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  COUNT(DISTINCT sha256(text)) AS n_distinct_texts
+         |FROM documents GROUP BY lang, source""".stripMargin)
+}
