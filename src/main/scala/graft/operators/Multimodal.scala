@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY §2.9): image/audio/video payloads as
+  * opaque `binary` columns with a typed metadata struct, plus the
+  * decode/feature-extract operator shape a training-data pipeline needs.
+  *
+  * The Spark-side machinery — schema, batched per-partition processing,
+  * deterministic output shape — is real and tested. The codec itself is a
+  * clearly-marked deterministic STUB (`stubDecode`): this container has no
+  * image/audio libraries, and at 100 TB the codec is a per-row black box
+  * anyway — the engine's job is the batching, partitioning and schema
+  * around it.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every binary payload. */
+  val MetadataSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Attach a binary `content` column + metadata struct to any DataFrame
+    * with a string payload column — the ingestion shape for blobs that in
+    * production arrive from object storage. */
+  def asBinaryColumn(df: DataFrame, payloadCol: String, format: String = "text/plain"): DataFrame =
+    df.withColumn("content", col(payloadCol).cast("binary"))
+      .withColumn("meta", struct(
+        lit(format).as("format"),
+        octet_length(col(payloadCol)).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+
+  /** ==== STUB ==== Deterministic fake decoder: a real deployment swaps
+    * this for an image/audio codec. Maps a payload to a fixed-length
+    * "feature vector" derived from byte content — deterministic so tests
+    * and oracles hold. */
+  def stubDecode(bytes: Array[Byte], featureDim: Int): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batched decode/feature-extract over partitions — the `mapInPandas`
+    * shape (iterator of batches in, iterator of batches out) expressed as
+    * `mapPartitions`: the codec is called per row *inside* a partition
+    * loop, so per-batch setup (model load, codec init) amortizes across
+    * the partition, exactly like a Pandas-UDF batch. */
+  def decodeFeatures(df: DataFrame, idCol: String, featureDim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (codec/model load) would happen here once
+        it.map { case (id, bytes) => (id, stubDecode(bytes, featureDim)) }
+      }
+      .toDF("id", "features")
+  }
+}

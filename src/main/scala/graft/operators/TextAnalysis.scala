@@ -62,4 +62,52 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.15
       + (lit(1.0) - digitPenalty) * 0.15), 6)
   }
+
+  // ---------------------------------------------------------- language id
+
+  /** Stopword profiles for the language-ID heuristic: the most frequent
+    * function words of each language (public lists). */
+  val LanguageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "was", "as"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "en", "est", "que", "qui", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "un", "una", "en", "es", "que", "del", "se", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "von", "zu", "mit", "ist", "den", "im", "für", "auf", "nicht"),
+    "it" -> Seq("il", "la", "le", "di", "e", "un", "una", "che", "per", "del", "della", "con", "sono", "non", "in"))
+
+  /** CJK-character ratio — script detection for zh/ja/ko, which stopword
+    * lists cannot cover (no whitespace tokenization). */
+  def cjkRatio(text: Column): Column =
+    ratio(classCount(text, "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]"), charCount(text))
+
+  /** N-gram/stopword-profile language ID: score each profile by stopword
+    * hit ratio; CJK script wins outright above 20% CJK characters;
+    * `und` (undetermined) when no profile scores. All codegen'd column
+    * math — per-language scores are parallel array ops over one token
+    * split. */
+  def languageId(text: Column, profiles: Map[String, Seq[String]] = LanguageProfiles): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val stops = array(words.map(lit): _*)
+      struct(ratio(size(filter(toks, t => array_contains(stops, t))), size(toks)).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(cjkRatio(text) > 0.2, lit("zh"))
+      .when(best.getField("score") > 0.0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // -------------------------------------------------------- fingerprints
+
+  /** Rolling-hash document fingerprint: xxhash64 over the document's
+    * normalized (lowercased, whitespace-collapsed) content. Stable under
+    * formatting noise, unlike a raw byte hash. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style k-gram min-sketch: the `sketchSize` smallest xxhash64
+    * values over word k-grams — a compact, order-insensitive fingerprint
+    * for containment/overlap detection at corpus scale. */
+  def fingerprintSketch(text: Column, k: Int = 5, sketchSize: Int = 16): Column =
+    slice(array_sort(Dedup.shingleHashes(text, k)), 1, sketchSize)
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+
+  test("exact groups: copies collapse to min id") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val got = Dedup.exactGroups(df, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("drop exact duplicates keeps one row per content") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("word shingles: hand-computed trigrams") {
+    val df = Seq("a b c d").toDF("t")
+    val got = df.select(Dedup.wordShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.wordShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash LSH finds near-duplicates, not unrelated docs") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "completely different content about spark dataframes and distributed query planning at scale"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, pairs found") {
+    val nearDup = base.replace("quick", "swift")
+    val df = Seq((1L, base), (2L, nearDup), (3L, base)).toDF("doc_id", "text")
+    val sigs = df.select(Dedup.simHash(col("text"))).as[Long].collect()
+    assert(sigs(0) == sigs(2))
+    val d12 = java.lang.Long.bitCount(sigs(0) ^ sigs(1))
+    assert(d12 > 0 && d12 <= 16, s"near-dup hamming was $d12")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard: hand-computed value") {
+    // 4-grams("abcde") = {abcd, bcde}; 4-grams("abcd") = {abcd} → J = 1/2
+    val df = Seq((1L, "abcde"), (2L, "abcd")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 4, threshold = 0.0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    // length bucket differs (5 vs 4 chars may split buckets) — allow empty
+    // only if blocking split them; verify via same-length variant instead
+    val df2 = Seq((1L, "abcdx"), (2L, "abcdy")).toDF("doc_id", "text")
+    // 4-grams: {abcd,bcdx} vs {abcd,bcdy} → J = 1/3
+    val got2 = Dedup.ngramJaccardPairs(df2, "doc_id", "text", n = 4, threshold = 0.0)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(got2 - 1.0 / 3.0) < 1e-5)
+    assert(got.forall { case (a, b, j) => a == 1L && b == 2L && j == 0.5 })
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("binary column + metadata struct") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val out = Multimodal.asBinaryColumn(df, "text")
+    val row = out.select(col("meta.format"), col("meta.n_bytes"), col("content")).head()
+    assert(row.getString(0) == "text/plain")
+    assert(row.getLong(1) == 3L)
+    assert(row.getAs[Array[Byte]](2).toSeq == "abc".getBytes("UTF-8").toSeq)
+  }
+
+  test("stub decode: deterministic feature accumulation") {
+    // bytes 'a'=97,'b'=98 into dim 8 → [97/255, 98/255, 0, ...]
+    val feats = Multimodal.stubDecode("ab".getBytes("UTF-8"), 8)
+    assert(math.abs(feats(0) - 97f / 255f) < 1e-6)
+    assert(math.abs(feats(1) - 98f / 255f) < 1e-6)
+    assert(feats.drop(2).forall(_ == 0f))
+  }
+
+  test("decodeFeatures end-to-end through mapPartitions") {
+    val df = Multimodal.asBinaryColumn(Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text"), "text")
+    val got = Multimodal.decodeFeatures(df, "doc_id", featureDim = 4)
+      .orderBy("id").as[(Long, Seq[Float])].collect()
+    assert(got.length == 2)
+    assert(got(0)._2.take(2).zip(Seq(97f / 255f, 98f / 255f)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(got(1)._2.forall(_ == 0f))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: hand-computed values") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("zero vector guard") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head() == 0.0)
+  }
+
+  test("brute-force top-k: correct ordering and ranks") {
+    // corpus around two directions; query id=1 along (1,0)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),  // closest to 1
+      (3L, Seq(0.5f, 0.5f)),
+      (4L, Seq(0.0f, 1.0f)))  // orthogonal
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("LSH top-k finds an identical vector as nearest") {
+    val v = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val vecs = Seq(
+      (1L, v), (2L, v), // identical pair — always same bucket in every table
+      (3L, Seq.tabulate(8)(i => (8 - i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 1), "vec_id", "embedding",
+      k = 1, dim = 8, numBits = 4, numTables = 2)
+      .select("neighbor_id", "cosine_sim").as[(Long, Double)].collect()
+    assert(got.length == 1 && got(0)._1 == 2L && math.abs(got(0)._2 - 1.0) < 1e-9)
+  }
+
+  test("embedding near-dup pairs verify cosine above threshold") {
+    val v = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val nearly = v.updated(0, 1.05f)
+    val far = Seq.tabulate(8)(i => (if (i % 2 == 0) 1f else -1f))
+    val vecs = Seq((1L, v), (2L, nearly), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embedCosinePairs(vecs, "vec_id", "embedding", dim = 8,
+      threshold = 0.99, numBits = 2, numTables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
