@@ -29,11 +29,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ PipelineQueries.queries ++ rowsOnly
+      TextQueries.queries ++ PipelineQueries.queries ++ AnalyticsQueries.queries ++ rowsOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ PipelineQueries.oracles
+      TextQueries.oracles ++ PipelineQueries.oracles ++ AnalyticsQueries.oracles
 }

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.model.TpchGraph
+import graft.operators.{DataFramePregel, GraphAnalytics}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics queries (SURVEY §2.4). PageRank/CC/triangles are
+  * iterative — not ANSI-SQL-expressible — so they are rows-only checked
+  * here and verified against hand-computed graphs in AnalyticsSpec;
+  * the degree distribution is fully oracle-checked.
+  */
+object AnalyticsQueries {
+
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.pageRank(TpchGraph.load(s, dir), numIter = 10)
+
+  def connectedComponents(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.connectedComponents(TpchGraph.load(s, dir))
+
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.triangleCounts(TpchGraph.load(s, dir))
+
+  /** DataFrame-Pregel connected components over the unified edge list —
+    * the RDD-free scale path; must agree with GraphX (checked in spec). */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    GraphAnalytics.decode(
+      DataFramePregel.connectedComponents(edges), "vid", labels)
+      .select(col("label"), col("node_id"), col("component"))
+  }
+
+  def degreeDistribution(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.degreeDistribution(TpchGraph.load(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_pagerank" -> (pagerank _),
+    "g_connected_components" -> (connectedComponents _),
+    "g_triangles" -> (triangles _),
+    "g_label_propagation" -> (labelPropagation _),
+    "g_degree_distribution" -> (degreeDistribution _))
+
+  // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
+  // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
+  val oracles: Map[String, String] = Map(
+    "g_degree_distribution" ->
+      """WITH e AS (
+        |  SELECT n_nationkey + 1*17592186044416 AS src, n_regionkey + 4*17592186044416 AS dst
+        |    FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
+        |  UNION ALL SELECT c_custkey, c_nationkey + 1*17592186044416
+        |    FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+        |  UNION ALL SELECT s_suppkey + 5*17592186044416, s_nationkey + 1*17592186044416
+        |    FROM supplier WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
+        |  UNION ALL SELECT o_custkey, o_orderkey + 2*17592186044416
+        |    FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_partkey + 3*17592186044416
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_suppkey + 5*17592186044416
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+        |), d AS (
+        |  SELECT vid, count(*) AS degree FROM (
+        |    SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY vid)
+        |SELECT degree, count(*) AS n_vertices FROM d GROUP BY degree""".stripMargin)
+}

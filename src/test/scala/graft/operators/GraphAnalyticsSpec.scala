@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.model.{GraphSchema, PropertyGraph, RelPattern}
+import org.apache.spark.sql.DataFrame
+
+class GraphAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Two labels A,B; A1->B1->((A2 via pattern2)); A3 isolated-ish pair. */
+  private def tinyGraph(): PropertyGraph = {
+    val aNodes = Seq(1L, 2L, 3L).toDF("aid")
+    val bNodes = Seq(1L, 9L).toDF("bid")
+    val e1 = Seq((1L, 1L), (2L, 1L)).toDF("A_aid", "B_bid") // A1->B1, A2->B1
+    val e2 = Seq((3L, 9L)).toDF("A_aid", "B_bid")           // A3->B9
+    PropertyGraph(
+      nodes = Map("A" -> aNodes, "B" -> bNodes),
+      rels = Map(
+        RelPattern("A", "R", "B") -> e1,
+        RelPattern("A", "S", "B") -> e2),
+      schema = GraphSchema(Nil, Nil))
+  }
+
+  test("connected components: two components, GraphX and DataFramePregel agree") {
+    val g = tinyGraph()
+    val gx = GraphAnalytics.connectedComponents(g)
+      .as[(String, Long, Long)].collect().toSet
+    // component ids are min global vid per component; comp1 = {A1,A2,B1}, comp2 = {A3,B9}
+    val comps = gx.groupBy(_._3).values.map(_.map(t => (t._1, t._2)).toSet).toSet
+    assert(comps == Set(
+      Set(("A", 1L), ("A", 2L), ("B", 1L)),
+      Set(("A", 3L), ("B", 9L))))
+
+    val (edges, labels) = GraphAnalytics.unifiedEdges(g)
+    val df = GraphAnalytics.decode(DataFramePregel.connectedComponents(edges), "vid", labels)
+      .select("label", "node_id", "component").as[(String, Long, Long)].collect().toSet
+    assert(df == gx)
+  }
+
+  test("triangle counts: one triangle, hand-computed") {
+    // single-label triangle 1-2-3 plus pendant 4
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("nid")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("N_nid_source", "N_nid_target")
+    val g = PropertyGraph(Map("N" -> nodes), Map(RelPattern("N", "KNOWS", "N") -> edges),
+      GraphSchema(Nil, Nil))
+    val got = GraphAnalytics.triangleCounts(g)
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("pagerank: star graph center ranks highest, mass ≈ N") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("nid")
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)).toDF("N_nid_source", "N_nid_target")
+    val g = PropertyGraph(Map("N" -> nodes), Map(RelPattern("N", "LINKS", "N") -> edges),
+      GraphSchema(Nil, Nil))
+    val pr = GraphAnalytics.pageRank(g, numIter = 20)
+      .as[(String, Long, Double)].collect().map(t => t._2 -> t._3).toMap
+    assert(pr(1L) > pr(2L))
+    assert(math.abs(pr.values.sum - 5.0) < 0.3)
+  }
+
+  test("degree distribution on tiny graph") {
+    val g = tinyGraph()
+    val got = GraphAnalytics.degreeDistribution(g)
+      .as[(Long, Long)].collect().toMap
+    // degrees: A1=1 A2=1 A3=1 B9=1 (4 vertices deg1), B1=2 (1 vertex deg2)
+    assert(got == Map(1L -> 4L, 2L -> 1L))
+  }
+}
