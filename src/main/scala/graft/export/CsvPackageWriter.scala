@@ -1,0 +1,72 @@
+package graft.export
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CSV export matching the reference's writer behavior
+  * (neo4j_export.py:319-327): header row, missing values rendered as the
+  * literal `NULL` (DictWriter restval), UTF-8.
+  *
+  * Two modes:
+  *   - `singleFile = false` (default): a distributed write — one
+  *     directory of part files per table. The only mode that makes sense
+  *     at 100 TB; Data Importer-style consumers glob the directory.
+  *   - `singleFile = true`: `coalesce(1)` then rename the part file to
+  *     `<name>.csv` — byte-compatible with the reference's one-file-per-
+  *     label layout for small exports.
+  */
+object CsvPackageWriter {
+
+  /** Render every column as string with NULL sentinel — the reference's
+    * `restval='NULL'`. */
+  private def stringified(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(c => coalesce(col(c).cast("string"), lit("NULL")).as(c))
+    df.select(cols.toSeq: _*)
+  }
+
+  def write(df: DataFrame, outputDir: String, name: String, singleFile: Boolean = false): Path = {
+    val out = stringified(df)
+    if (singleFile) {
+      val tmp = Paths.get(outputDir, s".__${name}_tmp")
+      out.coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("emptyValue", "").csv(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-")
+        && p.getFileName.toString.endsWith(".csv")).findFirst().get()
+      val target = Paths.get(outputDir, s"$name.csv")
+      Files.createDirectories(target.getParent)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      // clean the temp dir (part metadata files)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      target
+    } else {
+      val target = Paths.get(outputDir, s"$name.csv")
+      out.write.mode("overwrite")
+        .option("header", "true").option("emptyValue", "").csv(target.toString)
+      target
+    }
+  }
+}
+
+/** Zip packaging of an export directory (neo4j_export.py:1246-1276):
+  * all `*.csv` files + `neo4j_importer_model.json`, stored flat. */
+object ZipPackager {
+  def zipDirectory(dir: String, zipPath: String): Path = {
+    val dirPath = Paths.get(dir)
+    val out = Paths.get(zipPath)
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(out))
+    try {
+      val files = Files.list(dirPath).sorted().filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && (n.endsWith(".csv") || n == "neo4j_importer_model.json")
+      }
+      files.forEach { p =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
+        Files.copy(p, zos)
+        zos.closeEntry()
+      }
+    } finally zos.close()
+    out
+  }
+}

@@ -1,0 +1,87 @@
+package graft.export
+
+import java.nio.file.{Files, Paths}
+import graft.SparkTestBase
+import graft.model.TpchGraph
+
+class ExporterSpec extends SparkTestBase {
+
+  private lazy val outDir = {
+    val dir = Files.createTempDirectory("graft-export").toString
+    val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
+    GraphExporter.exportAll(g, dir, formatVersion = "3.0", singleFileCsv = true, createZip = true)
+    dir
+  }
+
+  test("node CSVs written with identifier-first header and NULL restval convention") {
+    val customer = Paths.get(outDir, "Customer.csv")
+    assert(Files.exists(customer))
+    val header = Files.readAllLines(customer).get(0)
+    assert(header == "c_custkey,c_acctbal,c_mktsegment,c_name,c_nationkey")
+  }
+
+  test("relationship CSVs use pattern-key filenames and label-prefixed columns") {
+    val rel = Paths.get(outDir, "Customer_PLACED_Order.csv")
+    assert(Files.exists(rel))
+    val header = Files.readAllLines(rel).get(0)
+    assert(header == "Customer_c_custkey,Order_o_orderkey")
+  }
+
+  test("v3 model structure: ids, mappings, constraints") {
+    val model = Files.readString(Paths.get(outDir, "neo4j_importer_model.json"))
+    assert(model.contains(""""version": "3.0.0""""))
+    assert(model.contains(""""$id": "nl:0""""))
+    assert(model.contains(""""$id": "n:0""""))
+    assert(model.contains(""""token": "Customer""""))
+    assert(model.contains(""""token": "PLACED""""))
+    assert(model.contains(""""constraintType": "uniqueness""""))
+    assert(model.contains(""""nodeKeyProperties""""))
+    // from/to mappings carry the #-prefixed property refs (v3 quirk)
+    assert(model.contains("\"#p:"))
+    // node property ids are p:<node>_<prop>
+    assert(model.contains(""""$id": "p:0_0""""))
+  }
+
+  test("zip contains all CSVs and the model json") {
+    val zipPath = Paths.get(outDir).resolveSibling(
+      s"${Paths.get(outDir).getFileName}-export.zip")
+    assert(Files.exists(zipPath))
+    val zf = new java.util.zip.ZipFile(zipPath.toFile)
+    try {
+      val names = zf.entries().asIterator()
+      var entries = Set.empty[String]
+      while (names.hasNext) entries += names.next().getName
+      assert(entries.contains("neo4j_importer_model.json"))
+      assert(entries.contains("Customer.csv"))
+      assert(entries.contains("Order_CONTAINS_Part.csv"))
+    } finally zf.close()
+  }
+
+  test("v2.4 model: global property counter, from/to on types, index/constraint sections") {
+    val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-export24").toString
+    GraphExporter.exportAll(g, dir, formatVersion = "2.4.0", createZip = false)
+    val model = Files.readString(Paths.get(dir, "neo4j_importer_model.json"))
+    assert(model.contains(""""version": "2.4.0-beta.0""""))
+    assert(model.contains(""""$id": "nl:n0""""))
+    assert(model.contains(""""$id": "p:1""""))
+    assert(model.contains(""""indexes""""))
+    assert(model.contains("c_mktsegment_Customer_idx"))
+    assert(model.contains("c_custkey_Customer_uniq"))
+  }
+
+  test("v0.1 model: legacy layout with deterministic identifiers") {
+    val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-export01").toString
+    GraphExporter.exportAll(g, dir, formatVersion = "0.1.0", createZip = false)
+    val model = Files.readString(Paths.get(dir, "neo4j_importer_model.json"))
+    assert(model.contains(""""version": "0.1.0-beta.0""""))
+    assert(model.contains(""""caption": "Customer""""))
+    assert(model.contains(""""fileSchemas""""))
+    // deterministic: generating twice yields identical output
+    val dir2 = Files.createTempDirectory("graft-export01b").toString
+    GraphExporter.exportAll(g, dir2, formatVersion = "0.1.0", createZip = false)
+    val model2 = Files.readString(Paths.get(dir2, "neo4j_importer_model.json"))
+    assert(model == model2)
+  }
+}
