@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** A single event row in its streaming shape (µs timestamps — the shared
+  * precision across engines, see EventQueries). */
+final case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
+
+final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long, sum_value: Double)
+
+/** Structured Streaming operators over the events feed (SURVEY §2.11):
+  * unbounded ingestion with watermarked windowed aggregation and
+  * stateful gap-sessionization — the streaming twins of EventQueries'
+  * batch forms, sharing semantics so a batch backfill and the live
+  * stream agree.
+  */
+object EventStreams {
+
+  /** The events parquet schema with ns timestamps surfaced as int64
+    * (`nanosAsLong`, see graft.Tables.events). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Unbounded read of an events directory (new files = new data). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventSchema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts with a watermark: late data beyond
+    * `watermark` is dropped, state is bounded — the only viable shape for
+    * an unbounded 100 TB/day feed. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful gap-sessionization via flatMapGroupsWithState: one state
+    * object per user; a session closes (and is emitted) when an event
+    * arrives more than `gapUs` after the previous one. Events inside a
+    * batch are processed in ts order per user. */
+  def sessionize(events: Dataset[Ev], gapUs: Long = 30L * 60 * 1000000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+                cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Incremental graph ingest (SURVEY §2.11 #45): stream edge rows into a
+    * PropertyGraph edge directory with exactly-once file-sink semantics
+    * per micro-batch via foreachBatch. */
+  def ingestEdges(edges: DataFrame, targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(targetDir)
+      }
+      .start()
+}

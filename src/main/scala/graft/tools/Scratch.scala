@@ -11,17 +11,18 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-      ev.printSchema()
-      ev.show(3, truncate = false)
-    } catch { case e: Throwable => println("plain read failed: " + e.getMessage) }
-    try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-      ev.printSchema()
-      ev.show(3, truncate = false)
-    } catch { case e: Throwable => println("nanosAsLong read failed: " + e.getMessage) }
+    // drive the streaming surface: windowed counts over the real events feed
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val q = graft.streaming.EventStreams
+      .windowedCounts(graft.streaming.EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("demo").start()
+    q.processAllAvailable()
+    println("[stream] windowed rows: " + spark.table("demo").count())
+    spark.table("demo").orderBy("window_start", "event_type").show(5)
+    q.stop()
     spark.stop()
   }
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft-events").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("windowed streaming counts equal the batch equivalent") {
+    val dir = stageEventsDir()
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select("window_start", "event_type", "n_events")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = spark.read.schema(EventStreams.EventSchema).parquet(dir)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start"), col("event_type"), col("n_events"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: sessions close on gap, state carries across batches") {
+    val ms = MemoryStream[Ev](spark)
+    val out = EventStreams.sessionize(ms.toDS(), gapUs = 1000000L) // 1s gap
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: two events 0.5s apart (one session), then nothing
+      ms.addData(Ev(1L, 0L, "click", 1.0), Ev(1L, 500000L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open in state
+
+      // batch 2: event 10s later → closes the first session
+      ms.addData(Ev(1L, 10500000L, "click", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed(0) == SessionOut(1L, 0L, 500000L, 2L, 3.0))
+
+      // batch 3: another user in parallel, immediate gap close
+      ms.addData(Ev(2L, 0L, "view", 1.0), Ev(2L, 5000000L, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[SessionOut].collect()
+      assert(all.exists(s => s.user_id == 2L && s.n_events == 1L))
+    } finally q.stop()
+  }
+
+  test("incremental edge ingest appends each micro-batch exactly once") {
+    val src = Files.createTempDirectory("graft-ingest-src").toString
+    val dst = Files.createTempDirectory("graft-ingest-dst").toString + "/edges"
+    val ckp = Files.createTempDirectory("graft-ingest-ckp").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("src", "dst").write.parquet(src + "/batch1")
+    val stream = spark.readStream
+      .schema("src LONG, dst LONG")
+      .parquet(src + "/batch1")
+    val q = EventStreams.ingestEdges(stream, dst, ckp)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(dst).count() == 2)
+    } finally q.stop()
+  }
+}
