@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math (SURVEY §2.7).
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`) evaluate a
+  * lambda per element in interpreted mode — microseconds per element.
+  * These expressions generate a tight primitive loop inside whole-stage
+  * codegen (nanoseconds per element), which is the difference between an
+  * ANN rerank being free and being the bottleneck at 100 TB.
+  */
+private object VecCodegen {
+  /** Java accessor snippet for an array element of the given type. */
+  def getter(elem: DataType, arr: String, i: String): String = elem match {
+    case FloatType  => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case t => throw new IllegalArgumentException(s"vector element type $t unsupported")
+  }
+
+  def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => throw new IllegalArgumentException(s"expected array, got $t")
+  }
+
+  def reader(elem: DataType): (ArrayData, Int) => Double = elem match {
+    case FloatType  => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case t => throw new IllegalArgumentException(s"vector element type $t unsupported")
+  }
+}
+
+/** Dot product of two float/double array columns, in double. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  @transient private lazy val readL = VecCodegen.reader(VecCodegen.elemType(left))
+  @transient private lazy val readR = VecCodegen.reader(VecCodegen.elemType(right))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += readL(a, i) * readR(b, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val ga = VecCodegen.getter(VecCodegen.elemType(left), a, i)
+      val gb = VecCodegen.getter(VecCodegen.elemType(right), b, i)
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $ga * $gb; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a float/double array column, in double. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  @transient private lazy val read = VecCodegen.reader(VecCodegen.elemType(child))
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = read(a, i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val ga = VecCodegen.getter(VecCodegen.elemType(child), a, i)
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $x = $ga; $s += $x * $x; }
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Column-API wrappers around the native expressions. */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vec_norm(a: Column): Column =
+    ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
+}

@@ -122,18 +122,35 @@ object DataFramePregel {
 
   /** Connected components by iterative min-id propagation — each round a
     * vertex adopts the smallest component id among itself and its
-    * neighbors. Undirected: edges used in both directions. */
+    * neighbors. Undirected: edges used in both directions.
+    *
+    * Convergence probe: component ids only ever decrease, so the sum of
+    * components strictly decreases until fixpoint — a one-row aggregate
+    * per round instead of a full exceptAll diff (which would shuffle the
+    * entire vertex set twice per iteration).
+    */
   def connectedComponents(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 30): DataFrame = {
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-    val vertices = und.select(col("a").as("vid")).distinct()
+      .localCheckpoint(true)
+    var vs = und.select(col("a").as("vid")).distinct()
       .withColumn("component", col("vid"))
-    iterate(vertices, maxIter) { vs =>
+      .localCheckpoint(true)
+    var prevSum = BigDecimal(-1)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
       val msgs = und.join(vs, und("a") === vs("vid"))
         .select(col("b").as("vid"), col("component"))
-      vs.unionAll(msgs)
+      val next = vs.unionAll(msgs)
         .groupBy("vid").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      val sumNow = BigDecimal(s)
+      if (sumNow == prevSum) converged = true else { prevSum = sumNow; vs = next }
+      i += 1
     }
+    vs
   }
 }

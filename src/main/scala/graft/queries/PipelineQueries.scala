@@ -28,7 +28,7 @@ object PipelineQueries {
 
   def embedCosinePairs(s: SparkSession, dir: String): DataFrame =
     Similarity.embedCosinePairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = Dim, threshold = 0.3, numBits = 4, numTables = 8)
+      dim = Dim, threshold = 0.3, numBits = 6, numTables = 8)
 
   def langId(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(col("doc_id"), col("lang").as("lang_labeled"),
