@@ -116,8 +116,11 @@ object GraphQueries {
   /** Per-property metadata for Customer — the apoc.meta.data analog
     * (neo4j_export.py:58-81): one distributed agg pass, result is
     * schema-sized. */
-  def schemaCustomer(s: SparkSession, dir: String): DataFrame = {
-    val stats = SchemaInference.columnStats(Tables(s, dir, "customer"))
+  def schemaCustomer(s: SparkSession, dir: String): DataFrame = schemaOf(s, dir, "customer")
+  def schemaLineitem(s: SparkSession, dir: String): DataFrame = schemaOf(s, dir, "lineitem")
+
+  private def schemaOf(s: SparkSession, dir: String, table: String): DataFrame = {
+    val stats = SchemaInference.columnStats(Tables(s, dir, table))
     val rows = stats.map(cs => Row(cs.name, cs.typeToken, cs.total, cs.nonNull))
     s.createDataFrame(
       s.sparkContext.parallelize(rows, 1),
@@ -126,6 +129,26 @@ object GraphQueries {
         StructField("type_token", StringType, nullable = false),
         StructField("n_rows", LongType, nullable = false),
         StructField("n_nonnull", LongType, nullable = false))))
+  }
+
+  /** Node census of the mapped graph — per label, how many valid nodes
+    * (the reference's export summary counts, neo4j_export.py:1324-1326). */
+  def graphNodeCount(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    TpchGraph.nodes.map { nm =>
+      g.nodes(nm.label).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(nm.label).as("label"), col("n_nodes"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Edge census per relationship type (summed across patterns). */
+  def graphEdgeCount(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    TpchGraph.edges.map { em =>
+      g.rels(em.pattern).agg(count(lit(1)).as("n"))
+        .select(lit(em.relType).as("rel_type"), col("n"))
+    }.reduce(_.unionAll(_))
+      .groupBy(col("rel_type")).agg(sum(col("n")).cast("long").as("n_edges"))
   }
 
   /** Identifier-candidate statistics for Customer — the distributed form
@@ -219,6 +242,9 @@ object GraphQueries {
     "g_degree_out_customer" -> (degreeOutCustomer _),
     "g_degree_in_nation" -> (degreeInNation _),
     "g_schema_customer" -> (schemaCustomer _),
+    "g_schema_lineitem" -> (schemaLineitem _),
+    "g_graph_node_count" -> (graphNodeCount _),
+    "g_graph_edge_count" -> (graphEdgeCount _),
     "g_identifier_stats" -> (identifierStats _),
     "g_constraint_check" -> (constraintCheck _),
     "g_type_infer" -> (typeInfer _),
@@ -277,6 +303,33 @@ object GraphQueries {
         |UNION ALL SELECT 'c_nationkey', 'integer', (SELECT count(*) FROM customer), (SELECT count(c_nationkey) FROM customer)
         |UNION ALL SELECT 'c_acctbal', 'float', (SELECT count(*) FROM customer), (SELECT count(c_acctbal) FROM customer)
         |UNION ALL SELECT 'c_mktsegment', 'string', (SELECT count(*) FROM customer), (SELECT count(c_mktsegment) FROM customer)""".stripMargin,
+    "g_schema_lineitem" ->
+      """SELECT 'l_orderkey' AS property, 'integer' AS type_token,
+        |  (SELECT count(*) FROM lineitem) AS n_rows, (SELECT count(l_orderkey) FROM lineitem) AS n_nonnull
+        |UNION ALL SELECT 'l_partkey', 'integer', (SELECT count(*) FROM lineitem), (SELECT count(l_partkey) FROM lineitem)
+        |UNION ALL SELECT 'l_suppkey', 'integer', (SELECT count(*) FROM lineitem), (SELECT count(l_suppkey) FROM lineitem)
+        |UNION ALL SELECT 'l_linenumber', 'integer', (SELECT count(*) FROM lineitem), (SELECT count(l_linenumber) FROM lineitem)
+        |UNION ALL SELECT 'l_quantity', 'float', (SELECT count(*) FROM lineitem), (SELECT count(l_quantity) FROM lineitem)
+        |UNION ALL SELECT 'l_extendedprice', 'float', (SELECT count(*) FROM lineitem), (SELECT count(l_extendedprice) FROM lineitem)
+        |UNION ALL SELECT 'l_discount', 'float', (SELECT count(*) FROM lineitem), (SELECT count(l_discount) FROM lineitem)
+        |UNION ALL SELECT 'l_tax', 'float', (SELECT count(*) FROM lineitem), (SELECT count(l_tax) FROM lineitem)
+        |UNION ALL SELECT 'l_returnflag', 'string', (SELECT count(*) FROM lineitem), (SELECT count(l_returnflag) FROM lineitem)
+        |UNION ALL SELECT 'l_linestatus', 'string', (SELECT count(*) FROM lineitem), (SELECT count(l_linestatus) FROM lineitem)
+        |UNION ALL SELECT 'l_shipdate', 'string', (SELECT count(*) FROM lineitem), (SELECT count(l_shipdate) FROM lineitem)""".stripMargin,
+    "g_graph_node_count" ->
+      """SELECT 'Region' AS label, (SELECT count(*) FROM region WHERE r_regionkey IS NOT NULL) AS n_nodes
+        |UNION ALL SELECT 'Nation', (SELECT count(*) FROM nation WHERE n_nationkey IS NOT NULL)
+        |UNION ALL SELECT 'Customer', (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL)
+        |UNION ALL SELECT 'Supplier', (SELECT count(*) FROM supplier WHERE s_suppkey IS NOT NULL)
+        |UNION ALL SELECT 'Part', (SELECT count(*) FROM part WHERE p_partkey IS NOT NULL)
+        |UNION ALL SELECT 'Order', (SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)""".stripMargin,
+    "g_graph_edge_count" ->
+      """SELECT 'IN_REGION' AS rel_type, (SELECT count(*) FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL) AS n_edges
+        |UNION ALL SELECT 'IN_NATION', (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL)
+        |UNION ALL SELECT 'LOCATED_IN', (SELECT count(*) FROM supplier WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL)
+        |UNION ALL SELECT 'PLACED', (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL)
+        |UNION ALL SELECT 'CONTAINS', (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+        |UNION ALL SELECT 'SUPPLIED_BY', (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL)""".stripMargin,
     "g_identifier_stats" ->
       """SELECT 'c_acctbal' AS property, count(c_acctbal) AS n_nonnull, count(DISTINCT c_acctbal) AS n_distinct,
         |  count(c_acctbal) = count(DISTINCT c_acctbal) AS all_unique FROM customer
