@@ -11,11 +11,11 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    println("===== q5 =====")
-    graft.queries.RelationalQueries.q5(spark, dir).explain("formatted")
-    println("===== g_rel_order_contains_part =====")
-    graft.queries.GraphQueries.relOrderContainsPart(spark, dir).explain("formatted")
+    val g = graft.export.GraphImporter.fromPackage(spark, "/tmp/graft_export")
+    println("[import] labels: " + g.nodes.keys.toSeq.sorted.mkString(","))
+    println("[import] customers: " + g.nodes("Customer").count())
+    println("[import] contains edges: " + g.rels(graft.model.RelPattern("Order","CONTAINS","Part")).count())
+    g.nodes("Customer").printSchema()
     spark.stop()
   }
 }

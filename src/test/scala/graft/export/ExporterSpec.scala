@@ -70,6 +70,24 @@ class ExporterSpec extends SparkTestBase {
     assert(model.contains("c_custkey_Customer_uniq"))
   }
 
+  test("round trip: import the exported package back into a PropertyGraph") {
+    val g0 = graft.model.TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val g1 = GraphImporter.fromPackage(spark, outDir)
+    assert(g1.nodes.keySet == g0.nodes.keySet)
+    assert(g1.rels.keySet == g0.rels.keySet)
+    // counts survive the round trip
+    assert(g1.nodes("Customer").count() == g0.nodes("Customer").count())
+    val pattern = graft.model.RelPattern("Order", "CONTAINS", "Part")
+    assert(g1.rels(pattern).count() == g0.rels(pattern).count())
+    // identifiers recovered from nodeKeyProperties
+    assert(g1.schema.identifierOf("Customer").contains("c_custkey"))
+    // typed columns: quantity came back numeric and sums agree
+    import org.apache.spark.sql.functions._
+    val s0 = g0.rels(pattern).agg(sum(col("l_quantity").cast("decimal(18,2)"))).head().getDecimal(0)
+    val s1 = g1.rels(pattern).agg(sum(col("l_quantity").cast("decimal(18,2)"))).head().getDecimal(0)
+    assert(s0 == s1)
+  }
+
   test("v0.1 model: legacy layout with deterministic identifiers") {
     val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-export01").toString
