@@ -66,4 +66,46 @@ object Multimodal {
       }
       .toDF("id", "features")
   }
+
+  /** ==== STUB ==== Deterministic fake resize: production swaps in an
+    * image scaler. Downsamples the byte stream by `factor` (keeping every
+    * factor-th byte) and records the new "dimensions" in the metadata —
+    * the shape (binary in → smaller binary out + updated meta) is what a
+    * real resize has. */
+  def stubResizeBytes(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, stubResizeBytes(bytes, factor)) })
+      .toDF("id", "content")
+      .withColumn("meta", struct(
+        lit("resized").as("format"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
+  /** ==== STUB ==== Frame sampling for video-shaped payloads: split the
+    * byte stream into fixed-size "frames" and keep every `stride`-th one.
+    * Output is one row per sampled frame — the explode shape a real
+    * frame sampler produces. */
+  def sampleFrames(df: DataFrame, idCol: String, frameBytes: Int, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameBytes).zipWithIndex
+          .filter { case (_, idx) => idx % stride == 0 }
+          .map { case (frame, idx) => (id, idx.toLong, frame) }
+      }
+      .toDF("id", "frame_index", "frame")
+  }
 }

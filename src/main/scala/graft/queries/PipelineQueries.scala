@@ -49,6 +49,11 @@ object PipelineQueries {
     Multimodal.decodeFeatures(
       Multimodal.asBinaryColumn(Tables(s, dir, "documents"), "text"), "doc_id")
 
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.asBinaryColumn(Tables(s, dir, "documents"), "text"), "doc_id",
+      frameBytes = 64, stride = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (cosineTopK _),
     "ss_lsh_topk" -> (lshTopK _),
@@ -56,7 +61,8 @@ object PipelineQueries {
     "tx_langid" -> (langId _),
     "tx_fingerprint" -> (fingerprint _),
     "mm_binary_meta" -> (binaryMeta _),
-    "mm_decode_features" -> (decodeFeatures _))
+    "mm_decode_features" -> (decodeFeatures _),
+    "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->

@@ -112,7 +112,21 @@ object RelationalQueries {
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
   }
 
+  /** Rollup aggregation — subtotal/grand-total rows via GROUP BY ROLLUP
+    * (nation × market segment revenue cube). */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(sum(dec2("o_totalprice")).cast("decimal(38,2)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup_revenue" -> (rollupRevenue _),
     "q1_pricing_summary" -> (q1 _),
     "q3_shipping_priority" -> (q3 _),
     "q5_supplier_volume" -> (q5 _),
@@ -124,6 +138,14 @@ object RelationalQueries {
   private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
 
   val oracles: Map[String, String] = Map(
+    "q_rollup_revenue" ->
+      """SELECT n_name, c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,

@@ -45,7 +45,23 @@ object TextQueries {
         count_distinct(Dedup.contentHash(col("text"))).as("n_distinct_texts"))
   }
 
+  /** End-to-end corpus curation: exact-dedup (keep min id) then quality
+    * filter, reporting per-language survivor counts — the composed
+    * pipeline a 100 TB pretraining-data run executes, built from the same
+    * oracle-checked operators. */
+  def curation(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val keepIds = Dedup.exactGroups(d, "doc_id", "text").select(col("keep_id"))
+    d.join(keepIds, d("doc_id") === keepIds("keep_id"), "left_semi")
+      .where(TA.qualityScore(col("text")) >= 0.5)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TA.tokenCount(col("text")).cast("long")).cast("long").as("total_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_curation" -> (curation _),
     "dd_exact" -> (exactDedup _),
     "tx_token_count" -> (tokenCount _),
     "tx_quality" -> (quality _),
@@ -56,6 +72,24 @@ object TextQueries {
     """CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
   val oracles: Map[String, String] = Map(
+    "tx_curation" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, length(text) AS n_chars,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains($stopList, x))) AS n_stop,
+         |    $ntokens AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))),
+         |r AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    round((least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
+         |      + least(round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6) * 4.0, 1.0) * 0.3
+         |      + (1.0 - least(round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6) * 5.0, 1.0)) * 0.15
+         |      + (1.0 - least(round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) END, 6) * 5.0, 1.0)) * 0.15), 6) AS quality
+         |  FROM f)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM r WHERE quality >= 0.5 GROUP BY lang""".stripMargin,
     "dd_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text)""".stripMargin,
