@@ -19,31 +19,38 @@ import org.apache.spark.sql.functions._
 object CsvPackageWriter {
 
   /** Render every column as string with NULL sentinel — the reference's
-    * `restval='NULL'`. */
-  private def stringified(df: DataFrame): DataFrame = {
+    * `restval='NULL'`. Public so the model generators sniff samples from
+    * the SAME rendering the CSV contains (Row.get.toString differs, e.g.
+    * java.sql.Timestamp appends ".0"). */
+  def stringified(df: DataFrame): DataFrame = {
     val cols = df.columns.map(c => coalesce(col(c).cast("string"), lit("NULL")).as(c))
     df.select(cols.toSeq: _*)
   }
 
   def write(df: DataFrame, outputDir: String, name: String, singleFile: Boolean = false): Path = {
+    // default emptyValue (quoted "") keeps empty strings distinguishable
+    // from the NULL sentinel, so export -> import round-trips losslessly
     val out = stringified(df)
     if (singleFile) {
       val tmp = Paths.get(outputDir, s".__${name}_tmp")
-      out.coalesce(1).write.mode("overwrite")
-        .option("header", "true").option("emptyValue", "").csv(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-")
-        && p.getFileName.toString.endsWith(".csv")).findFirst().get()
+      out.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try {
+        listing.filter(p => p.getFileName.toString.startsWith("part-")
+          && p.getFileName.toString.endsWith(".csv")).findFirst().get()
+      } finally listing.close()
       val target = Paths.get(outputDir, s"$name.csv")
       Files.createDirectories(target.getParent)
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
       // clean the temp dir (part metadata files)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
       target
     } else {
       val target = Paths.get(outputDir, s"$name.csv")
-      out.write.mode("overwrite")
-        .option("header", "true").option("emptyValue", "").csv(target.toString)
+      out.write.mode("overwrite").option("header", "true").csv(target.toString)
       target
     }
   }

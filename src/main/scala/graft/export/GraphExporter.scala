@@ -20,12 +20,14 @@ object GraphExporter {
       modelPath: String,
       zipPath: Option[String])
 
-  /** CSV-rendered first row of a table: prop -> string ("NULL" for null),
-    * the sample the model generators sniff types from. */
+  /** CSV-rendered first row of a table: prop -> string ("NULL" for null).
+    * Uses CsvPackageWriter's own stringification so the sniffed sample is
+    * byte-identical with what the written CSV contains (Row.get.toString
+    * would render e.g. timestamps differently). */
   private def sampleRow(df: DataFrame): Map[String, String] =
-    df.take(1).headOption.map { row: Row =>
+    CsvPackageWriter.stringified(df).take(1).headOption.map { row: Row =>
       df.columns.zipWithIndex.map { case (c, i) =>
-        c -> (if (row.isNullAt(i)) "NULL" else row.get(i).toString)
+        c -> (if (row.isNullAt(i)) "NULL" else row.getString(i))
       }.toMap
     }.getOrElse(Map.empty)
 

@@ -32,15 +32,20 @@ object GraphImporter {
 
     // ---- nodes: one label per nodeLabels entry, CSV named {label}.csv
     val nodeLabels = (schema / "nodeLabels").items
+    val nodeRefToLabel = nodeLabels.zipWithIndex
+      .map { case (nl, i) => s"n:$i" -> (nl / "token").str }.toMap
     val keyProps: Map[String, String] = {
-      // nodeKeyProperties → node ref n:i ↔ nodeLabels index; key property id → token
-      val propToken = nodeLabels.zipWithIndex.flatMap { case (nl, _) =>
+      val propToken = nodeLabels.flatMap { nl =>
         (nl / "properties").items.map(p => (p / "$id").str -> (p / "token").str)
       }.toMap
+      // resolve each entry's node $ref — entries may be reordered or
+      // omitted relative to nodeLabels (the reference skips nodes with no
+      // key), so positional pairing would mis-assign identifiers
       (model / "dataModel" / "graphSchemaExtensionsRepresentation" / "nodeKeyProperties").items
-        .zip(nodeLabels).map { case (kp, nl) =>
+        .map { kp =>
+          val nodeRef = ((kp / "node") / "$ref").str.stripPrefix("#")
           val keyRef = ((kp / "keyProperties").items.head / "$ref").str.stripPrefix("#")
-          (nl / "token").str -> propToken(keyRef)
+          nodeRefToLabel(nodeRef) -> propToken(keyRef)
         }.toMap
     }
 
@@ -61,7 +66,7 @@ object GraphImporter {
 
     // ---- relationships: relationshipObjectTypes (pattern-level) joined
     // back to node labels via the n:i refs
-    val nodeByRef = nodeLabels.zipWithIndex.map { case (nl, i) => s"n:$i" -> (nl / "token").str }.toMap
+    val nodeByRef = nodeRefToLabel
     val relTypeToken = (schema / "relationshipTypes").items
       .map(rt => (rt / "$id").str -> (rt / "token").str).toMap
 
@@ -74,6 +79,8 @@ object GraphImporter {
         val csv = tableSchemas(pattern.key + ".csv")
         val fields = (csv / "fields").items.map(f =>
           ((f / "name").str, (f / "recommendedType" / "type").str))
+        require(fields.size >= 2,
+          s"relationship table ${pattern.key}.csv needs source+target columns, got ${fields.map(_._1)}")
         val raw = spark.read.option("header", "true").csv(s"$dir/${pattern.key}.csv")
         val typed = raw.select(fields.map { case (n, tok) =>
           when(col(n) === "NULL", lit(null)).otherwise(col(n)).cast(sparkType(tok)).as(n)

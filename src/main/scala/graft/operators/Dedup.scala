@@ -165,9 +165,14 @@ object Dedup {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("grams", g(col("text")))
       .withColumn("len_bucket", floor(log(1.1, greatest(length(col("text")), lit(1)).cast("double"))))
-    val l = base.select(col("len_bucket"), col("doc_id").as("id_a"), col("grams").as("g_a"))
+    // one side probes its own AND both adjacent buckets so near-dups that
+    // straddle a bucket boundary (lengths within ±10% but different
+    // floor(log)) are still compared
+    val l = base.select(explode(array(col("len_bucket") - 1, col("len_bucket"), col("len_bucket") + 1)).as("len_bucket"),
+      col("doc_id").as("id_a"), col("grams").as("g_a"))
     val r = base.select(col("len_bucket"), col("doc_id").as("id_b"), col("grams").as("g_b"))
     l.join(r, Seq("len_bucket")).where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))).cast("double"), 6))

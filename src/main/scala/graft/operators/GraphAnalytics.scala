@@ -26,6 +26,16 @@ object GraphAnalytics {
     val index = labels.zipWithIndex.toMap
     val parts = g.rels.toSeq.sortBy(_._1.key).map { case (pattern, df) =>
       val Seq(srcCol, dstCol) = df.columns.take(2).toSeq
+      Seq(srcCol, dstCol).foreach { c =>
+        import org.apache.spark.sql.types._
+        val ok = df.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        require(ok,
+          s"graph analytics need integral node ids; ${pattern.key}.$c is ${df.schema(c).dataType} " +
+            "(hash string ids to long before calling, e.g. xxhash64)")
+      }
       df.select(
         (col(srcCol).cast("long") + lit(index(pattern.srcLabel).toLong << LabelShift)).as("src"),
         (col(dstCol).cast("long") + lit(index(pattern.dstLabel).toLong << LabelShift)).as("dst"))

@@ -22,6 +22,12 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // right/full-outer would null-extend every unmatched replica of the
+    // small side (saltFactor copies per row) — only big-side-preserving
+    // join types are well-defined under replication.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left join types, not $joinType")
     val bigCols = big.columns
     val salted = big.withColumn("__salt",
       pmod(xxhash64(bigCols.map(col).toSeq: _*), lit(saltFactor)).cast("int"))

@@ -35,13 +35,17 @@ object EventQueries {
     * Works on microseconds (DuckDB truncates the ns parquet to µs on read,
     * so µs is the precision both engines share). */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    // event_id tie-break + explicit ROWS frame: Spark's default frame with
+    // an orderBy is RANGE, which treats equal-ts_us rows as peers and
+    // diverges from the oracle's ROWS semantics on µs ties.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, dir)
       .withColumn("ts_us", expr("ts div 1000")) // integer division: exact at ns magnitudes where double floor is not
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs, 1).otherwise(0))
-      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -73,13 +77,13 @@ object EventQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "ev_sessionize" ->
       """WITH flagged AS (
-        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |), sessions AS (
         |  SELECT user_id, value, ts_us,
-        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM flagged)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -71,13 +71,16 @@ object IdentifierDetector {
     if (properties.isEmpty) return None
     val aggs = properties.flatMap { c =>
       val s = sanitized(df, c)
-      Seq(count(s).as(s"__n_$c"), approx_count_distinct(s).as(s"__ad_$c"))
+      // rsd 0.02 with a 0.8 acceptance margin = 10 sigma: a genuinely
+      // unique column essentially never fails the screen (a 2-sigma cut
+      // would randomly drop true identifiers), while clearly-non-unique
+      // columns still skip the exact confirmation scan
+      Seq(count(s).as(s"__n_$c"), approx_count_distinct(s, rsd = 0.02).as(s"__ad_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val candidates = properties.zipWithIndex.collect {
       case (c, i) if row.getLong(2 * i) > 0 &&
-        // HLL relative error default 5%; keep any column that could be unique
-        row.getLong(2 * i + 1) >= (row.getLong(2 * i) * 0.9).toLong => c
+        row.getLong(2 * i + 1) >= (row.getLong(2 * i) * 0.8).toLong => c
     }
     // exact confirmation, first-in-sorted-order wins (matches ref iteration)
     candidates.find { c =>

@@ -43,14 +43,19 @@ object ExportCli {
     var noZip = false
     var envFile = ".env"
     var i = 0
+    def valueOf(flag: String): String = {
+      if (i + 1 >= args.length)
+        throw new IllegalArgumentException(s"option $flag requires a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-i" | "--input"    => cli += "input" -> args(i + 1); i += 2
-        case "-o" | "--output"   => cli += "output" -> args(i + 1); i += 2
-        case "-f" | "--format"   => cli += "format" -> args(i + 1); i += 2
-        case "-z" | "--zip"      => cli += "zip" -> args(i + 1); i += 2
-        case "--no-zip"          => noZip = true; i += 1
-        case "--env-file"        => envFile = args(i + 1); i += 2
+        case f @ ("-i" | "--input")  => cli += "input" -> valueOf(f); i += 2
+        case f @ ("-o" | "--output") => cli += "output" -> valueOf(f); i += 2
+        case f @ ("-f" | "--format") => cli += "format" -> valueOf(f); i += 2
+        case f @ ("-z" | "--zip")    => cli += "zip" -> valueOf(f); i += 2
+        case "--no-zip"              => noZip = true; i += 1
+        case f @ "--env-file"        => envFile = valueOf(f); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }

@@ -54,16 +54,16 @@ class DedupSpec extends SparkTestBase {
 
   test("ngram jaccard: hand-computed value") {
     // 4-grams("abcde") = {abcd, bcde}; 4-grams("abcd") = {abcd} → J = 1/2
-    val df = Seq((1L, "abcde"), (2L, "abcd")).toDF("doc_id", "text")
-    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 4, threshold = 0.0)
-      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
-    // length bucket differs (5 vs 4 chars may split buckets) — allow empty
-    // only if blocking split them; verify via same-length variant instead
     val df2 = Seq((1L, "abcdx"), (2L, "abcdy")).toDF("doc_id", "text")
     // 4-grams: {abcd,bcdx} vs {abcd,bcdy} → J = 1/3
     val got2 = Dedup.ngramJaccardPairs(df2, "doc_id", "text", n = 4, threshold = 0.0)
       .select("jaccard").as[Double].head()
     assert(math.abs(got2 - 1.0 / 3.0) < 1e-5)
-    assert(got.forall { case (a, b, j) => a == 1L && b == 2L && j == 0.5 })
+    // lengths 49 vs 50 straddle the log-1.1 bucket boundary at 1.1^41≈49.8
+    // (within ±10% length) — adjacent-bucket probing must pair them
+    val df3 = Seq((1L, "x" * 49), (2L, "x" * 50)).toDF("doc_id", "text")
+    val got3 = Dedup.ngramJaccardPairs(df3, "doc_id", "text", n = 4, threshold = 0.0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got3.toSeq == Seq((1L, 2L, 1.0))) // grams both just {"xxxx"}
   }
 }
