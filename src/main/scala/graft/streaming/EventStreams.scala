@@ -76,6 +76,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose id was already seen, with
+    * state bounded by the watermark (late duplicates beyond it are the
+    * accepted trade-off — unbounded dedup state is impossible on an
+    * unbounded stream). */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Incremental graph ingest (SURVEY §2.11 #45): stream edge rows into a
     * PropertyGraph edge directory with exactly-once file-sink semantics
     * per micro-batch via foreachBatch. */

@@ -60,6 +60,23 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    // two copies of the same events file → every event_id appears twice
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"), Paths.get(dir, "a.parquet"))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"), Paths.get(dir, "b.parquet"))
+    val q = EventStreams.dedupStream(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.read.schema(EventStreams.EventSchema).parquet(dir).count()
+      val deduped = spark.table("dedup_out").count()
+      assert(total == 2 * deduped)
+      assert(spark.table("dedup_out").groupBy("event_id").count()
+        .where(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("incremental edge ingest appends each micro-batch exactly once") {
     val src = Files.createTempDirectory("graft-ingest-src").toString
     val dst = Files.createTempDirectory("graft-ingest-dst").toString + "/edges"
