@@ -64,12 +64,32 @@ object EventQueries {
       .select(col("user_id"), col("event_type"), col("n"))
   }
 
+  /** Carry-forward enrichment: each event gets the value of that user's
+    * most recent purchase at or before it (graft.operators.AsOf). */
+  def asofLastPurchase(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.AsOf.carryForward(
+      Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+      partitionCol = "user_id", orderCols = Seq("ts_us", "event_id"),
+      condition = col("event_type") === "purchase",
+      value = col("value"),
+      asOfCol = "last_purchase_value")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("last_purchase_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof_last_purchase" -> (asofLastPurchase _),
     "ev_windowed_agg" -> (windowedAgg _),
     "ev_sessionize" -> (sessionize _),
     "ev_top_event_types" -> (topEventTypes _))
 
   val oracles: Map[String, String] = Map(
+    "ev_asof_last_purchase" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |  last(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events""".stripMargin,
     "ev_windowed_agg" ->
       """SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) * 3600000000000 AS BIGINT) AS window_start_ns,
         |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
