@@ -111,6 +111,23 @@ object GraphQueries {
       .agg(count(lit(1)).as("in_degree"))
   }
 
+  /** 2-hop traversal via joins — Nation ←IN_NATION– Customer –PLACED→
+    * Order –CONTAINS→ Part: distinct parts reachable from each nation.
+    * OLTP-style traversal maps onto co-partitioned equi-joins; Catalyst
+    * broadcasts the dims and the fact tables shuffle once. */
+  def traverseNationParts(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "nation")
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count_distinct(col("l_partkey")).as("n_distinct_parts"),
+        count(lit(1)).as("n_paths"))
+  }
+
   // ----------------------------------------------------- schema/metadata
 
   /** Per-property metadata for Customer — the apoc.meta.data analog
@@ -239,6 +256,7 @@ object GraphQueries {
     "g_rel_order_contains_part" -> (relOrderContainsPart _),
     "g_rel_supplier_in_nation" -> (relSupplierInNation _),
     "g_rel_patterns" -> (relPatterns _),
+    "g_traverse_nation_parts" -> (traverseNationParts _),
     "g_degree_out_customer" -> (degreeOutCustomer _),
     "g_degree_in_nation" -> (degreeInNation _),
     "g_schema_customer" -> (schemaCustomer _),
@@ -288,6 +306,13 @@ object GraphQueries {
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
         |UNION ALL SELECT 'Order', 'SUPPLIED_BY', 'Supplier',
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL)""".stripMargin,
+    "g_traverse_nation_parts" ->
+      """SELECT n_name, count(DISTINCT l_partkey) AS n_distinct_parts, count(*) AS n_paths
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "g_degree_out_customer" ->
       """SELECT o_custkey AS "Customer_c_custkey", count(*) AS out_degree
         |FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL

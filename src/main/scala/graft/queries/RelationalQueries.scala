@@ -125,7 +125,23 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Running balance per customer: cumulative order total in date order —
+    * the lag/lead/cumsum window family over a ROWS frame. */
+  def runningBalance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").as("running_total"),
+        lag(col("o_orderkey"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey")))
+          .as("prev_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running_balance" -> (runningBalance _),
     "q_rollup_revenue" -> (rollupRevenue _),
     "q1_pricing_summary" -> (q1 _),
     "q3_shipping_priority" -> (q3 _),
@@ -138,6 +154,13 @@ object RelationalQueries {
   private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
 
   val oracles: Map[String, String] = Map(
+    "q_running_balance" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |FROM orders""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT n_name, c_mktsegment,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue,

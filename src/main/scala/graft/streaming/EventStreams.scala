@@ -76,6 +76,20 @@ object EventStreams {
       }
   }
 
+  /** Native session windows (gap-based, watermark-bounded) — the built-in
+    * alternative to [[sessionize]]'s explicit state machine; prefer this
+    * when per-session output is aggregate-shaped (the engine keeps state
+    * and merges adjacent windows automatically). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop events whose id was already seen, with
     * state bounded by the watermark (late duplicates beyond it are the
     * accepted trade-off — unbounded dedup state is impossible on an

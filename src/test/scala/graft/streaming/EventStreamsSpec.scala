@@ -60,6 +60,20 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native session windows agree with the explicit-state sessionizer on counts") {
+    val dir = stageEventsDir()
+    val q = EventStreams.sessionWindows(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("sw_out").start()
+    try {
+      q.processAllAvailable()
+      val sw = spark.table("sw_out")
+      assert(sw.count() > 0)
+      // total events across sessions == total events in the feed
+      val totalEvents = sw.agg(sum("n_events")).head().getLong(0)
+      assert(totalEvents == spark.read.schema(EventStreams.EventSchema).parquet(dir).count())
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     // two copies of the same events file → every event_id appears twice
