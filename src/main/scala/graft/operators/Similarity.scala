@@ -106,6 +106,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-style approximate top-k: a KMeans coarse quantizer partitions the
+    * corpus into `nCells` cells; each query exactly reranks only the
+    * `nProbe` nearest cells. The scale shape of FAISS-IVF on Spark: the
+    * corpus is assigned once (and can be persisted partitioned by cell),
+    * per-query work is nProbe/nCells of the corpus, and the cell
+    * assignment join is a plain equi-join on cell id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // nearest cell(s) as column math against centroid literals — the
+    // assignment never leaves codegen'd expressions
+    def cellDistances(vec: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.map(lit): _*)
+      struct((dot(vec, vec) - lit(2.0) * dot(vec, cCol) + lit(c.map(x => x * x).sum)).as("d2"),
+        lit(i).as("cell"))
+    }: _*)
+    def nearestCells(vec: Column, n: Int): Column =
+      slice(transform(array_sort(cellDistances(vec)), s => s.getField("cell")), 1, n)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      l2Norm(col(vecCol)).as("c_norm"),
+      element_at(nearestCells(col(vecCol), 1), 1).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"),
+      explode(nearestCells(col(vecCol), nProbe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        when(col("q_norm") * col("c_norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates with
     * exact cosine verification above `threshold` (SURVEY §2.6 #30). */
   def embedCosinePairs(

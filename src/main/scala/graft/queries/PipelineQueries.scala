@@ -57,6 +57,11 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (cosineTopK _),
     "ss_lsh_topk" -> (lshTopK _),
+    "ss_ivf_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4)
+    }),
     "dd_embed_cosine" -> (embedCosinePairs _),
     "tx_langid" -> (langId _),
     "tx_fingerprint" -> (fingerprint _),

@@ -46,6 +46,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.length == 1 && got(0)._1 == 2L && math.abs(got(0)._2 - 1.0) < 1e-9)
   }
 
+  test("IVF top-k finds an identical vector with nProbe covering its cell") {
+    val rnd = new scala.util.Random(3)
+    val base = (1L to 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val withDup = base :+ (100L, base.head._2) // identical twin of vec 1
+    val vecs = withDup.toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(vecs, vecs.where(col("vec_id") === 1), "vec_id", "embedding",
+      k = 1, nCells = 4, nProbe = 1)
+      .select("neighbor_id", "cosine_sim").as[(Long, Double)].collect()
+    assert(got.length == 1 && got(0)._1 == 100L && math.abs(got(0)._2 - 1.0) < 1e-9)
+  }
+
   test("embedding near-dup pairs verify cosine above threshold") {
     val v = Seq.tabulate(8)(i => (i + 1).toFloat)
     val nearly = v.updated(0, 1.05f)
