@@ -60,7 +60,16 @@ object TextQueries {
         sum(TA.tokenCount(col("text")).cast("long")).cast("long").as("total_tokens"))
   }
 
+  /** Document-length histogram (100-char buckets) — the size profile any
+    * corpus curation pass starts from. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("length_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_length_histogram" -> (lengthHistogram _),
     "tx_curation" -> (curation _),
     "dd_exact" -> (exactDedup _),
     "tx_token_count" -> (tokenCount _),
@@ -72,6 +81,10 @@ object TextQueries {
     """CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
   val oracles: Map[String, String] = Map(
+    "tx_length_histogram" ->
+      """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS length_bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "tx_curation" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang, length(text) AS n_chars,
