@@ -121,7 +121,9 @@ object Similarity {
     val spark = corpus.sparkSession
 
     val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).fit(train)
+    // 10 iterations is ample for a coarse quantizer — cells only need to
+    // partition space, not converge tightly
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
 
     // nearest cell(s) as column math against centroid literals — the

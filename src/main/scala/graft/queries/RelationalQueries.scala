@@ -140,7 +140,19 @@ object RelationalQueries {
           .as("prev_orderkey"))
   }
 
+  /** Q6-style forecast revenue: pure filter + aggregate, the pushdown
+    * showcase (every predicate reaches the parquet scan). */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1998-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec2("l_extendedprice") * dec4("l_discount"))
+        .cast("decimal(38,6)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (q6 _),
     "q_running_balance" -> (runningBalance _),
     "q_rollup_revenue" -> (rollupRevenue _),
     "q1_pricing_summary" -> (q1 _),
@@ -154,6 +166,13 @@ object RelationalQueries {
   private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(7,4))) AS DECIMAL(38,6)) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q_running_balance" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
