@@ -77,13 +77,45 @@ object EventQueries {
         col("event_type"), col("last_purchase_value"))
   }
 
+  // four weekly promo windows over Jan 2024, inclusive µs bounds
+  private val WeekUs = 7L * 24 * 3600 * 1000000L
+  private val Jan1Us = 1704067200000000L // 2024-01-01T00:00:00Z
+  private[queries] val promoWindows: Seq[(Long, Long, Long)] =
+    (0 until 4).map(i => (i.toLong, Jan1Us + i * WeekUs, Jan1Us + (i + 1) * WeekUs - 1))
+
+  /** Point-in-interval join via the custom IntervalJoin operator
+    * (graft.plans) — events against dim-sized promo windows, aggregated
+    * per window. The plan uses IntervalJoinExec, not a nested-loop join. */
+  def intervalWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windows = promoWindows.toDF("window_id", "start_us", "end_us")
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    graft.plans.IntervalJoin.join(ev, windows, ev("ts_us"),
+      windows("start_us"), windows("end_us"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_interval_windows" -> (intervalWindows _),
     "ev_asof_last_purchase" -> (asofLastPurchase _),
     "ev_windowed_agg" -> (windowedAgg _),
     "ev_sessionize" -> (sessionize _),
     "ev_top_event_types" -> (topEventTypes _))
 
+  private val windowValues = promoWindows
+    .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "ev_interval_windows" ->
+      s"""WITH w(window_id, start_us, end_us) AS (VALUES $windowValues)
+         |SELECT CAST(w.window_id AS BIGINT) AS window_id, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT e.user_id) AS n_users,
+         |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+         |FROM events e JOIN w ON epoch_us(e.ts) BETWEEN w.start_us AND w.end_us
+         |GROUP BY w.window_id""".stripMargin,
     "ev_asof_last_purchase" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
         |  last(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
