@@ -92,11 +92,14 @@ object IntervalJoinStrategy extends SparkStrategy {
 }
 
 object IntervalJoin {
-  /** Idempotently register the planner strategy on this session. */
+  /** Idempotently register the planner strategy (and the BETWEEN-join
+    * rewrite rule) on this session. */
   def register(spark: SparkSession): Unit = {
     val es = spark.experimental
     if (!es.extraStrategies.contains(IntervalJoinStrategy))
       es.extraStrategies = es.extraStrategies :+ IntervalJoinStrategy
+    if (!es.extraOptimizations.contains(RewriteRangeJoin))
+      es.extraOptimizations = es.extraOptimizations :+ RewriteRangeJoin
   }
 
   /** Join `fact` rows to every `intervals` row whose

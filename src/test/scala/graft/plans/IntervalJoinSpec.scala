@@ -34,6 +34,18 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.exists(_.isInstanceOf[IntervalJoinExec]))
   }
 
+  test("optimizer rule rewrites a plain BETWEEN join to IntervalJoinExec") {
+    IntervalJoin.register(spark)
+    val df = facts.join(ivs, facts("t") >= ivs("s") && facts("t") <= ivs("e"))
+      .select("fact_id", "iv_id")
+    df.collect()
+    assert(df.queryExecution.executedPlan.exists(_.isInstanceOf[IntervalJoinExec]),
+      df.queryExecution.executedPlan.toString)
+    val direct = IntervalJoin.join(facts, ivs, facts("t"), ivs("s"), ivs("e"))
+      .select("fact_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(df.as[(Long, Long)].collect().toSet == direct)
+  }
+
   test("null fact times produce no matches; downstream ops compose") {
     val withNull = Seq((1L, Some(5L)), (2L, None)).toDF("fact_id", "t")
     val got = IntervalJoin.join(withNull, ivs, withNull("t"), ivs("s"), ivs("e"))
