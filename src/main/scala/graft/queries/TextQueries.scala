@@ -68,7 +68,37 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"))
 
+  /** Balanced per-language sample: the first `n` documents of each
+    * language in id order — deterministic dataset rebalancing (the
+    * random-sampling twin is `df.stat.sampleBy`, which no SQL oracle can
+    * reproduce; this exact form is the CI-able variant). */
+  def balancedSample(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Greedy sequence packing: per language, documents in id order are
+    * packed into ~512-token bins (bin = floor(running_tokens / 512)) —
+    * the batch-shaping step before tokenized training data is written. */
+  def tokenPacking(s: SparkSession, dir: String, binTokens: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(s, dir, "documents")
+      .withColumn("n_tokens", TA.tokenCount(col("text")).cast("long"))
+      .withColumn("bin", floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / binTokens).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_balanced_sample" -> ((s, dir) => balancedSample(s, dir)),
+    "tx_token_packing" -> ((s, dir) => tokenPacking(s, dir)),
     "tx_length_histogram" -> (lengthHistogram _),
     "tx_curation" -> (curation _),
     "dd_exact" -> (exactDedup _),
@@ -81,6 +111,21 @@ object TextQueries {
     """CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
   val oracles: Map[String, String] = Map(
+    "tx_balanced_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 50""".stripMargin,
+    "tx_token_packing" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, CAST($ntokens AS BIGINT) AS n_tokens FROM documents),
+         |b AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin
+         |  FROM t)
+         |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM b GROUP BY lang, bin""".stripMargin,
     "tx_length_histogram" ->
       """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS length_bucket,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
