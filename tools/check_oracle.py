@@ -1,12 +1,24 @@
 #!/usr/bin/env python3
 """Local pre-validation of SparkEntry.oracleSql against DuckDB — mimics the
-driver's t2 correctness gate: run Verify's parquet output vs the oracle SQL
-on the same source tables, compare schema (sorted column names), row count,
-and exact values (rows sorted)."""
+driver's t2 correctness gate as faithfully as possible:
+
+  spark side  = pandas.read_parquet  (decimals -> decimal.Decimal objects,
+                dates per pyarrow defaults)
+  oracle side = duckdb .df()         (decimals -> float64)
+
+Columns are sorted by name, rows sorted by all columns (pandas sort_values —
+this is what crashes on array columns, same as the driver), then cell values
+are compared by exact repr. NO decimal normalization: a Spark decimal(38,2)
+column vs a DuckDB float64 column FAILS here exactly like it fails in the
+driver. Calibrated against CORRECTNESS_r01.json (reproduces the driver's 10
+hash-fails + 2 array crashes on the round-1 outputs).
+"""
 import sys, json, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
 
 def load(sf_dir, out_dir):
     con = duckdb.connect()
@@ -15,30 +27,45 @@ def load(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     return con, oracle
 
-def norm_cell(v):
-    # Normalize across engines: Decimal -> normalized string, floats kept.
-    import decimal, datetime
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        return ("f", repr(v))
-    if isinstance(v, datetime.datetime):
-        return ("dt", v.isoformat())
-    if isinstance(v, datetime.date):
-        return ("d", v.isoformat())
-    if isinstance(v, bytearray):
-        return ("b", bytes(v).hex())
-    if isinstance(v, bytes):
-        return ("b", v.hex())
-    return v
 
-def fetch_sorted(con, sql):
-    res = con.sql(sql)
-    cols = [c.lower() for c in res.columns]
-    rows = res.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=repr)
+def canon(df):
+    """Sort columns by lowercase name, rows by all columns, return list of
+    per-cell reprs. Raises (like the driver) on unsortable columns."""
+    cols = sorted(df.columns, key=lambda c: c.lower())
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    cells = []
+    for row in df.itertuples(index=False, name=None):
+        cells.append(tuple(cell_repr(v) for v in row))
+    return [c.lower() for c in cols], sorted(cells, key=repr)
+
+
+def cell_repr(v):
+    # Temporal types: pandas may hand back Timestamp / datetime64 / date
+    # objects depending on the reader; the driver compares post-sort values,
+    # and equal timestamps compare equal across those types in pandas. We
+    # normalize temporals to isoformat ONLY (calibrated: date-typed outputs
+    # hash-matched in round 1 while Decimal-vs-float did not).
+    import datetime
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        # Midnight tz-naive timestamps compare equal to plain dates in the
+        # driver (DuckDB DATE -> datetime64 vs pyarrow date32 -> date).
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if v is None:
+        return "None"
+    if isinstance(v, float) and v != v:  # NaN (incl. from null ints)
+        return "None"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return repr(v)
+
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -49,16 +76,17 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        pq = f"{out_dir}/{name}"
-        if not glob.glob(f"{pq}/*.parquet"):
-            print(f"FAIL {name}: no spark output at {pq}")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output at {out_dir}/{name}")
             n_fail += 1
             continue
         try:
-            got_cols, got = fetch_sorted(con, f"SELECT * FROM '{pq}/*.parquet'")
-            want_cols, want = fetch_sorted(con, sql)
+            got_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            got_cols, got = canon(got_df)
+            want_cols, want = canon(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if got_cols != want_cols:
@@ -79,9 +107,17 @@ def main():
     for name in sorted(rows_only):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         n = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0] if files else 0
-        print(f"{'ROWS' if n > 0 else 'EMPTY'} {name}: {n} rows (rows-only)")
+        # The driver sorts rows-only outputs too: arrays still crash it.
+        try:
+            if files:
+                canon(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
+            print(f"{'ROWS' if n > 0 else 'EMPTY'} {name}: {n} rows (rows-only)")
+        except Exception as e:
+            print(f"ERR  {name}: rows-only output unsortable: {type(e).__name__}: {e}")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(rows_only)} rows-only")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
