@@ -27,7 +27,7 @@ object EventQueries {
       .agg(
         count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 
   /** Gap-based sessionization: a new session starts when a user is idle
@@ -51,7 +51,7 @@ object EventQueries {
         count(lit(1)).as("n_events"),
         min(col("ts_us")).as("session_start_us"),
         max(col("ts_us")).as("session_end_us"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 
   /** Per-user top event types by frequency (rank over grouped counts). */
@@ -95,7 +95,7 @@ object EventQueries {
       .groupBy(col("window_id"))
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -113,7 +113,7 @@ object EventQueries {
       s"""WITH w(window_id, start_us, end_us) AS (VALUES $windowValues)
          |SELECT CAST(w.window_id AS BIGINT) AS window_id, COUNT(*) AS n_events,
          |  COUNT(DISTINCT e.user_id) AS n_users,
-         |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+         |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
          |FROM events e JOIN w ON epoch_us(e.ts) BETWEEN w.start_us AND w.end_us
          |GROUP BY w.window_id""".stripMargin,
     "ev_asof_last_purchase" ->
@@ -125,7 +125,7 @@ object EventQueries {
     "ev_windowed_agg" ->
       """SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) * 3600000000000 AS BIGINT) AS window_start_ns,
         |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "ev_sessionize" ->
       """WITH flagged AS (
@@ -140,7 +140,7 @@ object EventQueries {
         |  FROM flagged)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
     "ev_top_event_types" ->
       """SELECT user_id, event_type, n FROM (
