@@ -13,9 +13,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q1(spark, "/root/testdata/sf0.001")
 
-  /** Rows-only-checked operators (not expressible in ANSI SQL): near-dup
-    * LSH structures. Pair-level semantics are spec-tested with
-    * hand-computed oracles in src/test. */
+  /** Rows-only-checked operators (hash sketches DuckDB cannot reproduce):
+    * near-dup LSH structures. Pair-level semantics are spec-tested with
+    * hand-computed oracles in src/test. dd_ngram_jaccard IS oracle-checked
+    * (PipelineQueries.oracles mirrors its blocking + jaccard in SQL). */
   private val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashBands(Tables(s, dir, "documents"), "doc_id", "text")),

@@ -105,6 +105,11 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** md5 variant of the normalized-content fingerprint — same stability
+    * properties, reproducible by engines without xxhash64 (DuckDB oracle). */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Winnowing-style k-gram min-sketch: the `sketchSize` smallest xxhash64
     * values over word k-grams — a compact, order-insensitive fingerprint
     * for containment/overlap detection at corpus scale. */

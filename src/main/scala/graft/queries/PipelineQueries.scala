@@ -34,10 +34,16 @@ object PipelineQueries {
     Tables(s, dir, "documents").select(col("doc_id"), col("lang").as("lang_labeled"),
       TA.languageId(col("text")).as("lang_pred"))
 
+  /** Fingerprint query output is deliberately scalar-only: the driver's
+    * comparator sorts rows with pandas, which cannot sort array cells
+    * (round-1 comparator crash). The winnowing sketch (array) stays in the
+    * spec-level API (TextAnalysis.fingerprintSketch, FingerprintSpec); the
+    * query emits the md5 content fingerprint (DuckDB-reproducible) plus the
+    * distinct-shingle count the sketch is built from. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(col("doc_id"),
-      TA.fingerprint(col("text")).as("fingerprint"),
-      TA.fingerprintSketch(col("text")).as("sketch"))
+      TA.fingerprintMd5(col("text")).as("fp_md5"),
+      size(graft.operators.Dedup.shingleHashes(col("text"), 5)).cast("long").as("n_shingles"))
 
   def binaryMeta(s: SparkSession, dir: String): DataFrame = {
     val withBin = Multimodal.asBinaryColumn(Tables(s, dir, "documents"), "text")
@@ -45,14 +51,26 @@ object PipelineQueries {
       col("meta.n_bytes").as("n_bytes"), md5(col("content")).as("content_md5"))
   }
 
-  def decodeFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeFeatures(
-      Multimodal.asBinaryColumn(Tables(s, dir, "documents"), "text"), "doc_id")
+  /** Feature array flattened to one double column per dimension — pandas
+    * can sort scalars but not array cells (round-1 comparator crash); the
+    * array-valued API (Multimodal.decodeFeatures) stays for pipeline use. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val dim = 8
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.asBinaryColumn(Tables(s, dir, "documents"), "text"), "doc_id", dim)
+    feats.select(col("id") +: (0 until dim).map(i =>
+      element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
+  }
 
+  /** Frame bytes surface as an md5-of-hex digest: raw binary cells are
+    * representation-fragile in the driver's pandas comparator, and the
+    * digest is what a dedup/caching pipeline stores per frame anyway. The
+    * binary-frame API (Multimodal.sampleFrames) is unchanged. */
   def frameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.asBinaryColumn(Tables(s, dir, "documents"), "text"), "doc_id",
       frameBytes = 64, stride = 2)
+      .select(col("id"), col("frame_index"), md5(hex(col("frame"))).as("frame_md5"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> (cosineTopK _),
@@ -69,7 +87,84 @@ object PipelineQueries {
     "mm_decode_features" -> (decodeFeatures _),
     "mm_frame_sample" -> (frameSample _))
 
+  /** tx_langid oracle is generated from TextAnalysis.LanguageProfiles so
+    * the stopword lists cannot drift between engine and oracle. The CASE
+    * chain checks languages in descending lexicographic order to replicate
+    * Spark's greatest(struct(score, lang)) tie-break (max score, then max
+    * lang string). */
+  private val langIdOracle: String = {
+    val langs = TA.LanguageProfiles.keys.toSeq.sorted
+    val scoreCols = langs.map { lang =>
+      val lst = TA.LanguageProfiles(lang).map(w => s"'$w'").mkString("[", ",", "]")
+      s"round(CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS DOUBLE)/len(toks) END, 6) AS s_$lang"
+    }.mkString(",\n    ")
+    val sAll = langs.map(l => s"s_$l").mkString(",")
+    val caseArms = langs.sorted.reverse
+      .map(l => s"WHEN s_$l THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS lang_labeled,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |    round(CASE WHEN length(text)=0 THEN 0.0 ELSE
+       |      CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS cjk
+       |  FROM documents),
+       |s AS (SELECT doc_id, lang_labeled, cjk,
+       |    $scoreCols
+       |  FROM t)
+       |SELECT doc_id, lang_labeled,
+       |  CASE WHEN cjk > 0.2 THEN 'zh'
+       |    WHEN greatest($sAll) > 0.0 THEN
+       |      CASE greatest($sAll) $caseArms END
+       |    ELSE 'und' END AS lang_pred
+       |FROM s""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ss_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+        |pairs AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN sqrt(list_dot_product(q_vec,q_vec)) * sqrt(list_dot_product(c_vec,c_vec)) = 0 THEN 0.0
+        |      ELSE list_dot_product(q_vec, c_vec)
+        |        / (sqrt(list_dot_product(q_vec,q_vec)) * sqrt(list_dot_product(c_vec,c_vec))) END AS cosine_sim
+        |  FROM c, q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 4) FOR i IN generate_series(1, greatest(length(text)-3, 1))]) AS grams,
+        |    floor(ln(CAST(greatest(length(text), 1) AS DOUBLE)) / ln(1.1)) AS bucket
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+        |FROM base a JOIN base b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1""".stripMargin,
+    "tx_langid" -> langIdOracle,
+    "mm_frame_sample" ->
+      """WITH t AS (SELECT doc_id AS id, hex(encode(text)) AS h,
+        |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames FROM documents),
+        |f AS (SELECT id, h, unnest(range(0, n_frames)) AS idx FROM t)
+        |SELECT id, CAST(idx AS BIGINT) AS frame_index,
+        |  md5(substring(h, CAST(idx*128+1 AS BIGINT), 128)) AS frame_md5
+        |FROM f WHERE idx % 2 = 0""".stripMargin,
+    "tx_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  CAST(CASE WHEN len(toks) < 5 THEN 1
+        |    ELSE len(list_distinct(list_transform(generate_series(1, len(toks)-4),
+        |      i -> array_to_string(toks[i:i+4], ' '))))
+        |  END AS BIGINT) AS n_shingles
+        |FROM t""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, 'text/plain' AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
