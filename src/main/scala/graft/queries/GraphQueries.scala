@@ -249,7 +249,36 @@ object GraphQueries {
     }.reduce(_.unionAll(_))
   }
 
+  // ------------------------------------------------------- export flagship
+
+  /** Flagship export pipeline, driver-checked end-to-end: exportAll writes
+    * the full CSV+model-JSON+zip package (neo4j_export.py:1278-1333) to a
+    * temp dir, GraphImporter parses the written model back, and the query
+    * renders the round-tripped node/relationship mapping table — label,
+    * csv file, key property, column count. The mapping is schema-sized and
+    * SF-invariant, so the oracle is a VALUES literal. Any breakage in
+    * CsvPackageWriter, ModelV3, ZipPackager or GraphImporter surfaces here
+    * as a row/hash mismatch. */
+  def modelMappings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_model_mappings").toString
+    val g = TpchGraph.load(s, dir)
+    graft.export.GraphExporter.exportAll(g, out, createZip = true)
+    val re = graft.export.GraphImporter.fromPackage(s, out)
+    val nodeRows = re.schema.labels.map { ls =>
+      ("node", ls.label, s"${ls.label}.csv", ls.identifier,
+        re.nodes(ls.label).columns.length.toLong)
+    }
+    val relRows = re.schema.rels.map { rs =>
+      val df = re.rels(rs.pattern)
+      ("rel", rs.pattern.key, s"${rs.pattern.key}.csv",
+        df.columns.take(2).mkString("->"), df.columns.length.toLong)
+    }
+    (nodeRows ++ relRows).toDF("kind", "name", "csv_file", "key_property", "n_columns")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_model_mappings" -> (modelMappings _),
     "g_nodes_customer" -> (nodesCustomer _),
     "g_nodes_part" -> (nodesPart _),
     "g_rel_customer_placed_order" -> (relCustomerPlacedOrder _),
@@ -269,6 +298,21 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    "g_model_mappings" ->
+      """SELECT * FROM (VALUES
+        |  ('node', 'Region',   'Region.csv',   'r_regionkey', CAST(2 AS BIGINT)),
+        |  ('node', 'Nation',   'Nation.csv',   'n_nationkey', 3),
+        |  ('node', 'Customer', 'Customer.csv', 'c_custkey',   5),
+        |  ('node', 'Supplier', 'Supplier.csv', 's_suppkey',   4),
+        |  ('node', 'Part',     'Part.csv',     'p_partkey',   6),
+        |  ('node', 'Order',    'Order.csv',    'o_orderkey',  6),
+        |  ('rel', 'Nation_IN_REGION_Region',    'Nation_IN_REGION_Region.csv',    'Nation_n_nationkey->Region_r_regionkey',  2),
+        |  ('rel', 'Customer_IN_NATION_Nation',  'Customer_IN_NATION_Nation.csv',  'Customer_c_custkey->Nation_n_nationkey',  2),
+        |  ('rel', 'Supplier_LOCATED_IN_Nation', 'Supplier_LOCATED_IN_Nation.csv', 'Supplier_s_suppkey->Nation_n_nationkey',  2),
+        |  ('rel', 'Customer_PLACED_Order',      'Customer_PLACED_Order.csv',      'Customer_c_custkey->Order_o_orderkey',    2),
+        |  ('rel', 'Order_CONTAINS_Part',        'Order_CONTAINS_Part.csv',        'Order_o_orderkey->Part_p_partkey',        10),
+        |  ('rel', 'Order_SUPPLIED_BY_Supplier', 'Order_SUPPLIED_BY_Supplier.csv', 'Order_o_orderkey->Supplier_s_suppkey',    4)
+        |) AS t(kind, name, csv_file, key_property, n_columns)""".stripMargin,
     "g_nodes_customer" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment, c_name, c_nationkey
         |FROM customer WHERE c_custkey IS NOT NULL""".stripMargin,
