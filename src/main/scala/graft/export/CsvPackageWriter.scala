@@ -57,22 +57,42 @@ object CsvPackageWriter {
 }
 
 /** Zip packaging of an export directory (neo4j_export.py:1246-1276):
-  * all `*.csv` files + `neo4j_importer_model.json`, stored flat. */
+  * all `*.csv` files + `neo4j_importer_model.json`. Single-file exports
+  * zip flat like the reference; distributed exports have `<name>.csv/`
+  * *directories* of part files, whose CSV parts are added under their
+  * relative path so the package stays self-describing. */
 object ZipPackager {
   def zipDirectory(dir: String, zipPath: String): Path = {
     val dirPath = Paths.get(dir)
     val out = Paths.get(zipPath)
     val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(out))
+    // DEFLATED like the reference (neo4j_export.py:1264), at BEST_SPEED:
+    // the packaging step is single-threaded by zip's nature, so the
+    // compression level is the only knob that matters for export latency
+    zos.setLevel(java.util.zip.Deflater.BEST_SPEED)
+
+    def addFile(p: Path, entryName: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(entryName))
+      Files.copy(p, zos)
+      zos.closeEntry()
+    }
+
     try {
-      val files = Files.list(dirPath).sorted().filter { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && (n.endsWith(".csv") || n == "neo4j_importer_model.json")
-      }
-      files.forEach { p =>
-        zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
-        Files.copy(p, zos)
-        zos.closeEntry()
-      }
+      val top = Files.list(dirPath)
+      try {
+        top.sorted().forEach { p =>
+          val n = p.getFileName.toString
+          if (Files.isRegularFile(p) && (n.endsWith(".csv") || n == "neo4j_importer_model.json"))
+            addFile(p, n)
+          else if (Files.isDirectory(p) && n.endsWith(".csv")) {
+            val parts = Files.list(p)
+            try parts.sorted().filter(f => Files.isRegularFile(f)
+              && f.getFileName.toString.endsWith(".csv"))
+              .forEach(f => addFile(f, s"$n/${f.getFileName}"))
+            finally parts.close()
+          }
+        }
+      } finally top.close()
     } finally zos.close()
     out
   }

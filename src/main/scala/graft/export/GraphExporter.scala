@@ -38,22 +38,48 @@ object GraphExporter {
       singleFileCsv: Boolean = true,
       createZip: Boolean = true,
       zipName: Option[String] = None): ExportResult = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     Files.createDirectories(Paths.get(outputDir))
 
-    // --- node CSVs (identifier-first ordering is already the table shape)
-    val nodeExports = graph.schema.labels.map { ls =>
-      val df = graph.nodes(ls.label)
-      CsvPackageWriter.write(df, outputDir, ls.label, singleFileCsv)
-      NodeExport(ls.label, ls.identifier, df.columns.toSeq, sampleRow(df))
-    }
+    // Per-table exports run CONCURRENTLY: each is two Spark actions (the
+    // CSV write + the one-row sample sniff) whose fixed job-launch latency
+    // would otherwise serialize across 2×(labels+patterns) jobs. Spark
+    // schedules concurrent actions from separate threads; output paths are
+    // distinct per table so the writes never contend.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, graph.schema.labels.size + graph.schema.rels.size max 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      // --- node CSVs (identifier-first ordering is already the table shape)
+      val nodeF = Future.traverse(graph.schema.labels) { ls => Future {
+        val df = graph.nodes(ls.label)
+        CsvPackageWriter.write(df, outputDir, ls.label, singleFileCsv)
+        NodeExport(ls.label, ls.identifier, df.columns.toSeq, sampleRow(df))
+      }}
 
-    // --- relationship CSVs
-    val relExports = graph.schema.rels.map { rs: RelSchema =>
-      val df = graph.rels(rs.pattern)
-      CsvPackageWriter.write(df, outputDir, rs.pattern.key, singleFileCsv)
-      RelExport(rs.pattern, rs.srcIdProp, rs.dstIdProp, rs.srcColName, rs.dstColName,
-        rs.properties.map(_.name).sorted, sampleRow(df))
-    }
+      // --- relationship CSVs
+      val relF = Future.traverse(graph.schema.rels) { rs => Future {
+        val df = graph.rels(rs.pattern)
+        CsvPackageWriter.write(df, outputDir, rs.pattern.key, singleFileCsv)
+        RelExport(rs.pattern, rs.srcIdProp, rs.dstIdProp, rs.srcColName, rs.dstColName,
+          rs.properties.map(_.name).sorted, sampleRow(df))
+      }}
+
+      val nodeExports = Await.result(nodeF, Duration.Inf)
+      val relExports = Await.result(relF, Duration.Inf)
+      finish(graph, outputDir, formatVersion, createZip, zipName, nodeExports, relExports)
+    } finally pool.shutdown()
+  }
+
+  private def finish(
+      graph: PropertyGraph,
+      outputDir: String,
+      formatVersion: String,
+      createZip: Boolean,
+      zipName: Option[String],
+      nodeExports: Seq[NodeExport],
+      relExports: Seq[RelExport]): ExportResult = {
 
     // --- importer model
     val model = ImporterModel.generate(formatVersion, nodeExports, relExports,

@@ -36,26 +36,38 @@ final class TableGraphMapper(
   /** Build the full PropertyGraph lazily — every node/edge table is a
     * DataFrame transform; nothing is materialized here. */
   def load(spark: SparkSession, dir: String, checkEndpoints: Boolean = false): PropertyGraph = {
-    val nodeTables: Map[String, (DataFrame, LabelSchema)] = nodeMappings.map { nm =>
-      val raw = readTable(spark, dir, nm.table)
-      val id = nm.idProp.getOrElse(IdentifierDetector.detect(raw, nm.label, catalog))
-      val built = NodeTableBuilder.build(raw, id)
-      val props = built.schema.fields.toSeq.map(f =>
-        PropertyMeta(f.name, graft.schema.TypeInference.fromCatalyst(f.dataType), f.nullable))
-      nm.label -> (built, LabelSchema(nm.label, id, props))
-    }.toMap
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // Table opens (parquet footer reads, and rule-4 identifier scans for
+    // labels without a declared constraint) are independent Spark actions —
+    // run them concurrently instead of paying the job-launch latency
+    // once per label
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, math.max(nodeMappings.size, edgeMappings.size))))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+    val nodeTables: Map[String, (DataFrame, LabelSchema)] =
+      Await.result(Future.traverse(nodeMappings) { nm => Future {
+        val raw = readTable(spark, dir, nm.table)
+        val id = nm.idProp.getOrElse(IdentifierDetector.detect(raw, nm.label, catalog))
+        val built = NodeTableBuilder.build(raw, id)
+        val props = built.schema.fields.toSeq.map(f =>
+          PropertyMeta(f.name, graft.schema.TypeInference.fromCatalyst(f.dataType), f.nullable))
+        nm.label -> (built, LabelSchema(nm.label, id, props))
+      }}, Duration.Inf).toMap
 
-    val rels: Seq[(RelPattern, DataFrame, RelSchema)] = edgeMappings.map { em =>
-      val raw = readTable(spark, dir, em.table)
-      val (srcDf, srcSchema) = nodeTables(em.srcLabel)
-      val (dstDf, dstSchema) = nodeTables(em.dstLabel)
-      val (df, rs) = RelTableBuilder.build(
-        em.pattern, raw, em.srcFk, em.dstFk,
-        srcSchema.identifier, dstSchema.identifier, em.props,
-        if (checkEndpoints) Some(srcDf.select(col(srcSchema.identifier))) else None,
-        if (checkEndpoints) Some(dstDf.select(col(dstSchema.identifier))) else None)
-      (em.pattern, df, rs)
-    }
+    val rels: Seq[(RelPattern, DataFrame, RelSchema)] =
+      Await.result(Future.traverse(edgeMappings) { em => Future {
+        val raw = readTable(spark, dir, em.table)
+        val (srcDf, srcSchema) = nodeTables(em.srcLabel)
+        val (dstDf, dstSchema) = nodeTables(em.dstLabel)
+        val (df, rs) = RelTableBuilder.build(
+          em.pattern, raw, em.srcFk, em.dstFk,
+          srcSchema.identifier, dstSchema.identifier, em.props,
+          if (checkEndpoints) Some(srcDf.select(col(srcSchema.identifier))) else None,
+          if (checkEndpoints) Some(dstDf.select(col(dstSchema.identifier))) else None)
+        (em.pattern, df, rs)
+      }}, Duration.Inf)
 
     PropertyGraph(
       nodes = nodeTables.map { case (l, (df, _)) => l -> df },
@@ -65,6 +77,7 @@ final class TableGraphMapper(
         rels = rels.map(_._3),
         constraints = catalog.constraints,
         indexes = catalog.indexes))
+    } finally pool.shutdown()
   }
 }
 

@@ -106,25 +106,83 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank").cast("long").as("rank"))
   }
 
-  /** IVF-style approximate top-k: a KMeans coarse quantizer partitions the
-    * corpus into `nCells` cells; each query exactly reranks only the
-    * `nProbe` nearest cells. The scale shape of FAISS-IVF on Spark: the
-    * corpus is assigned once (and can be persisted partitioned by cell),
-    * per-query work is nProbe/nCells of the corpus, and the cell
-    * assignment join is a plain equi-join on cell id.
+  /** IVF coarse-quantizer model: `nCells` centroids. At corpus scale this
+    * is trained ONCE, offline, on a bounded sample, and the centroids are
+    * persisted — queries only do column math against centroid literals
+    * (FAISS trains its IVF quantizers on in-memory samples the same way).
+    * Keep nCells modest (≤ a few hundred): cell assignment is O(nCells·dim)
+    * codegen'd expressions per row; a 65k-cell index needs a join-based
+    * assignment instead. */
+  final case class IvfModel(centroids: Array[Array[Double]])
+
+  /** Train the coarse quantizer on ≤ `sampleRows` vectors collected to the
+    * driver (bounded by contract: 100k × 64 dims ≈ 50 MB), with k-means++
+    * seeding and `iters` Lloyd iterations — deterministic for a given seed
+    * and sample. The full corpus is never scanned for training; cells only
+    * need to partition space, not converge tightly. */
+  def trainIvf(
+      corpus: DataFrame, vecCol: String, nCells: Int,
+      seed: Long = 42L, sampleRows: Int = 100000, iters: Int = 10): IvfModel = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>"))
+      .limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF quantizer on an empty corpus")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val k = math.min(nCells, sample.length)
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ init
+    val centers = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+    while (centers.length < k) {
+      val dists = sample.map(v => centers.map(c => d2(v, c)).min)
+      val total = dists.sum
+      if (total == 0.0) centers += sample(rnd.nextInt(sample.length))
+      else {
+        var r = rnd.nextDouble() * total; var i = 0
+        while (i < sample.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centers += sample(i)
+      }
+    }
+    // Lloyd iterations over the sample
+    var cs = centers.map(_.clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) { val d = d2(v, cs(c)); if (d < bestD) { bestD = d; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cs = cs.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    IvfModel(cs)
+  }
+
+  /** IVF-style approximate top-k: the coarse quantizer's cells partition
+    * the corpus; each query exactly reranks only the `nProbe` nearest
+    * cells. The scale shape of FAISS-IVF on Spark: the corpus is assigned
+    * once (and can be persisted partitioned by cell), per-query work is
+    * nProbe/nCells of the corpus, and the cell assignment join is a plain
+    * equi-join on cell id.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // 10 iterations is ample for a coarse quantizer — cells only need to
-    // partition space, not converge tightly
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+      k: Int, model: IvfModel, nProbe: Int): DataFrame = {
+    val centroids = model.centroids
 
     // nearest cell(s) as column math against centroid literals — the
     // assignment never leaves codegen'd expressions
@@ -135,10 +193,14 @@ object Similarity {
     }: _*)
     def nearestCells(vec: Column, n: Int): Column =
       slice(transform(array_sort(cellDistances(vec)), s => s.getField("cell")), 1, n)
+    // corpus side needs only the argmin cell: array_min over the struct
+    // array (d2 is the leading field) generates a fraction of the code a
+    // full sort does — the corpus scan is the big side, keep it lean
+    def nearestCell(vec: Column): Column = array_min(cellDistances(vec)).getField("cell")
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       l2Norm(col(vecCol)).as("c_norm"),
-      element_at(nearestCells(col(vecCol), 1), 1).as("cell"))
+      nearestCell(col(vecCol)).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"),
       explode(nearestCells(col(vecCol), nProbe)).as("cell"))
@@ -153,6 +215,15 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank").cast("long").as("rank"))
   }
+
+  /** Convenience overload that trains the quantizer from a corpus sample
+    * in-line — for exploration and tests. Production pipelines call
+    * [[trainIvf]] once and reuse the model across queries. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopK(corpus, queries, idCol, vecCol, k,
+      trainIvf(corpus, vecCol, nCells, seed), nProbe)
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates with
     * exact cosine verification above `threshold` (SURVEY §2.6 #30). */

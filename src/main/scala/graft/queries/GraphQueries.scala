@@ -263,7 +263,9 @@ object GraphQueries {
     import s.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_model_mappings").toString
     val g = TpchGraph.load(s, dir)
-    graft.export.GraphExporter.exportAll(g, out, createZip = true)
+    // distributed (multi-part) CSV write — the only mode that holds at
+    // scale; the single-file rename path keeps its own spec coverage
+    graft.export.GraphExporter.exportAll(g, out, singleFileCsv = false, createZip = true)
     val re = graft.export.GraphImporter.fromPackage(s, out)
     val nodeRows = re.schema.labels.map { ls =>
       ("node", ls.label, s"${ls.label}.csv", ls.identifier,

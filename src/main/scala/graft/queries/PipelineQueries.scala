@@ -15,6 +15,11 @@ object PipelineQueries {
 
   private val Dim = 64 // embedding dimensionality of the test corpus
 
+  /** Trained IVF quantizers keyed by corpus dir — stands in for the
+    * persisted-centroids store a production deployment reads. */
+  private val ivfModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfModel]
+
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -77,8 +82,13 @@ object PipelineQueries {
     "ss_lsh_topk" -> (lshTopK _),
     "ss_ivf_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
+      // quantizer trained once per corpus dir on a bounded sample and
+      // cached — the offline-training shape (trainIvf doc); 4096 samples
+      // is ~256 points/cell for 16 cells, ample for a coarse partitioner
+      val model = ivfModels.getOrElseUpdate(dir,
+        Similarity.trainIvf(e, "embedding", nCells = 16, seed = 42L, sampleRows = 4096))
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nCells = 16, nProbe = 4)
+        k = 5, model, nProbe = 4)
     }),
     "dd_embed_cosine" -> (embedCosinePairs _),
     "tx_langid" -> (langId _),
