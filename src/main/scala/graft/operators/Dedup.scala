@@ -83,10 +83,18 @@ object Dedup {
   /** Near-duplicate candidate pairs via MinHash-LSH, with exact Jaccard
     * verification over the shingle sets.
     *
-    * Pipeline: shingle → minhash → explode band keys → self-join per
-    * bucket (skew-guarded by capping bucket size) → Jaccard verify.
-    * Only (id, signature/shingle) columns move through the shuffles.
-    */
+    * Pipeline: shingle → minhash → explode band keys → SIGNATURE-ONLY
+    * self-join per bucket (skew-guarded by capping bucket size) →
+    * signature Jaccard-estimate prune → join back to the documents by id
+    * for the exact shingle-set verify.
+    *
+    * The banded shuffle carries (id, 64-slot signature) — never the
+    * shingle sets, which are corpus-sized: at web scale the shingle arrays
+    * are the documents. The estimator (fraction of agreeing minhash slots,
+    * the textbook unbiased Jaccard estimate) prunes candidates at
+    * threshold − 3σ (σ = √(J(1−J)/numHashes)), so the exact verify — two
+    * id-equi-joins against the corpus — touches only plausible pairs and
+    * essentially never drops a true positive. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -94,21 +102,32 @@ object Dedup {
     val rows = numHashes / bands
     val base = df.select(
       col(idCol).as("doc_id"),
-      shingleHashes(col(textCol), shingleSize).as("shingles"))
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      minHashSignature(shingleHashes(col(textCol), shingleSize), numHashes).as("sig"))
     val banded = base
-      .select(col("doc_id"), col("shingles"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("doc_id"), col("shingles"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("doc_id"), col("sig"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // skew guard: drop pathological buckets (boilerplate explosion)
     val sized = banded.withColumn("bucket_n",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .where(col("bucket_n") <= maxBucketSize)
-    val l = sized.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val r = sized.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    val pairs = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val l = sized.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = sized.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val sigma = math.sqrt(jaccardThreshold * (1 - jaccardThreshold) / numHashes)
+    val pruneAt = math.max(0.0, jaccardThreshold - 3 * sigma)
+    val candidates = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .where(col("jaccard_est") >= pruneAt)
+      .select(col("id_a"), col("id_b"))
+    // exact verify on the surviving pairs only: fetch shingles by id
+    val shingled = df.select(col(idCol).as("__sid"),
+      shingleHashes(col(textCol), shingleSize).as("__sh"))
+    candidates
+      .join(shingled.select(col("__sid").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("__sid").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))

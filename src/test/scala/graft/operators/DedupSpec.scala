@@ -40,6 +40,25 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash LSH band join shuffles signatures only, never shingle sets") {
+    val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val plan = Dedup.minHashLshPairs(df, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    // every shuffle below the band-bucket join must be shingle-free: the
+    // shingle arrays only reappear in the final per-id verify join
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    val bandJoin = joins.find(_.condition.exists(_.references.exists(a =>
+      a.name == "band" || a.name == "bucket")))
+    assert(bandJoin.nonEmpty, "band-bucket self-join not found in plan")
+    val bandJoinCols = bandJoin.get.children.flatMap(_.output).map(_.name)
+    val shingleCols = Set("shingles", "sh_a", "sh_b", "__sh")
+    assert(!bandJoinCols.exists(shingleCols),
+      s"shingles must not ride the band join, got: $bandJoinCols")
+    assert(bandJoinCols.count(_.startsWith("sig")) >= 2,
+      s"band join should carry signatures, got: $bandJoinCols")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, pairs found") {
     val nearDup = base.replace("quick", "swift")
     val df = Seq((1L, base), (2L, nearDup), (3L, base)).toDF("doc_id", "text")
