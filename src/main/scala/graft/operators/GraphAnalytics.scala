@@ -90,6 +90,24 @@ object GraphAnalytics {
       .select(col("label"), col("node_id"), col("triangles").cast("long").as("triangles"))
   }
 
+  /** Co-occurrence projection: items sharing a group become an undirected
+    * edge (the market-basket / co-citation graph). Groups larger than
+    * `maxGroupSize` are dropped BEFORE the self-join — a group of k items
+    * emits k² pairs, so one boilerplate mega-group would otherwise
+    * dominate the whole job (same skew argument as LSH bucket caps).
+    * Output: canonical (item_a < item_b) distinct pairs. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("n") <= maxGroupSize)
+    val l = base.select(col("g"), col("item").as("item_a"))
+    val r = base.select(col("g"), col("item").as("item_b"))
+    l.join(r, Seq("g")).where(col("item_a") < col("item_b"))
+      .select(col("item_a"), col("item_b")).distinct()
+  }
+
   /** Degree distribution of the unified graph: how many vertices have each
     * (in+out) degree — the classic first look at any 100 TB graph. */
   def degreeDistribution(g: PropertyGraph): DataFrame = {
@@ -130,37 +148,83 @@ object DataFramePregel {
     current
   }
 
-  /** Connected components by iterative min-id propagation — each round a
-    * vertex adopts the smallest component id among itself and its
-    * neighbors. Undirected: edges used in both directions.
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) rounds where plain min-id
+    * propagation needs O(diameter), the difference between 7 and 10,000
+    * rounds on a chain-shaped web graph.
     *
-    * Convergence probe: component ids only ever decrease, so the sum of
-    * components strictly decreases until fixpoint — a one-row aggregate
-    * per round instead of a full exceptAll diff (which would shuffle the
-    * entire vertex set twice per iteration).
-    */
+    * Each round is two shuffle stages over the (shrinking) edge list:
+    *   large-star: every node's strictly-larger neighbors re-attach to
+    *     the minimum of its neighborhood (incl. itself);
+    *   small-star: every node's smaller neighbors (and the node) attach
+    *     to the minimum neighbor.
+    * At fixpoint the edge list IS the component star (child → root-min).
+    *
+    * `checkpointDir` switches lineage truncation from executor-memory
+    * `localCheckpoint` to reliable on-disk checkpointing — at very large
+    * scale (or on preemptible executors) localCheckpoint blocks are lost
+    * with the executor and the job restarts from zero; reliable
+    * checkpoints survive. Convergence probe is an order-insensitive
+    * one-row checksum of the edge list, not a full diff. */
   def connectedComponents(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 30): DataFrame = {
-    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter, checkpointDir)._1
+
+  private[operators] def connectedComponentsWithRounds(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 30, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    // every vertex that appears anywhere — singletons and roots must show
+    // up in the final assignment even though stars drop them from edges
+    val allV = edges.select(col(srcCol).as("vid"))
+      .unionAll(edges.select(col(dstCol).as("vid"))).distinct()
       .localCheckpoint(true)
-    var vs = und.select(col("a").as("vid")).distinct()
-      .withColumn("component", col("vid"))
-      .localCheckpoint(true)
-    var prevSum = BigDecimal(-1)
-    var i = 0
-    var converged = false
-    while (i < maxIter && !converged) {
-      val msgs = und.join(vs, und("a") === vs("vid"))
-        .select(col("b").as("vid"), col("component"))
-      val next = vs.unionAll(msgs)
-        .groupBy("vid").agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-      val sumNow = BigDecimal(s)
-      if (sumNow == prevSum) converged = true else { prevSum = sumNow; vs = next }
-      i += 1
+
+    // canonical (u > v) self-loop-free edge list
+    var e = ckpt(edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct())
+
+    def checksum(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
     }
-    vs
+
+    var prev = checksum(e)
+    var rounds = 0
+    var converged = prev._1 == 0
+    while (rounds < maxIter && !converged) {
+      // ---- large-star: (v, min(N(u) ∪ {u})) for every neighbor v > u
+      val und = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins1 = und.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = und.join(mins1, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // ---- small-star: all smaller neighbors (and u) attach to the min
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(mins2, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+      e = ckpt(small)
+      val now = checksum(e)
+      if (now == prev) converged = true else prev = now
+      rounds += 1
+    }
+
+    // at fixpoint e is (child, root); roots/singletons map to themselves
+    val assigned = allV
+      .join(e.select(col("u").as("vid"), col("v").as("component")), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("component"), col("vid")).as("component"))
+    (assigned, rounds)
   }
 }

@@ -18,8 +18,23 @@ object AnalyticsQueries {
   def connectedComponents(s: SparkSession, dir: String): DataFrame =
     GraphAnalytics.connectedComponents(TpchGraph.load(s, dir))
 
-  def triangles(s: SparkSession, dir: String): DataFrame =
-    GraphAnalytics.triangleCounts(TpchGraph.load(s, dir))
+  /** Triangle counts over the part co-occurrence graph (parts sharing an
+    * order). The raw TPC-H-mapped graph is multipartite by label — it has
+    * no 3-cycles at all, so counting triangles on it can never catch a
+    * regression; the co-occurrence projection is also the graph a basket/
+    * recommendation analysis actually runs on. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{GraphSchema, PropertyGraph, RelPattern}
+    val li = graft.Tables(s, dir, "lineitem")
+    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .toDF("Part_p_partkey_source", "Part_p_partkey_target")
+    val parts = graft.Tables(s, dir, "part").select(col("p_partkey"))
+    val g = PropertyGraph(
+      nodes = Map("Part" -> parts),
+      rels = Map(RelPattern("Part", "CO_OCCURS", "Part") -> edges),
+      schema = GraphSchema(Nil, Nil))
+    GraphAnalytics.triangleCounts(g)
+  }
 
   /** DataFrame-Pregel connected components over the unified edge list —
     * the RDD-free scale path; must agree with GraphX (checked in spec). */

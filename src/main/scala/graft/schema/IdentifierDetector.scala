@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.StringType
   *   3. property ending in `id` (case-insensitive), exact-`id`-first then
   *      shortest name;
   *   4. property whose non-null values are all unique;
-  *   5. first property (sorted) as fallback.
+  *   5. first property as fallback.
+  *
+  * Rules 2/4/5 iterate in ORIGINAL property order like the reference;
+  * only rule 3 sorts (by exact-'id', then name length — its own rule).
   *
   * Rules 1–3 are pure metadata (zero data reads). Rule 4 — which the
   * reference implements as a Python set() over fully-collected rows
@@ -34,7 +37,11 @@ object IdentifierDetector {
   }
 
   def detect(df: DataFrame, label: String, catalog: GraphCatalog = GraphCatalog.empty): String = {
-    val properties = df.columns.sorted.toSeq
+    // ORIGINAL column order, matching the reference: rules 2/4/5 take the
+    // first hit in property order (neo4j_export.py:148,163,171), so a
+    // sorted iteration would pick a different identifier whenever a
+    // non-alphabetically-first property qualifies first
+    val properties = df.columns.toSeq
 
     // Rule 1: unique constraint (neo4j_export.py:142-146)
     catalog.uniqueConstraintProps(label).find(properties.contains) match {
@@ -82,7 +89,7 @@ object IdentifierDetector {
       case (c, i) if row.getLong(2 * i) > 0 &&
         row.getLong(2 * i + 1) >= (row.getLong(2 * i) * 0.8).toLong => c
     }
-    // exact confirmation, first-in-sorted-order wins (matches ref iteration)
+    // exact confirmation, first in property order wins (matches ref iteration)
     candidates.find { c =>
       val s = sanitized(df, c)
       val r = df.agg(count(s).as("n"), count_distinct(s).as("d")).head()

@@ -37,6 +37,22 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(df == gx)
   }
 
+  test("connected components: O(log n) rounds on a chain, reliable checkpoint agrees") {
+    // a 256-vertex chain has diameter 255: plain min-id propagation needs
+    // ~255 rounds; large-star/small-star must finish in O(log n)
+    val n = 256L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val (df, rounds) = DataFramePregel.connectedComponentsWithRounds(chain, "src", "dst", maxIter = 30)
+    val comps = df.as[(Long, Long)].collect()
+    assert(comps.length == n && comps.forall(_._2 == 1L))
+    assert(rounds <= 12, s"expected O(log n) rounds on a 256-chain, got $rounds")
+
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val reliable = DataFramePregel.connectedComponents(chain, "src", "dst",
+      checkpointDir = Some(ckptDir)).as[(Long, Long)].collect().toSet
+    assert(reliable == comps.toSet)
+  }
+
   test("triangle counts: one triangle, hand-computed") {
     // single-label triangle 1-2-3 plus pendant 4
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("nid")
@@ -46,6 +62,24 @@ class GraphAnalyticsSpec extends SparkTestBase {
     val got = GraphAnalytics.triangleCounts(g)
       .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("co-occurrence projection: pairs within groups, skew cap, triangles") {
+    // order 10 carries parts {1,2,3} → a triangle; order 11 only {3,4}
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 3L), (11L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect().toSet
+    assert(edges == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    // a group above the cap is dropped before the pair explosion
+    val big = (1L to 11L).map(i => (99L, i)).toDF("l_orderkey", "l_partkey")
+    assert(GraphAnalytics.coOccurrenceEdges(big, "l_orderkey", "l_partkey").count() == 0)
+  }
+
+  test("g_triangles on the co-occurrence projection finds real triangles") {
+    val got = graft.queries.AnalyticsQueries.triangles(spark, "/root/testdata/sf0.001")
+    val nonZero = got.where($"triangles" > 0).count()
+    assert(nonZero > 0, "part co-occurrence graph at sf0.001 must contain triangles")
   }
 
   test("pagerank: star graph center ranks highest, mass ≈ N") {

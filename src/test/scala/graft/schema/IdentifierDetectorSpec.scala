@@ -23,18 +23,21 @@ class IdentifierDetectorSpec extends SparkTestBase {
     assert(IdentifierDetector.detect(df, "L") == "xid")
   }
 
-  test("rule 4: all-unique-valued column (sorted order, sentinel-aware)") {
-    // 'dup' repeats; 'uniq' is unique but contains the "NULL" sentinel in
+  test("rule 4: all-unique-valued column (original order, sentinel-aware)") {
+    // 'aaa' repeats; 'uniq' is unique but contains the "NULL" sentinel in
     // one row — the reference drops sentinels before the uniqueness test,
-    // so uniq still qualifies; 'aaa' sorts first but repeats.
+    // so uniq still qualifies and, coming before 'partial' in ORIGINAL
+    // property order (neo4j_export.py:163), wins even though 'partial'
+    // sorts before it alphabetically.
     val df = Seq(("x", "u1", "x"), ("x", "u2", "y"), ("x", "NULL", "z"))
       .toDF("aaa", "uniq", "partial")
-    // partial is also unique; sorted order is aaa, partial, uniq → partial wins
-    assert(IdentifierDetector.detect(df, "L") == "partial")
+    assert(IdentifierDetector.detect(df, "L") == "uniq")
   }
 
-  test("rule 5: fallback to first sorted property") {
+  test("rule 5: fallback to first property in original order") {
+    // 'aaa' sorts first but 'bbb' is the first property — the reference
+    // falls back to properties[0] (neo4j_export.py:171)
     val df = Seq(("x", "p"), ("x", "p")).toDF("bbb", "aaa")
-    assert(IdentifierDetector.detect(df, "L") == "aaa")
+    assert(IdentifierDetector.detect(df, "L") == "bbb")
   }
 }
