@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object CsvPackageWriter {
 
+  /** RFC-4180 dialect shared by writer and readers: quotes inside quoted
+    * values are escaped by DOUBLING the quote (escape = quote char), which
+    * is what Python's csv module — the reference's writer AND the Data
+    * Importer's parser — produces and expects. Spark's default escape of
+    * backslash would serialize `say "hi"` as `"say \"hi\""`, which those
+    * consumers misparse. */
+  val CsvOptions: Map[String, String] = Map("header" -> "true", "escape" -> "\"")
+
   /** Render every column as string with NULL sentinel — the reference's
     * `restval='NULL'`. Public so the model generators sniff samples from
     * the SAME rendering the CSV contains (Row.get.toString differs, e.g.
@@ -33,7 +41,7 @@ object CsvPackageWriter {
     val out = stringified(df)
     if (singleFile) {
       val tmp = Paths.get(outputDir, s".__${name}_tmp")
-      out.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp.toString)
+      out.coalesce(1).write.mode("overwrite").options(CsvOptions).csv(tmp.toString)
       val listing = Files.list(tmp)
       val part = try {
         listing.filter(p => p.getFileName.toString.startsWith("part-")
@@ -50,7 +58,7 @@ object CsvPackageWriter {
       target
     } else {
       val target = Paths.get(outputDir, s"$name.csv")
-      out.write.mode("overwrite").option("header", "true").csv(target.toString)
+      out.write.mode("overwrite").options(CsvOptions).csv(target.toString)
       target
     }
   }

@@ -54,7 +54,7 @@ object GraphImporter {
       val csv = tableSchemas(s"$label.csv")
       val fields = (csv / "fields").items.map(f =>
         ((f / "name").str, (f / "recommendedType" / "type").str))
-      val raw = spark.read.option("header", "true").csv(s"$dir/$label.csv")
+      val raw = spark.read.options(CsvPackageWriter.CsvOptions).csv(s"$dir/$label.csv")
       val typed = raw.select(fields.map { case (n, tok) =>
         when(col(n) === "NULL", lit(null)).otherwise(col(n)).cast(sparkType(tok)).as(n)
       }: _*)
@@ -81,7 +81,7 @@ object GraphImporter {
           ((f / "name").str, (f / "recommendedType" / "type").str))
         require(fields.size >= 2,
           s"relationship table ${pattern.key}.csv needs source+target columns, got ${fields.map(_._1)}")
-        val raw = spark.read.option("header", "true").csv(s"$dir/${pattern.key}.csv")
+        val raw = spark.read.options(CsvPackageWriter.CsvOptions).csv(s"$dir/${pattern.key}.csv")
         val typed = raw.select(fields.map { case (n, tok) =>
           when(col(n) === "NULL", lit(null)).otherwise(col(n)).cast(sparkType(tok)).as(n)
         }: _*)

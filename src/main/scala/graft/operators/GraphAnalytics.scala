@@ -3,7 +3,7 @@ package graft.operators
 import graft.model.PropertyGraph
 import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics (SURVEY §2.4) — the "GraphX/Pregel for analytics"
@@ -33,12 +33,23 @@ object GraphAnalytics {
           case _ => false
         }
         require(ok,
-          s"graph analytics need integral node ids; ${pattern.key}.$c is ${df.schema(c).dataType} " +
-            "(hash string ids to long before calling, e.g. xxhash64)")
+          s"graph analytics need integral node ids in [0, 2^$LabelShift); ${pattern.key}.$c is " +
+            s"${df.schema(c).dataType} (map string ids into range first, e.g. " +
+            s"pmod(xxhash64(id), 2^$LabelShift) — raw xxhash64 is full-range/negative " +
+            "and would corrupt the label encoding)")
+      }
+      // per-row range guard: a key outside [0, 2^44) would silently
+      // collide into another label's id space and decode garbage — fail
+      // loudly instead. raise_error stays inside codegen; no extra job.
+      def encoded(c: String, label: String): Column = {
+        val k = col(c).cast("long")
+        when(k < 0 || k >= lit(1L << LabelShift),
+          raise_error(concat(lit(s"node id out of [0, 2^$LabelShift) for label $label: "), k.cast("string"))))
+          .otherwise(k + lit(index(label).toLong << LabelShift))
       }
       df.select(
-        (col(srcCol).cast("long") + lit(index(pattern.srcLabel).toLong << LabelShift)).as("src"),
-        (col(dstCol).cast("long") + lit(index(pattern.dstLabel).toLong << LabelShift)).as("dst"))
+        encoded(srcCol, pattern.srcLabel).as("src"),
+        encoded(dstCol, pattern.dstLabel).as("dst"))
     }
     (parts.reduce(_.unionAll(_)), labels)
   }

@@ -44,18 +44,36 @@ final case class IntervalJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    // interval side is dim-sized by contract: collect, sort, broadcast
+    // interval side is dim-sized by contract: collect, sort, broadcast.
+    // NULL bounds never satisfy the inner-join BETWEEN predicate, so those
+    // rows are dropped here instead of crashing asLong — an ordinary dim
+    // table with one nullable bound row must not kill the query.
     val startBound = BindReferences.bindReference(rightStart, right.output)
     val endBound = BindReferences.bindReference(rightEnd, right.output)
-    val intervals = right.executeCollect().map { r =>
-      (asLong(startBound.eval(r)), asLong(endBound.eval(r)), r.copy())
+    val intervals = right.executeCollect().flatMap { r =>
+      val s = startBound.eval(r)
+      val e = endBound.eval(r)
+      if (s == null || e == null) None
+      else Some((asLong(s), asLong(e), r.copy()))
     }.sortBy(_._1)
-    val bc = sparkContext.broadcast(intervals)
+    // prefix running max of interval ends: walking candidates downward
+    // from the binary-search bound can stop as soon as the running max end
+    // drops below t — per-row work is O(log m + answers + overlap depth),
+    // not O(all starts ≤ t)
+    val prefixMaxEnd = new Array[Long](intervals.length)
+    var runningMax = Long.MinValue
+    var pi = 0
+    while (pi < intervals.length) {
+      if (intervals(pi)._2 > runningMax) runningMax = intervals(pi)._2
+      prefixMaxEnd(pi) = runningMax
+      pi += 1
+    }
+    val bc = sparkContext.broadcast((intervals, prefixMaxEnd))
     val timeBound = BindReferences.bindReference(leftTime, left.output)
     val outAttrs = output
 
     left.execute().mapPartitions { it =>
-      val ivs = bc.value
+      val (ivs, pme) = bc.value
       val starts = ivs.map(_._1)
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -68,9 +86,19 @@ final case class IntervalJoinExec(
           var hi = java.util.Arrays.binarySearch(starts, t)
           if (hi < 0) hi = -hi - 1 else { while (hi < starts.length && starts(hi) == t) hi += 1 }
           val lcopy = lrow.copy()
-          (0 until hi).iterator
-            .filter(i => ivs(i)._2 >= t)
-            .map(i => proj(joiner(lcopy, ivs(i)._3)).copy())
+          new Iterator[InternalRow] {
+            private var i = hi - 1
+            private def seek(): Unit = {
+              while (i >= 0 && pme(i) >= t && ivs(i)._2 < t) i -= 1
+              if (i >= 0 && pme(i) < t) i = -1 // no earlier interval can reach t
+            }
+            seek()
+            def hasNext: Boolean = i >= 0
+            def next(): InternalRow = {
+              val out = proj(joiner(lcopy, ivs(i)._3)).copy()
+              i -= 1; seek(); out
+            }
+          }
         }
       }
     }

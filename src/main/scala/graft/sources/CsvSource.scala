@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object CsvSource {
 
   def readTyped(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("header", "true").csv(path)
+    val raw = spark.read.options(graft.export.CsvPackageWriter.CsvOptions).csv(path)
     val sample = raw.take(1).headOption
     val cols = raw.columns.zipWithIndex.map { case (c, i) =>
       val sampleValue = sample.map(r => Option(r.getString(i)).getOrElse("")).getOrElse("")

@@ -101,14 +101,17 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(idCol)
 
   /** Incremental graph ingest (SURVEY §2.11 #45): stream edge rows into a
-    * PropertyGraph edge directory with exactly-once file-sink semantics
-    * per micro-batch via foreachBatch. */
+    * PropertyGraph edge directory via the built-in parquet file sink,
+    * which IS exactly-once — its _spark_metadata commit log records the
+    * files of each committed batch, and a retried batch replaces rather
+    * than re-appends. (A foreachBatch with a plain mode("append") write
+    * would be at-least-once: a batch retried after a mid-write failure
+    * appends its rows twice.) */
   def ingestEdges(edges: DataFrame, targetDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
+      .format("parquet")
+      .option("path", targetDir)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(targetDir)
-      }
       .start()
 }

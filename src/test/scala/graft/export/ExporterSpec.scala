@@ -88,6 +88,21 @@ class ExporterSpec extends SparkTestBase {
     assert(s0 == s1)
   }
 
+  test("CSV quotes escape RFC-4180 style (doubled quote) and round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-quote").toString
+    val df = Seq((1L, """say "hi" now"""), (2L, "plain")).toDF("id", "note")
+    CsvPackageWriter.write(df, dir, "Quoted", singleFile = true)
+    val lines = Files.readAllLines(Paths.get(dir, "Quoted.csv"))
+    // python csv / Data Importer dialect: "say ""hi"" now", never \"
+    assert(lines.contains("""1,"say ""hi"" now""""), s"got: $lines")
+    assert(!lines.toString.contains("\\\""))
+    val back = spark.read.options(CsvPackageWriter.CsvOptions)
+      .csv(s"$dir/Quoted.csv").orderBy("id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq == Seq(("1", """say "hi" now"""), ("2", "plain")))
+  }
+
   test("v0.1 model: legacy layout with deterministic identifiers") {
     val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-export01").toString
