@@ -218,8 +218,12 @@ object DataFramePregel {
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins1 = und.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no distinct here: duplicates ((v,m) emitted from several u) do not
+      // change small-star's groupBy-min, and small's own distinct removes
+      // them from the round output — skipping it saves a full edge-list
+      // shuffle per round
       val large = und.join(mins1, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
+        .select(col("v").as("u"), col("m").as("v"))
       // ---- small-star: all smaller neighbors (and u) attach to the min
       val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
       val small = large.join(mins2, "u").where(col("v") =!= col("m"))
