@@ -279,7 +279,19 @@ object GraphQueries {
     (nodeRows ++ relRows).toDF("kind", "name", "csv_file", "key_property", "n_columns")
   }
 
+  /** Path-pattern matching compiled to joins: every Customer→Order→Part
+    * path, aggregated per part (SURVEY §2.4; PatternMatch scaladoc). */
+  def patternMatch(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    graft.operators.PatternMatch
+      .find(g, "Customer-[PLACED]->Order-[CONTAINS]->Part")
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_paths"),
+        count_distinct(col("customer_id")).as("n_customers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_pattern_match" -> (patternMatch _),
     "g_model_mappings" -> (modelMappings _),
     "g_nodes_customer" -> (nodesCustomer _),
     "g_nodes_part" -> (nodesPart _),
@@ -300,6 +312,14 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    "g_pattern_match" ->
+      """SELECT l_partkey AS part_id, COUNT(*) AS n_paths,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_partkey IS NOT NULL
+        |GROUP BY l_partkey""".stripMargin,
     "g_model_mappings" ->
       """SELECT * FROM (VALUES
         |  ('node', 'Region',   'Region.csv',   'r_regionkey', CAST(2 AS BIGINT)),

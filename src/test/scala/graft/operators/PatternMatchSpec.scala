@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.model._
+
+class PatternMatchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** A->B->C path graph: a1->b1->c1, a1->b2->c1, a2->b1->c1; b3 dangling. */
+  private def pathGraph(): PropertyGraph = {
+    val aNodes = Seq(1L, 2L).toDF("aid")
+    val bNodes = Seq(10L, 20L, 30L).toDF("bid")
+    val cNodes = Seq(100L).toDF("cid")
+    val ab = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("A_aid", "B_bid")
+    val bc = Seq((10L, 100L), (20L, 100L)).toDF("B_bid", "C_cid")
+    PropertyGraph(
+      nodes = Map("A" -> aNodes, "B" -> bNodes, "C" -> cNodes),
+      rels = Map(
+        RelPattern("A", "R", "B") -> ab,
+        RelPattern("B", "S", "C") -> bc),
+      schema = GraphSchema(
+        labels = Seq(
+          LabelSchema("A", "aid", Seq(PropertyMeta("aid", "integer", nullable = false))),
+          LabelSchema("B", "bid", Seq(PropertyMeta("bid", "integer", nullable = false))),
+          LabelSchema("C", "cid", Seq(PropertyMeta("cid", "integer", nullable = false)))),
+        rels = Seq(
+          RelSchema(RelPattern("A", "R", "B"), "aid", "bid", Nil),
+          RelSchema(RelPattern("B", "S", "C"), "bid", "cid", Nil))))
+  }
+
+  test("parse: labels and hops, rejects malformed patterns") {
+    val p = PatternMatch.parse("Customer-[PLACED]->Order-[CONTAINS]->Part")
+    assert(p.startLabel == "Customer")
+    assert(p.hops == Seq(PatternMatch.Hop("PLACED", "Order"), PatternMatch.Hop("CONTAINS", "Part")))
+    assert(p.bindingNames == Seq("customer_id", "order_id", "part_id"))
+    intercept[IllegalArgumentException](PatternMatch.parse("-[X]->B"))
+    intercept[IllegalArgumentException](PatternMatch.parse("A-[X]-B"))
+    intercept[IllegalArgumentException](PatternMatch.parse("A"))
+  }
+
+  test("binding names disambiguate repeated labels positionally") {
+    val p = PatternMatch.PathPattern("N",
+      Seq(PatternMatch.Hop("KNOWS", "N"), PatternMatch.Hop("KNOWS", "N")))
+    assert(p.bindingNames == Seq("n_id_1", "n_id_2", "n_id_3"))
+  }
+
+  test("two-hop path enumeration, hand-computed") {
+    val got = PatternMatch.find(pathGraph(), "A-[R]->B-[S]->C")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 100L), (1L, 20L, 100L), (2L, 10L, 100L)))
+  }
+
+  test("single hop keeps dangling targets out when the edge table lacks them") {
+    val got = PatternMatch.find(pathGraph(), "A-[R]->B")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 20L), (2L, 10L))) // b3=30 never bound
+  }
+
+  test("unknown label or relationship fails fast with the available names") {
+    val e1 = intercept[IllegalArgumentException](PatternMatch.find(pathGraph(), "Z-[R]->B"))
+    assert(e1.getMessage.contains("unknown start label"))
+    val e2 = intercept[IllegalArgumentException](PatternMatch.find(pathGraph(), "A-[NOPE]->B"))
+    assert(e2.getMessage.contains("A_NOPE_B"))
+  }
+}
