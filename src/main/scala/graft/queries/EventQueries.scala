@@ -98,7 +98,26 @@ object EventQueries {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 
+  /** Batch twin of EventStreams.attributeConversions (stream-stream
+    * interval join): per purchase, how many of the same user's views fell
+    * in the preceding hour, and the latest such view. Inner join —
+    * purchases with no prior view don't appear, same as the stream. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_us").as("view_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("purchase_us"))
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_us") <= col("purchase_us") &&
+        col("view_us") >= col("purchase_us") - lit(3600000000L))
+      .groupBy(col("user_id"), col("purchase_id"), col("purchase_us"))
+      .agg(count(lit(1)).as("n_views"), max(col("view_us")).as("last_view_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution" -> (attribution _),
     "ev_interval_windows" -> (intervalWindows _),
     "ev_asof_last_purchase" -> (asofLastPurchase _),
     "ev_windowed_agg" -> (windowedAgg _),
@@ -109,6 +128,14 @@ object EventQueries {
     .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ev_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT p.user_id, p.event_id AS purchase_id, p.ts_us AS purchase_us,
+        |  COUNT(*) AS n_views, MAX(v.ts_us) AS last_view_us
+        |FROM e p JOIN e v ON p.user_id = v.user_id
+        |  AND v.ts_us <= p.ts_us AND v.ts_us >= p.ts_us - 3600000000
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |GROUP BY p.user_id, p.event_id, p.ts_us""".stripMargin,
     "ev_interval_windows" ->
       s"""WITH w(window_id, start_us, end_us) AS (VALUES $windowValues)
          |SELECT CAST(w.window_id AS BIGINT) AS window_id, COUNT(*) AS n_events,

@@ -90,6 +90,31 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream attribution join: each purchase joins the same user's
+    * view events from the preceding `attribution` interval. BOTH sides
+    * carry watermarks and the join condition bounds view_time to a window
+    * around purchase_time, so the state store evicts rows once the
+    * watermark passes — the only shape under which an unbounded×unbounded
+    * join has bounded state. Append-mode output: a match emits once both
+    * sides have it. */
+  def attributeConversions(events: DataFrame, attribution: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_time").as("view_time"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_time", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("event_time").as("purchase_time"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_time", watermark)
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_time") <= col("purchase_time") &&
+        col("view_time") >= col("purchase_time") - expr(s"INTERVAL $attribution"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_time"),
+        col("view_id"), col("view_time"), col("value"))
+  }
+
   /** Streaming exact dedup: drop events whose id was already seen, with
     * state bounded by the watermark (late duplicates beyond it are the
     * accepted trade-off — unbounded dedup state is impossible on an

@@ -74,6 +74,25 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch twin on real data") {
+    val dir = stageEventsDir()
+    val q = EventStreams.attributeConversions(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .groupBy("user_id", "purchase_id")
+        .agg(count(lit(1)).as("n_views"))
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.queries.EventQueries
+        .attribution(spark, Paths.get("/root/testdata/sf0.001").getParent.resolve("sf0.001").toString)
+        .select("user_id", "purchase_id", "n_views")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     // two copies of the same events file → every event_id appears twice
