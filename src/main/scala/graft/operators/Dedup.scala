@@ -135,6 +135,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the near-dup pair
+    * graph (large-star/small-star, O(log n) rounds — see DataFramePregel),
+    * each cluster keeping its minimum doc id as the canonical survivor.
+    * This is the step that turns pairwise candidates into an actionable
+    * dedup decision: near-dup relations are not transitive, but training-
+    * data pipelines deduplicate by cluster anyway (one survivor per
+    * connected group). Docs in no pair cluster alone (they survive).
+    * Output: (doc_id, canonical_id, is_canonical). */
+  def nearDupClusters(allDocs: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val comp = DataFramePregel.connectedComponents(edges)
+    allDocs.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("vid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash: per-token 64-bit hash, signed bit-vote across tokens,

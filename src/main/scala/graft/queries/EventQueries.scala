@@ -116,7 +116,20 @@ object EventQueries {
       .agg(count(lit(1)).as("n_views"), max(col("view_us")).as("last_view_us"))
   }
 
+  /** Semi-structured property parsing — the relational analog of Neo4j's
+    * per-entity property maps (the reference exports them as typed CSV
+    * columns): extract a typed field from the JSON `props` payload with
+    * codegen'd get_json_object and aggregate it. */
+  def propsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_props_json" -> (propsJson _),
     "ev_attribution" -> (attribution _),
     "ev_interval_windows" -> (intervalWindows _),
     "ev_asof_last_purchase" -> (asofLastPurchase _),
@@ -128,6 +141,12 @@ object EventQueries {
     .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ev_props_json" ->
+      """SELECT event_type, COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin,
     "ev_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
         |SELECT p.user_id, p.event_id AS purchase_id, p.ts_us AS purchase_us,

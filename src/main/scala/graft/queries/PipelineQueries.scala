@@ -77,7 +77,19 @@ object PipelineQueries {
       frameBytes = 64, stride = 2)
       .select(col("id"), col("frame_index"), md5(hex(col("frame"))).as("frame_md5"))
 
+  /** Near-dup clustering end to end: n-gram Jaccard candidate pairs →
+    * connected components (large-star/small-star) → one canonical doc per
+    * cluster. Oracle: DuckDB recursive-CTE transitive closure over the
+    * same pair set — feasible because the query is capped to doc_id<50. */
+  def cluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").where(col("doc_id") < 50)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 4, threshold = 0.25)
+    graft.operators.Dedup.nearDupClusters(docs, "doc_id", pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cluster" -> (cluster _),
     "ss_cosine_topk" -> (cosineTopK _),
     "ss_lsh_topk" -> (lshTopK _),
     "ss_ivf_topk" -> ((s, dir) => {
@@ -129,6 +141,29 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "dd_cluster" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 4) FOR i IN generate_series(1, greatest(length(text)-3, 1))]) AS grams,
+        |    floor(ln(CAST(greatest(length(text), 1) AS DOUBLE)) / ln(1.1)) AS bucket
+        |  FROM documents WHERE doc_id < 50),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1
+        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.25),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
+        |)
+        |SELECT d.doc_id,
+        |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id,
+        |  (LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) = d.doc_id) AS is_canonical
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+        |LEFT JOIN reach r ON r.src = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
     "ss_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
         |  FROM embeddings WHERE vec_id < 10),

@@ -59,6 +59,17 @@ class DedupSpec extends SparkTestBase {
       s"band join should carry signatures, got: $bandJoinCols")
   }
 
+  test("near-dup clusters: CC over pairs, min id canonical, singletons survive") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // two chained pairs {1,2,3} + isolated pair-less docs 4, 5
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, pairs found") {
     val nearDup = base.replace("quick", "swift")
     val df = Seq((1L, base), (2L, nearDup), (3L, base)).toDF("doc_id", "text")
