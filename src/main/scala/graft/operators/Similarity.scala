@@ -58,8 +58,10 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `numBits` planes in `dim`
-    * dimensions, Gaussian entries from a fixed seed. */
-  private[operators] def hyperplanes(dim: Int, numBits: Int, seed: Long): Seq[Array[Double]] = {
+    * dimensions, Gaussian entries from a fixed seed. Exposed within graft
+    * so the DuckDB oracles can embed the SAME planes as SQL literals
+    * (Double.toString round-trips exactly through DuckDB's parser). */
+  private[graft] def hyperplanes(dim: Int, numBits: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
   }

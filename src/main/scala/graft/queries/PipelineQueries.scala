@@ -140,7 +140,63 @@ object PipelineQueries {
        |FROM s""".stripMargin
   }
 
+  /** LSH bucketing in SQL: the hyperplanes are deterministic constants,
+    * so the oracle embeds them as DOUBLE[] literals (Double.toString
+    * round-trips exactly through DuckDB's parser) and reproduces the
+    * sign-bit bucket keys and double-precision cosine bit-for-bit. The
+    * bucketed-table CTE is shared by both LSH oracles. */
+  private def lshTablesCte(numBits: Int, numTables: Int): String = {
+    val tables = (0 until numTables).map { t =>
+      val planes = Similarity.hyperplanes(Dim, numBits, seed = 7L + t)
+      val bucket = planes.zipWithIndex.map { case (plane, i) =>
+        val arr = plane.map(_.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, nrm, $t AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |b AS (
+       |$tables
+       |)""".stripMargin
+  }
+
+  private val embedCosineOracle: String =
+    s"""WITH ${lshTablesCte(numBits = 6, numTables = 8)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, a.v AS v_a, a.nrm AS n_a,
+       |    c.vec_id AS id_b, c.v AS v_b, c.nrm AS n_b
+       |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, cosine_sim FROM (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN n_a * n_b = 0 THEN 0.0
+       |      ELSE list_dot_product(v_a, v_b) / (n_a * n_b) END AS cosine_sim
+       |  FROM cand)
+       |WHERE cosine_sim >= 0.3""".stripMargin
+
+  private val lshTopKOracle: String =
+    s"""WITH ${lshTablesCte(numBits = 6, numTables = 8)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, q.v AS q_vec, q.nrm AS q_norm,
+       |    c.vec_id AS neighbor_id, c.v AS c_vec, c.nrm AS c_norm
+       |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN q_norm * c_norm = 0 THEN 0.0
+       |      ELSE list_dot_product(q_vec, c_vec) / (q_norm * c_norm) END AS cosine_sim
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dd_embed_cosine" -> embedCosineOracle,
+    "ss_lsh_topk" -> lshTopKOracle,
     "dd_cluster" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id,
