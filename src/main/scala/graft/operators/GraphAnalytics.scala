@@ -101,6 +101,36 @@ object GraphAnalytics {
       .select(col("label"), col("node_id"), col("triangles").cast("long").as("triangles"))
   }
 
+  /** RDD-free per-vertex triangle counting on canonical (u < v) edges —
+    * the standard distributed wedge-close join:
+    * wedges (a<b<c) from E⋈E on the middle vertex, closed by a third join
+    * against E(a,c); each closed triangle credits all three vertices.
+    * Pure DataFrame joins: Catalyst broadcasts the small side, AQE handles
+    * skew, and (unlike GraphX's triangleCount) there is no RDD lineage or
+    * per-vertex adjacency-set materialization — at web scale the
+    * highest-degree vertex no longer has to fit its neighbor set in one
+    * task. Input edges need not be canonical or self-loop-free; output is
+    * (vid, triangles) over every edge endpoint. */
+  def triangleCountsDF(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val canon = edges.where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val e1 = canon.select(col("u").as("a"), col("v").as("b"))
+    val e2 = canon.select(col("u").as("b"), col("v").as("c"))
+    val e3 = canon.select(col("u").as("a"), col("v").as("c"))
+    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val perVertex = tris.select(col("a").as("vid"))
+      .unionAll(tris.select(col("b").as("vid")))
+      .unionAll(tris.select(col("c").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("triangles"))
+    val vertices = canon.select(col("u").as("vid"))
+      .unionAll(canon.select(col("v").as("vid"))).distinct()
+    vertices.join(perVertex, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   /** Co-occurrence projection: items sharing a group become an undirected
     * edge (the market-basket / co-citation graph). Groups larger than
     * `maxGroupSize` are dropped BEFORE the self-join — a group of k items
@@ -117,6 +147,32 @@ object GraphAnalytics {
     val r = base.select(col("g"), col("item").as("item_b"))
     l.join(r, Seq("g")).where(col("item_a") < col("item_b"))
       .select(col("item_a"), col("item_b")).distinct()
+  }
+
+  /** RDD-free static PageRank — GraphX-semantics (rank₀ = 1.0, rankᵢ =
+    * resetProb + (1−resetProb)·Σ in-contributions, dangling mass not
+    * redistributed), as a DataFrame join-agg loop: per round one join of
+    * the edge list against (ranks ⋈ out-degrees) and one groupBy-sum,
+    * with lineage truncated every 3 rounds. The scale path when GraphX's
+    * RDD lineage/serialization becomes the ceiling. */
+  def pageRankDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val verts = e.select(col("src").as("vid"))
+      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
+    var ranks = verts.withColumn("rank", lit(1.0))
+    (1 to numIter).foreach { i =>
+      val contribs = e.join(ranks, e("src") === ranks("vid"))
+        .join(deg, "src")
+        .select(col("dst").as("vid"), (col("rank") / col("deg")).as("c"))
+        .groupBy("vid").agg(sum(col("c")).as("in_sum"))
+      ranks = verts.join(contribs, Seq("vid"), "left")
+        .select(col("vid"),
+          (lit(resetProb) + lit(1 - resetProb) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
   }
 
   /** Degree distribution of the unified graph: how many vertices have each

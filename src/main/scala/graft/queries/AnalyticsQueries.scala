@@ -24,16 +24,10 @@ object AnalyticsQueries {
     * regression; the co-occurrence projection is also the graph a basket/
     * recommendation analysis actually runs on. */
   def triangles(s: SparkSession, dir: String): DataFrame = {
-    import graft.model.{GraphSchema, PropertyGraph, RelPattern}
     val li = graft.Tables(s, dir, "lineitem")
     val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-      .toDF("Part_p_partkey_source", "Part_p_partkey_target")
-    val parts = graft.Tables(s, dir, "part").select(col("p_partkey"))
-    val g = PropertyGraph(
-      nodes = Map("Part" -> parts),
-      rels = Map(RelPattern("Part", "CO_OCCURS", "Part") -> edges),
-      schema = GraphSchema(Nil, Nil))
-    GraphAnalytics.triangleCounts(g)
+    GraphAnalytics.triangleCountsDF(edges, "item_a", "item_b")
+      .select(lit("Part").as("label"), col("vid").as("node_id"), col("triangles"))
   }
 
   /** DataFrame-Pregel connected components over the unified edge list —
@@ -58,6 +52,20 @@ object AnalyticsQueries {
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
   val oracles: Map[String, String] = Map(
+    "g_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+        |sized AS (SELECT g, item FROM (
+        |  SELECT g, item, count(*) OVER (PARTITION BY g) AS n FROM li) WHERE n <= 10),
+        |e AS (SELECT DISTINCT a.item AS u, b.item AS v
+        |  FROM sized a JOIN sized b ON a.g = b.g AND a.item < b.item),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pv AS (SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |verts AS (SELECT u AS vid FROM e UNION SELECT v FROM e)
+        |SELECT 'Part' AS label, verts.vid AS node_id,
+        |  CAST(COALESCE(t.cnt, 0) AS BIGINT) AS triangles
+        |FROM verts LEFT JOIN (SELECT vid, count(*) AS cnt FROM pv GROUP BY vid) t
+        |  ON t.vid = verts.vid""".stripMargin,
     "g_degree_distribution" ->
       """WITH e AS (
         |  SELECT n_nationkey + 1*17592186044416 AS src, n_regionkey + 4*17592186044416 AS dst

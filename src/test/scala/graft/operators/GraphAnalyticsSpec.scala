@@ -82,6 +82,36 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(nonZero > 0, "part co-occurrence graph at sf0.001 must contain triangles")
   }
 
+  test("DataFrame triangle count agrees with GraphX and hand-computed values") {
+    // triangle 1-2-3, pendant 4, plus a second triangle 3-5-6 sharing vertex 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (3L, 5L), (5L, 6L), (6L, 3L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.triangleCountsDF(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L, 6L -> 1L))
+    // duplicate + reversed + self-loop edges don't change the counts
+    val noisy = edges.unionAll(Seq((2L, 1L), (3L, 3L), (1L, 2L)).toDF("src", "dst"))
+    assert(GraphAnalytics.triangleCountsDF(noisy).as[(Long, Long)].collect().toMap == got)
+  }
+
+  test("DataFrame pagerank agrees with GraphX staticPageRank") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("nid")
+    val edgeSeq = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L))
+    val g = PropertyGraph(Map("N" -> nodes),
+      Map(RelPattern("N", "LINKS", "N") -> edgeSeq.toDF("N_nid_source", "N_nid_target")),
+      GraphSchema(Nil, Nil))
+    val gx = GraphAnalytics.pageRank(g, numIter = 10)
+      .as[(String, Long, Double)].collect().map(t => t._2 -> t._3).toMap
+    val (edges, _) = GraphAnalytics.unifiedEdges(g)
+    val df = GraphAnalytics.pageRankDF(edges, numIter = 10)
+      .as[(Long, Double)].collect()
+      .map { case (vid, r) => (vid & ((1L << 44) - 1)) -> r }.toMap
+    assert(gx.keySet == df.keySet)
+    gx.foreach { case (vid, r) =>
+      assert(math.abs(r - df(vid)) < 1e-9, s"vertex $vid: graphx=$r df=${df(vid)}")
+    }
+  }
+
   test("pagerank: star graph center ranks highest, mass ≈ N") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("nid")
     val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)).toDF("N_nid_source", "N_nid_target")
