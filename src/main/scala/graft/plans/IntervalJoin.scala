@@ -85,7 +85,10 @@ final case class IntervalJoinExec(
           // candidates have start <= t; among those keep end >= t
           var hi = java.util.Arrays.binarySearch(starts, t)
           if (hi < 0) hi = -hi - 1 else { while (hi < starts.length && starts(hi) == t) hi += 1 }
-          val lcopy = lrow.copy()
+          // no lrow.copy(): flatMap only advances the outer row after this
+          // inner iterator is exhausted, and proj materializes the joined
+          // row into its own buffer before that — one copy per OUTPUT row
+          // (required, proj reuses its buffer), zero per input row
           new Iterator[InternalRow] {
             private var i = hi - 1
             private def seek(): Unit = {
@@ -95,7 +98,7 @@ final case class IntervalJoinExec(
             seek()
             def hasNext: Boolean = i >= 0
             def next(): InternalRow = {
-              val out = proj(joiner(lcopy, ivs(i)._3)).copy()
+              val out = proj(joiner(lrow, ivs(i)._3)).copy()
               i -= 1; seek(); out
             }
           }

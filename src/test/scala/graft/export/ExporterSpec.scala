@@ -88,6 +88,23 @@ class ExporterSpec extends SparkTestBase {
     assert(s0 == s1)
   }
 
+  test("distributed (multi-part) export zips part files under their csv dir") {
+    val dir = Files.createTempDirectory("graft-multipart").toString
+    val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val res = GraphExporter.exportAll(g, dir, singleFileCsv = false, createZip = true)
+    val zip = new java.util.zip.ZipFile(res.zipPath.get)
+    try {
+      val entries = scala.jdk.CollectionConverters.EnumerationHasAsScala(zip.entries())
+        .asScala.map(_.getName).toSeq
+      assert(entries.contains("neo4j_importer_model.json"))
+      assert(entries.exists(e => e.startsWith("Customer.csv/") && e.endsWith(".csv")),
+        s"expected Customer.csv/part entries, got ${entries.take(8)}")
+      // and the multi-part package round-trips through the importer
+      val re = GraphImporter.fromPackage(spark, dir)
+      assert(re.nodes("Customer").count() == g.nodes("Customer").count())
+    } finally zip.close()
+  }
+
   test("CSV quotes escape RFC-4180 style (doubled quote) and round-trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-quote").toString
