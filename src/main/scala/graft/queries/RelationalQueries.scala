@@ -158,7 +158,47 @@ object RelationalQueries {
         .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
 
+  /** Skew-resistant join, driver-checked: lineitem (big, salted 8 ways) ⋈
+    * part (replicated per salt) on partkey, revenue per part type. The
+    * salt spreads any hot part key over 8 reducers; results are identical
+    * to the plain join (SkewJoin scaladoc), which is exactly what the
+    * oracle asserts. */
+  def skewAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), dec2("l_extendedprice").as("price"))
+    val p = Tables(s, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_type"))
+    graft.operators.SkewJoin.saltedJoin(li, p, "partkey", saltFactor = 8)
+      .groupBy(col("p_type"))
+      .agg(sum(col("price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Bucketed co-located join, driver-checked: orders and customer written
+    * bucketed+sorted on custkey (external tables in a temp dir), then
+    * joined with ZERO join-side exchanges (plan property spec-checked in
+    * BucketedTablesSpec) and aggregated per market segment. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BucketedTables
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (to, tc) = (s"g_bkt_orders_$suffix", s"g_bkt_customer_$suffix")
+    BucketedTables.writeBucketed(
+      Tables(s, dir, "orders").select(col("o_custkey").as("custkey"),
+        dec2("o_totalprice").as("totalprice")),
+      to, "custkey", buckets = 8, path = Some(s"$base/orders"))
+    BucketedTables.writeBucketed(
+      Tables(s, dir, "customer").select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+      tc, "custkey", buckets = 8, path = Some(s"$base/customer"))
+    BucketedTables.coLocatedJoin(s, to, tc, "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_agg" -> (skewAgg _),
+    "g_bucketed_join" -> (bucketedJoin _),
     "q6_forecast_revenue" -> (q6 _),
     "q_running_balance" -> (runningBalance _),
     "q_rollup_revenue" -> (rollupRevenue _),
@@ -173,6 +213,18 @@ object RelationalQueries {
   private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
 
   val oracles: Map[String, String] = Map(
+    "q_skew_agg" ->
+      """SELECT p_type,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type""".stripMargin,
+    "g_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(7,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines

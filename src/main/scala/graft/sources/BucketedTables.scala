@@ -14,8 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BucketedTables {
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      sorted: Boolean = true): Unit = {
-    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+      sorted: Boolean = true, path: Option[String] = None): Unit = {
+    var w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    path.foreach(p => w = w.option("path", p)) // external table — explicit location
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
