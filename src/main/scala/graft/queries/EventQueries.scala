@@ -128,7 +128,26 @@ object EventQueries {
       .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** The optimizer-rule path end to end: a PLAIN DataFrame BETWEEN join
+    * (no explicit operator) that RewriteRangeJoin turns into
+    * IntervalJoinExec once IntervalJoin.register is called — users keep
+    * writing ordinary range joins and get the O(log m) operator. The
+    * rewrite itself is plan-asserted in IntervalJoinSpec; this query
+    * driver-checks its RESULTS. */
+  def betweenRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.IntervalJoin.register(s)
+    val windows = promoWindows.toDF("window_id", "start_us", "end_us")
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    ev.join(windows,
+      ev("ts_us") >= windows("start_us") && ev("ts_us") <= windows("end_us"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_between_rewrite" -> (betweenRewrite _),
     "ev_props_json" -> (propsJson _),
     "ev_attribution" -> (attribution _),
     "ev_interval_windows" -> (intervalWindows _),
@@ -141,6 +160,12 @@ object EventQueries {
     .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ev_between_rewrite" ->
+      s"""WITH w(window_id, start_us, end_us) AS (VALUES $windowValues)
+         |SELECT CAST(w.window_id AS BIGINT) AS window_id, COUNT(*) AS n_events,
+         |  MIN(epoch_us(e.ts)) AS first_us, MAX(epoch_us(e.ts)) AS last_us
+         |FROM events e JOIN w ON epoch_us(e.ts) BETWEEN w.start_us AND w.end_us
+         |GROUP BY w.window_id""".stripMargin,
     "ev_props_json" ->
       """SELECT event_type, COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k

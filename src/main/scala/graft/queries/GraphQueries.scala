@@ -290,7 +290,23 @@ object GraphQueries {
         count_distinct(col("customer_id")).as("n_customers"))
   }
 
+  /** Hash-partitioned at-rest graph layout round trip: save the full
+    * PropertyGraph (parquet per label/pattern + schema manifest), load it
+    * back, and report per-table row counts — exercising PropertyGraphIO
+    * end to end under the driver's gate. */
+  def graphIoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pgio").toString
+    val g = TpchGraph.load(s, dir)
+    graft.model.PropertyGraphIO.save(g, root)
+    val re = graft.model.PropertyGraphIO.load(s, root)
+    val nodeRows = re.nodes.toSeq.map { case (label, df) => ("node", label, df.count()) }
+    val relRows = re.rels.toSeq.map { case (p, df) => ("rel", p.key, df.count()) }
+    (nodeRows ++ relRows).toDF("kind", "name", "n_rows")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
     "g_pattern_match" -> (patternMatch _),
     "g_model_mappings" -> (modelMappings _),
     "g_nodes_customer" -> (nodesCustomer _),
@@ -312,6 +328,25 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    "g_graph_io_roundtrip" ->
+      """SELECT 'node' AS kind, 'Region' AS name, COUNT(*) AS n_rows FROM region WHERE r_regionkey IS NOT NULL
+        |UNION ALL SELECT 'node', 'Nation', COUNT(*) FROM nation WHERE n_nationkey IS NOT NULL
+        |UNION ALL SELECT 'node', 'Customer', COUNT(*) FROM customer WHERE c_custkey IS NOT NULL
+        |UNION ALL SELECT 'node', 'Supplier', COUNT(*) FROM supplier WHERE s_suppkey IS NOT NULL
+        |UNION ALL SELECT 'node', 'Part', COUNT(*) FROM part WHERE p_partkey IS NOT NULL
+        |UNION ALL SELECT 'node', 'Order', COUNT(*) FROM orders WHERE o_orderkey IS NOT NULL
+        |UNION ALL SELECT 'rel', 'Nation_IN_REGION_Region', COUNT(*) FROM nation
+        |  WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
+        |UNION ALL SELECT 'rel', 'Customer_IN_NATION_Nation', COUNT(*) FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+        |UNION ALL SELECT 'rel', 'Supplier_LOCATED_IN_Nation', COUNT(*) FROM supplier
+        |  WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
+        |UNION ALL SELECT 'rel', 'Customer_PLACED_Order', COUNT(*) FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        |UNION ALL SELECT 'rel', 'Order_CONTAINS_Part', COUNT(*) FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |UNION ALL SELECT 'rel', 'Order_SUPPLIED_BY_Supplier', COUNT(*) FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL""".stripMargin,
     "g_pattern_match" ->
       """SELECT l_partkey AS part_id, COUNT(*) AS n_paths,
         |  COUNT(DISTINCT o_custkey) AS n_customers

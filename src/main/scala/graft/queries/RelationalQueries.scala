@@ -196,7 +196,16 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Bounded-memory top-k per key (TopK.perKey): top-3 orders by value per
+    * customer. The local heap prunes before the exact window pass — the
+    * window's input is ≤ partitions·k rows per key, not every order. */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.perKey(
+      Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keyCol = "o_custkey", ordCol = "o_totalprice", k = 3, tieBreak = Seq("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_orders" -> (topkOrders _),
     "q_skew_agg" -> (skewAgg _),
     "g_bucketed_join" -> (bucketedJoin _),
     "q6_forecast_revenue" -> (q6 _),
@@ -213,6 +222,12 @@ object RelationalQueries {
   private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
 
   val oracles: Map[String, String] = Map(
+    "q_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "q_skew_agg" ->
       """SELECT p_type,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
