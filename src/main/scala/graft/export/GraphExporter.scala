@@ -31,6 +31,29 @@ object GraphExporter {
       }.toMap
     }.getOrElse(Map.empty)
 
+  /** Export metadata (NodeExport/RelExport incl. one-row CSV-rendered
+    * samples) WITHOUT writing any CSVs — for generating model JSONs alone.
+    * Sample sniffs run concurrently like exportAll's. */
+  def buildExports(graph: PropertyGraph): (Seq[NodeExport], Seq[RelExport]) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, graph.schema.labels.size + graph.schema.rels.size max 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val nodeF = Future.traverse(graph.schema.labels) { ls => Future {
+        val df = graph.nodes(ls.label)
+        NodeExport(ls.label, ls.identifier, df.columns.toSeq, sampleRow(df))
+      }}
+      val relF = Future.traverse(graph.schema.rels) { rs => Future {
+        val df = graph.rels(rs.pattern)
+        RelExport(rs.pattern, rs.srcIdProp, rs.dstIdProp, rs.srcColName, rs.dstColName,
+          rs.properties.map(_.name).sorted, sampleRow(df))
+      }}
+      (Await.result(nodeF, Duration.Inf), Await.result(relF, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   def exportAll(
       graph: PropertyGraph,
       outputDir: String,

@@ -305,7 +305,47 @@ object GraphQueries {
     (nodeRows ++ relRows).toDF("kind", "name", "n_rows")
   }
 
+  /** All three importer-model format generators, driver-checked: generate
+    * each model from the SAME export metadata (no CSV writes), render to
+    * JSON text, parse the text back, and report structural entry counts
+    * per section — validating generator + renderer + parser for every
+    * format the reference emits (v3.0 neo4j_export.py:460, v2.4
+    * :731, v0.1 :1042). */
+  def modelVersions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.export._
+    val g = TpchGraph.load(s, dir)
+    val (nodes, rels) = GraphExporter.buildExports(g)
+    def size(v: JValue): Long = v match {
+      case JArr(items) => items.size.toLong
+      case JObj(fields) => fields.size.toLong
+      case _ => -1L
+    }
+    import JsonParser.JOps
+    val rows = Seq("3.0", "2.4.0", "0.1.0").map { ver =>
+      val parsed = JsonParser.parse(
+        ImporterModel.generate(ver, nodes, rels, g.schema.constraints, g.schema.indexes).render())
+      val version = (parsed / "version").str
+      ver match {
+        case "3.0" =>
+          val schema = parsed / "dataModel" / "graphSchemaRepresentation" / "graphSchema"
+          (version, size(schema / "nodeLabels"), size(schema / "relationshipObjectTypes"),
+            size(parsed / "dataModel" / "graphMappingRepresentation" / "dataSourceSchema" / "tableSchemas"))
+        case "2.4.0" =>
+          val schema = parsed / "dataModel" / "graphSchemaRepresentation" / "graphSchema"
+          (version, size(schema / "nodeLabels"),
+            size(parsed / "dataModel" / "graphMappingRepresentation" / "relationshipMappings"),
+            size(parsed / "dataModel" / "graphMappingRepresentation" / "dataSourceSchema" / "tableSchemas"))
+        case _ =>
+          (version, size(parsed / "graph" / "nodes"), size(parsed / "graph" / "relationships"),
+            size(parsed / "dataModel" / "fileModel" / "fileSchemas"))
+      }
+    }
+    rows.toDF("version", "n_node_entries", "n_rel_entries", "n_table_entries")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_model_versions" -> (modelVersions _),
     "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
     "g_pattern_match" -> (patternMatch _),
     "g_model_mappings" -> (modelMappings _),
@@ -328,6 +368,15 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    // 6 labels, 6 patterns, 12 CSV tables; v0.1 lists node fileSchemas
+    // only — a replicated reference quirk (neo4j_export.py:1042-1219,
+    // ModelV01 scaladoc)
+    "g_model_versions" ->
+      """SELECT * FROM (VALUES
+        |  ('3.0.0',        CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(12 AS BIGINT)),
+        |  ('2.4.0-beta.0', 6, 6, 12),
+        |  ('0.1.0-beta.0', 6, 6, 6)
+        |) AS t(version, n_node_entries, n_rel_entries, n_table_entries)""".stripMargin,
     "g_graph_io_roundtrip" ->
       """SELECT 'node' AS kind, 'Region' AS name, COUNT(*) AS n_rows FROM region WHERE r_regionkey IS NOT NULL
         |UNION ALL SELECT 'node', 'Nation', COUNT(*) FROM nation WHERE n_nationkey IS NOT NULL
