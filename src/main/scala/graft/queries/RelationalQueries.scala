@@ -204,7 +204,23 @@ object RelationalQueries {
       Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
       keyCol = "o_custkey", ordCol = "o_totalprice", k = 3, tieBreak = Seq("o_orderkey"))
 
+  /** Schemaless CSV ingestion round trip: orders written as a distributed
+    * headerful CSV (NULL restval), read back with CsvSource's one-sample
+    * type sniffing, aggregated. Exact agreement with the parquet original
+    * proves the writer dialect, the sentinel handling, and the sniffed
+    * numeric types (double round-trips text exactly via shortest-repr). */
+  def csvTyped(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_typed").toString
+    graft.export.CsvPackageWriter.write(
+      Tables(s, dir, "orders"), tmp, "orders", singleFile = false)
+    graft.sources.CsvSource.readTyped(s, s"$tmp/orders.csv")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_totalprice"),
+        count_distinct(col("o_orderstatus")).as("n_statuses"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_csv_typed" -> (csvTyped _),
     "q_topk_orders" -> (topkOrders _),
     "q_skew_agg" -> (skewAgg _),
     "g_bucketed_join" -> (bucketedJoin _),
@@ -222,6 +238,11 @@ object RelationalQueries {
   private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
 
   val oracles: Map[String, String] = Map(
+    "g_csv_typed" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_totalprice,
+        |  COUNT(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
