@@ -63,14 +63,36 @@ object PatternMatch {
 
   def find(g: PropertyGraph, pattern: String): DataFrame = find(g, parse(pattern))
 
-  def find(g: PropertyGraph, p: PathPattern): DataFrame = {
-    val bindings = p.bindingNames
-    val startSchema = g.schema.labels.find(_.label == p.startLabel)
-      .getOrElse(throw new IllegalArgumentException(
-        s"unknown start label ${p.startLabel}; graph has ${g.schema.labels.map(_.label).mkString(", ")}"))
+  def find(g: PropertyGraph, p: PathPattern): DataFrame =
+    find(g, p, Map.empty[String, org.apache.spark.sql.Column])
 
-    var frontier = g.nodes(p.startLabel)
-      .select(col(startSchema.identifier).as(bindings.head))
+  /** As [[find]], with per-binding property predicates pushed INTO the
+    * traversal: `nodeFilters` maps a binding name (see
+    * [[PathPattern.bindingNames]]) to a predicate over that node label's
+    * table. The start binding filters the anchor table before any join
+    * (predicate reaches the scan); hop bindings become a semi-join of the
+    * frontier against the filtered node ids — so a selective filter
+    * anywhere in the path prunes every later hop's input instead of
+    * filtering the final cross product. The Cypher
+    * `(c:Customer {segment:'BUILDING'})` fragment, set-oriented. */
+  def find(g: PropertyGraph, pattern: String,
+      nodeFilters: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    find(g, parse(pattern), nodeFilters)
+
+  def find(g: PropertyGraph, p: PathPattern,
+      nodeFilters: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val bindings = p.bindingNames
+    val unknown = nodeFilters.keySet -- bindings.toSet
+    require(unknown.isEmpty,
+      s"nodeFilters for unknown bindings $unknown; pattern binds ${bindings.mkString(", ")}")
+    def labelSchema(label: String) = g.schema.labels.find(_.label == label)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown start label $label; graph has ${g.schema.labels.map(_.label).mkString(", ")}"))
+
+    val startSchema = labelSchema(p.startLabel)
+    val startTable = nodeFilters.get(bindings.head)
+      .map(g.nodes(p.startLabel).where(_)).getOrElse(g.nodes(p.startLabel))
+    var frontier = startTable.select(col(startSchema.identifier).as(bindings.head))
     var curLabel = p.startLabel
 
     p.hops.zipWithIndex.foreach { case (hop, i) =>
@@ -84,6 +106,12 @@ object PatternMatch {
         .join(edge, frontier(bindings(i)) === edge("__hop_src"))
         .drop("__hop_src")
         .withColumnRenamed("__hop_dst", bindings(i + 1))
+      nodeFilters.get(bindings(i + 1)).foreach { pred =>
+        val dstId = labelSchema(hop.dstLabel).identifier
+        val ids = g.nodes(hop.dstLabel).where(pred).select(col(dstId).as("__filter_id"))
+        frontier = frontier.join(ids,
+          frontier(bindings(i + 1)) === ids("__filter_id"), "left_semi")
+      }
       curLabel = hop.dstLabel
     }
     frontier

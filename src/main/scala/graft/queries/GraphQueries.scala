@@ -344,7 +344,22 @@ object GraphQueries {
     rows.toDF("version", "n_node_entries", "n_rel_entries", "n_table_entries")
   }
 
+  /** Filtered path pattern — the `(c:Customer {segment})` fragment: the
+    * predicate anchors the traversal (reaches the customer scan before any
+    * hop join), so the whole path enumeration runs over the selective
+    * subset. */
+  def patternFiltered(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    graft.operators.PatternMatch
+      .find(g, "Customer-[PLACED]->Order-[CONTAINS]->Part",
+        Map("customer_id" -> (col("c_mktsegment") === "BUILDING")))
+      .agg(count(lit(1)).as("n_paths"),
+        count_distinct(col("customer_id")).as("n_customers"),
+        count_distinct(col("part_id")).as("n_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_pattern_filtered" -> (patternFiltered _),
     "g_model_versions" -> (modelVersions _),
     "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
     "g_pattern_match" -> (patternMatch _),
@@ -368,6 +383,14 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    "g_pattern_filtered" ->
+      """SELECT COUNT(*) AS n_paths,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND l_partkey IS NOT NULL""".stripMargin,
     // 6 labels, 6 patterns, 12 CSV tables; v0.1 lists node fileSchemas
     // only — a replicated reference quirk (neo4j_export.py:1042-1219,
     // ModelV01 scaladoc)

@@ -56,6 +56,23 @@ class PatternMatchSpec extends SparkTestBase {
     assert(got == Set((1L, 10L), (1L, 20L), (2L, 10L))) // b3=30 never bound
   }
 
+  test("node filters prune at their binding position") {
+    import org.apache.spark.sql.functions.col
+    // filter the START: only a2 → one path
+    val startFiltered = PatternMatch.find(pathGraph(), "A-[R]->B-[S]->C",
+      Map("a_id" -> (col("aid") === 2L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(startFiltered == Set((2L, 10L, 100L)))
+    // filter a MIDDLE binding: only b2 → one path
+    val midFiltered = PatternMatch.find(pathGraph(), "A-[R]->B-[S]->C",
+      Map("b_id" -> (col("bid") === 20L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(midFiltered == Set((1L, 20L, 100L)))
+    // unknown binding name fails fast
+    intercept[IllegalArgumentException](
+      PatternMatch.find(pathGraph(), "A-[R]->B", Map("nope" -> (col("aid") === 1L))))
+  }
+
   test("unknown label or relationship fails fast with the available names") {
     val e1 = intercept[IllegalArgumentException](PatternMatch.find(pathGraph(), "Z-[R]->B"))
     assert(e1.getMessage.contains("unknown start label"))
