@@ -88,7 +88,15 @@ object PipelineQueries {
     graft.operators.Dedup.nearDupClusters(docs, "doc_id", pairs)
   }
 
+  /** Top-k over int8-quantized embeddings — the 4×-compressed ANN path;
+    * scales cancel in cosine so the ranking needs no dequantization. */
+  def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.quantizedTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_quant_topk" -> (quantizedTopK _),
     "dd_cluster" -> (cluster _),
     "ss_cosine_topk" -> (cosineTopK _),
     "ss_lsh_topk" -> (lshTopK _),
@@ -194,7 +202,33 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** int8 quantization in SQL: same per-vector scale and half-away-from-
+    * zero rounding (Spark round = BigDecimal HALF_UP = away from zero for
+    * both signs; DuckDB round matches), then the proven cosine/rank SQL
+    * over the integer-code vectors. */
+  private val quantTopKOracle: String =
+    """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> round(x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END))) AS qv
+      |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM raw)),
+      |qq AS (SELECT vec_id AS query_id, qv AS q_vec FROM q8 WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, qv AS c_vec FROM q8),
+      |pairs AS (
+      |  SELECT query_id, neighbor_id,
+      |    CASE WHEN sqrt(list_dot_product(q_vec,q_vec)) * sqrt(list_dot_product(c_vec,c_vec)) = 0 THEN 0.0
+      |      ELSE list_dot_product(q_vec, c_vec)
+      |        / (sqrt(list_dot_product(q_vec,q_vec)) * sqrt(list_dot_product(c_vec,c_vec))) END AS cosine_sim
+      |  FROM c, qq WHERE neighbor_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ss_quant_topk" -> quantTopKOracle,
     "dd_embed_cosine" -> embedCosineOracle,
     "ss_lsh_topk" -> lshTopKOracle,
     "dd_cluster" ->

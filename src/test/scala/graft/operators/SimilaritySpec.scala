@@ -57,6 +57,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.length == 1 && got(0)._1 == 100L && math.abs(got(0)._2 - 1.0) < 1e-9)
   }
 
+  test("int8 quantization: bounded error, scales cancel in cosine, zero-vector safe") {
+    val v = Seq(0.5f, -1.0f, 0.25f, 2.0f, -0.125f, 1.5f, 0.0f, -2.0f)
+    val df = Seq((1L, v), (2L, v.map(-_)), (3L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val deq = df.select(col("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("d"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // reconstruction error bounded by scale/2 = maxabs/254
+    v.map(_.toDouble).zip(deq(1L)).foreach { case (orig, got) =>
+      assert(math.abs(orig - got) <= 2.0 / 254 + 1e-12, s"$orig vs $got")
+    }
+    assert(deq(3L).forall(_ == 0.0)) // zero vector round-trips to zeros
+    // quantized cosine: v vs -v is exactly -1, v vs v exactly 1
+    val topk = Similarity.quantizedTopK(df, df.where(col("vec_id") === 1), "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "cosine_sim").as[(Long, Double)].collect().toMap
+    assert(math.abs(topk(2L) - (-1.0)) < 1e-12)
+    assert(topk(3L) == 0.0) // zero-vector guard
+  }
+
   test("embedding near-dup pairs verify cosine above threshold") {
     val v = Seq.tabulate(8)(i => (i + 1).toFloat)
     val nearly = v.updated(0, 1.05f)
