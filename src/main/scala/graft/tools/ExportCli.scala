@@ -12,7 +12,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   runMain graft.tools.ExportCli [-i INPUT] [-o OUTPUT] [-f {3.0,2.4.0,0.1.0}]
-  *                                 [-z ZIP] [--no-zip] [--env-file FILE]
+  *                                 [-z ZIP] [--no-zip] [--multi-part]
+  *                                 [--env-file FILE]
+  *
+  * `--multi-part` switches the CSV writer to the distributed layout (a
+  * `<name>.csv/` directory of part files per table) — the mode that holds
+  * at scale; default stays the reference-compatible single file per
+  * table.
   *
   * Env vars: GRAFT_INPUT_DIR, OUTPUT_DIR, FORMAT_VERSION (the reference's
   * names where they carry over).
@@ -24,7 +30,8 @@ object ExportCli {
       output: String = "graft_export",
       format: String = "3.0",
       zipName: Option[String] = None,
-      createZip: Boolean = true)
+      createZip: Boolean = true,
+      singleFileCsv: Boolean = true)
 
   private def parseEnvFile(path: String): Map[String, String] =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Map.empty
@@ -41,6 +48,7 @@ object ExportCli {
   def resolve(args: Array[String], env: Map[String, String] = sys.env): Config = {
     var cli = Map.empty[String, String]
     var noZip = false
+    var multiPart = false
     var envFile = ".env"
     var i = 0
     def valueOf(flag: String): String = {
@@ -55,6 +63,7 @@ object ExportCli {
         case f @ ("-f" | "--format") => cli += "format" -> valueOf(f); i += 2
         case f @ ("-z" | "--zip")    => cli += "zip" -> valueOf(f); i += 2
         case "--no-zip"              => noZip = true; i += 1
+        case "--multi-part"          => multiPart = true; i += 1
         case f @ "--env-file"        => envFile = valueOf(f); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
@@ -69,7 +78,8 @@ object ExportCli {
       output = pick("output", "OUTPUT_DIR", "graft_export"),
       format = fmt,
       zipName = cli.get("zip"),
-      createZip = !noZip)
+      createZip = !noZip,
+      singleFileCsv = !multiPart)
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,7 +92,8 @@ object ExportCli {
     spark.sparkContext.setLogLevel("WARN")
     val result = GraphExporter.exportAll(
       TpchGraph.load(spark, cfg.input), cfg.output, cfg.format,
-      createZip = cfg.createZip, zipName = cfg.zipName)
+      singleFileCsv = cfg.singleFileCsv, createZip = cfg.createZip,
+      zipName = cfg.zipName)
     println(s"[export] ${result.nodeFiles.size} node labels, ${result.relFiles.size} patterns -> ${cfg.output}")
     result.zipPath.foreach(z => println(s"[export] zip: $z"))
     spark.stop()

@@ -36,6 +36,13 @@ class ExportCliSpec extends AnyFunSuite {
     assert(!c2.createZip)
   }
 
+  test("multi-part flag switches off single-file CSV") {
+    val c = ExportCli.resolve(Array("--env-file", "/nonexistent"), env = Map.empty)
+    assert(c.singleFileCsv) // reference-compatible default
+    val c2 = ExportCli.resolve(Array("--multi-part", "--env-file", "/nonexistent"), env = Map.empty)
+    assert(!c2.singleFileCsv)
+  }
+
   test("unsupported format rejected") {
     intercept[IllegalArgumentException] {
       ExportCli.resolve(Array("-f", "9.9", "--env-file", "/nonexistent"), env = Map.empty)
