@@ -298,7 +298,22 @@ object GraphQueries {
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pgio").toString
     val g = TpchGraph.load(s, dir)
-    graft.model.PropertyGraphIO.save(g, root)
+    // lineitem-free subgraph: the layout/manifest/round-trip machinery is
+    // fully exercised by 5 labels + 4 patterns; re-writing the two
+    // 600k-row lineitem rel tables here would only re-price what
+    // g_model_mappings already pays
+    val keep = Set("Region", "Nation", "Customer", "Supplier", "Order")
+    val keepRels = Set("Nation_IN_REGION_Region", "Customer_IN_NATION_Nation",
+      "Supplier_LOCATED_IN_Nation", "Customer_PLACED_Order")
+    val sub = graft.model.PropertyGraph(
+      nodes = g.nodes.view.filterKeys(keep).toMap,
+      rels = g.rels.filter { case (p, _) => keepRels(p.key) },
+      schema = graft.model.GraphSchema(
+        labels = g.schema.labels.filter(l => keep(l.label)),
+        rels = g.schema.rels.filter(r => keepRels(r.pattern.key)),
+        constraints = g.schema.constraints,
+        indexes = g.schema.indexes))
+    graft.model.PropertyGraphIO.save(sub, root)
     val re = graft.model.PropertyGraphIO.load(s, root)
     val nodeRows = re.nodes.toSeq.map { case (label, df) => ("node", label, df.count()) }
     val relRows = re.rels.toSeq.map { case (p, df) => ("rel", p.key, df.count()) }
@@ -405,7 +420,6 @@ object GraphQueries {
         |UNION ALL SELECT 'node', 'Nation', COUNT(*) FROM nation WHERE n_nationkey IS NOT NULL
         |UNION ALL SELECT 'node', 'Customer', COUNT(*) FROM customer WHERE c_custkey IS NOT NULL
         |UNION ALL SELECT 'node', 'Supplier', COUNT(*) FROM supplier WHERE s_suppkey IS NOT NULL
-        |UNION ALL SELECT 'node', 'Part', COUNT(*) FROM part WHERE p_partkey IS NOT NULL
         |UNION ALL SELECT 'node', 'Order', COUNT(*) FROM orders WHERE o_orderkey IS NOT NULL
         |UNION ALL SELECT 'rel', 'Nation_IN_REGION_Region', COUNT(*) FROM nation
         |  WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
@@ -414,11 +428,7 @@ object GraphQueries {
         |UNION ALL SELECT 'rel', 'Supplier_LOCATED_IN_Nation', COUNT(*) FROM supplier
         |  WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
         |UNION ALL SELECT 'rel', 'Customer_PLACED_Order', COUNT(*) FROM orders
-        |  WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
-        |UNION ALL SELECT 'rel', 'Order_CONTAINS_Part', COUNT(*) FROM lineitem
-        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-        |UNION ALL SELECT 'rel', 'Order_SUPPLIED_BY_Supplier', COUNT(*) FROM lineitem
-        |  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL""".stripMargin,
+        |  WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL""".stripMargin,
     "g_pattern_match" ->
       """SELECT l_partkey AS part_id, COUNT(*) AS n_paths,
         |  COUNT(DISTINCT o_custkey) AS n_customers
