@@ -39,16 +39,18 @@ object Multimodal {
 
   /** ==== STUB ==== Deterministic fake decoder: a real deployment swaps
     * this for an image/audio codec. Maps a payload to a fixed-length
-    * "feature vector" derived from byte content — deterministic so tests
-    * and oracles hold. */
-  def stubDecode(bytes: Array[Byte], featureDim: Int): Array[Float] = {
-    val out = new Array[Float](featureDim)
+    * "feature vector" derived from byte content. Accumulation is INTEGER
+    * (exact in a 64-bit long, order-independent) with one final division,
+    * so the result is bit-reproducible by any engine — float accumulation
+    * would be summation-order-dependent and unverifiable. */
+  def stubDecode(bytes: Array[Byte], featureDim: Int): Array[Double] = {
+    val sums = new Array[Long](featureDim)
     var i = 0
     while (i < bytes.length) {
-      out(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+      sums(i % featureDim) += (bytes(i) & 0xFF)
       i += 1
     }
-    out
+    sums.map(_ / 255.0)
   }
 
   /** Batched decode/feature-extract over partitions — the `mapInPandas`

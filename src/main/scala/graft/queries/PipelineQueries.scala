@@ -227,7 +227,28 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** stubDecode in SQL: per document, integer byte sums per dimension
+    * (i mod 8) divided once by 255 — exact in a 64-bit sum, so the doubles
+    * are bit-identical (Multimodal.stubDecode doc). Bytes are extracted by
+    * hex-pair lookup against a generated 256-row VALUES map. */
+  private val decodeFeaturesOracle: String = {
+    val hexvals = (0 until 256).map(i => f"('$i%02X', $i)").mkString(", ")
+    val dims = (0 until 8).map(d =>
+      s"MAX(CASE WHEN dim = $d THEN f ELSE 0 END) AS f$d").mkString(",\n  ")
+    s"""WITH hexmap(hx, val) AS (VALUES $hexvals),
+       |t AS (SELECT doc_id AS id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents),
+       |b AS (SELECT id, unnest(generate_series(0, n - 1)) AS i, h FROM t),
+       |v AS (SELECT b.id, b.i % 8 AS dim, m.val
+       |  FROM b JOIN hexmap m ON m.hx = substring(b.h, b.i*2 + 1, 2)),
+       |agg AS (SELECT id, dim, CAST(SUM(val) AS DOUBLE) / 255.0 AS f
+       |  FROM v GROUP BY id, dim)
+       |SELECT id,
+       |  $dims
+       |FROM agg GROUP BY id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_decode_features" -> decodeFeaturesOracle,
     "ss_quant_topk" -> quantTopKOracle,
     "dd_embed_cosine" -> embedCosineOracle,
     "ss_lsh_topk" -> lshTopKOracle,

@@ -43,9 +43,9 @@ class MultimodalSpec extends SparkTestBase {
   test("decodeFeatures end-to-end through mapPartitions") {
     val df = Multimodal.asBinaryColumn(Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text"), "text")
     val got = Multimodal.decodeFeatures(df, "doc_id", featureDim = 4)
-      .orderBy("id").as[(Long, Seq[Float])].collect()
+      .orderBy("id").as[(Long, Seq[Double])].collect()
     assert(got.length == 2)
-    assert(got(0)._2.take(2).zip(Seq(97f / 255f, 98f / 255f)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
-    assert(got(1)._2.forall(_ == 0f))
+    assert(got(0)._2.take(2) == Seq(97 / 255.0, 98 / 255.0))
+    assert(got(1)._2.forall(_ == 0.0))
   }
 }
