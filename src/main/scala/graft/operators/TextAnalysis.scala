@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions (SURVEY §2.8) — all built from codegen'd
@@ -115,4 +115,37 @@ object TextAnalysis {
     * for containment/overlap detection at corpus scale. */
   def fingerprintSketch(text: Column, k: Int = 5, sketchSize: Int = 16): Column =
     slice(array_sort(Dedup.shingleHashes(text, k)), 1, sketchSize)
+
+  // ------------------------------------------------------------- splits
+
+  /** Deterministic train/val/test split assignment: md5 of the id's first
+    * byte → bucket 0-255 → named split by cumulative bucket weights.
+    * Hash-based (not random): the same document lands in the same split
+    * on every run, across reshards, and across engines — the property a
+    * reproducible training pipeline needs. All codegen'd column math. */
+  def splitAssign(id: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.map(_._2).sum == 256,
+      s"split weights must sum to 256 buckets, got ${weights.map(_._2).sum}")
+    val bucket = conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    weights.zip(bounds).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), upper), rest) => when(bucket < upper, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Exact train-set contamination in an evaluation split: eval docs whose
+    * normalized-content fingerprint also appears in the train split. ONE
+    * equi-join on the 32-char digest — the decontamination primitive run
+    * before every training job; near-dup contamination composes the same
+    * way from [[Dedup.minHashLshPairs]] candidates. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, trainSplit: String, evalSplit: String): DataFrame = {
+    val fp = df.select(col(idCol), col(splitCol),
+      fingerprintMd5(col(textCol)).as("__fp"))
+    val train = fp.where(col(splitCol) === trainSplit)
+      .select(col("__fp")).distinct()
+    fp.where(col(splitCol) === evalSplit)
+      .join(train, Seq("__fp"), "left_semi")
+      .select(col(idCol), col("__fp").as("fingerprint_md5"))
+  }
 }

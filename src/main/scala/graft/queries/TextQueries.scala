@@ -96,7 +96,38 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
   }
 
+  /** Deterministic hash split: per (split, lang) document counts and token
+    * sums for an 80/10/10 (204/26/26 of 256 buckets) assignment — the
+    * same doc lands in the same split on every run and every engine. */
+  def split(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("split", TA.splitAssign(col("doc_id"),
+        Seq("train" -> 204, "val" -> 26, "test" -> 26)))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TA.tokenCount(col("text")).cast("long")).as("n_tokens"))
+
+  /** Exact eval-contamination detection on a deterministically
+    * contaminated corpus: train = docs 0-399; eval = copies of docs 0-19
+    * (id+10000 — the leaks) plus copies of docs 450-499 (id+20000 —
+    * clean, absent from train). Exactly the 20 leaked docs must surface.
+    * The testdata has no cross-doc duplicates, so the leak is constructed
+    * — same approach as the triangle projection. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val train = docs.where(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"), lit("train").as("split"))
+    val evalLeaked = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"), lit("eval").as("split"))
+    val evalClean = docs.where(col("doc_id") >= 450)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"), lit("eval").as("split"))
+    TA.contamination(train.unionAll(evalLeaked).unionAll(evalClean),
+      "doc_id", "text", "split", trainSplit = "train", evalSplit = "eval")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_split" -> (split _),
+    "tx_contamination" -> (contamination _),
     "tx_balanced_sample" -> ((s, dir) => balancedSample(s, dir)),
     "tx_token_packing" -> ((s, dir) => tokenPacking(s, dir)),
     "tx_length_histogram" -> (lengthHistogram _),
@@ -110,7 +141,39 @@ object TextQueries {
   private val ntokens =
     """CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
+  /** Split buckets in SQL: first md5 hex pair → 0-255 via a generated
+    * lookup (DuckDB has no base-16 conv). */
+  private val splitOracle: String = {
+    val hexvals = (0 until 256).map(i => f"('$i%02x', $i)").mkString(", ")
+    s"""WITH hexmap(hx, val) AS (VALUES $hexvals),
+       |assigned AS (
+       |  SELECT d.*, CASE WHEN m.val < 204 THEN 'train'
+       |    WHEN m.val < 230 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents d
+       |  JOIN hexmap m ON m.hx = substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+       |FROM assigned GROUP BY split, lang""".stripMargin
+  }
+
+  private val contaminationOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, 'train' AS split FROM documents WHERE doc_id < 400
+      |  UNION ALL SELECT doc_id + 10000, text, 'eval' FROM documents WHERE doc_id < 20
+      |  UNION ALL SELECT doc_id + 20000, text, 'eval' FROM documents WHERE doc_id >= 450),
+      |fp AS (SELECT doc_id, split,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint_md5
+      |  FROM corpus)
+      |SELECT e.doc_id, e.fingerprint_md5
+      |FROM fp e
+      |WHERE e.split = 'eval' AND EXISTS (
+      |  SELECT 1 FROM fp t WHERE t.split = 'train'
+      |    AND t.fingerprint_md5 = e.fingerprint_md5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "tx_split" -> splitOracle,
+    "tx_contamination" -> contaminationOracle,
     "tx_balanced_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

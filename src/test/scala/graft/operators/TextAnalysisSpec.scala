@@ -55,6 +55,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(0) != fps(2))
   }
 
+  test("split assignment: deterministic, complete, weight-proportional-ish") {
+    val df = (0L until 1000L).toDF("id")
+    val weights = Seq("train" -> 204, "val" -> 26, "test" -> 26)
+    val counts = df.select(TextAnalysis.splitAssign(col("id"), weights).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 1000)
+    // ~80/10/10 with hash noise
+    assert(counts("train") > 700 && counts("val") > 50 && counts("test") > 50)
+    // deterministic: same ids → identical assignment
+    val again = df.select(TextAnalysis.splitAssign(col("id"), weights).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+    intercept[IllegalArgumentException](TextAnalysis.splitAssign(col("id"), Seq("a" -> 100)))
+  }
+
+  test("contamination: leaked eval docs found, clean ones not") {
+    val df = Seq(
+      (1L, "shared content here", "train"),
+      (2L, "other train doc", "train"),
+      (10L, "Shared   CONTENT here", "eval"), // normalized match → leak
+      (11L, "genuinely new eval doc", "eval"))
+      .toDF("doc_id", "text", "split")
+    val got = TextAnalysis.contamination(df, "doc_id", "text", "split", "train", "eval")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(10L))
+  }
+
   test("quality score ranges and ordering") {
     val good = "the quick brown fox jumps over the lazy dog and it runs through the forest with a friend " * 3
     val bad = "1234 5678 !!!! ???? 9999"
