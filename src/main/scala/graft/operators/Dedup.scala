@@ -92,13 +92,17 @@ object Dedup {
     * shingle sets, which are corpus-sized: at web scale the shingle arrays
     * are the documents. The estimator (fraction of agreeing minhash slots,
     * the textbook unbiased Jaccard estimate) prunes candidates at
-    * threshold − 3σ (σ = √(J(1−J)/numHashes)), so the exact verify — two
-    * id-equi-joins against the corpus — touches only plausible pairs and
-    * essentially never drops a true positive. */
+    * threshold − `pruneSigmas`·σ (σ = √(J(1−J)/numHashes)), so the exact
+    * verify — two id-equi-joins against the corpus — touches only
+    * plausible pairs. At the default 3σ a true pair sitting exactly at the
+    * threshold is dropped with probability ≈0.1% (binomial tail); callers
+    * that need the exhaustive LSH-candidates + exact-verify semantics pass
+    * `pruneSigmas = Double.PositiveInfinity` to disable the prune. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      jaccardThreshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+      jaccardThreshold: Double = 0.8, maxBucketSize: Int = 1000,
+      pruneSigmas: Double = 3.0): DataFrame = {
     val rows = numHashes / bands
     val base = df.select(
       col(idCol).as("doc_id"),
@@ -112,8 +116,11 @@ object Dedup {
       .where(col("bucket_n") <= maxBucketSize)
     val l = sized.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = sized.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    require(pruneSigmas >= 0, "pruneSigmas must be non-negative (PositiveInfinity disables the prune)")
     val sigma = math.sqrt(jaccardThreshold * (1 - jaccardThreshold) / numHashes)
-    val pruneAt = math.max(0.0, jaccardThreshold - 3 * sigma)
+    val pruneAt =
+      if (pruneSigmas.isPosInfinity) 0.0
+      else math.max(0.0, jaccardThreshold - pruneSigmas * sigma)
     val candidates = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")

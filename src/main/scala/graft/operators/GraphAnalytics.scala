@@ -233,14 +233,28 @@ object DataFramePregel {
     * scale (or on preemptible executors) localCheckpoint blocks are lost
     * with the executor and the job restarts from zero; reliable
     * checkpoints survive. Convergence probe is an order-insensitive
-    * one-row checksum of the edge list, not a full diff. */
+    * one-row checksum of the edge list, not a full diff.
+    *
+    * Adaptive local fallback: the first checksum yields the canonical
+    * edge count for free; when it is ≤ `localThreshold` the component
+    * structure fits comfortably on the driver, and path-compressed
+    * union-find beats N distributed rounds of fixed per-stage cost — the
+    * same small-side-localization logic as a broadcast join (AQE does the
+    * plan-level analog at runtime). This is the common case for the
+    * near-dup CLUSTER step: LSH candidate pairs are corpus-tiny even when
+    * the corpus is 100 TB. Unioning to the smaller root keeps the
+    * invariant component id = min member id — identical output to the
+    * distributed rounds (spec-checked). `localThreshold = 0` forces the
+    * distributed path. */
   def connectedComponents(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame =
-    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter, checkpointDir)._1
+      maxIter: Int = 30, checkpointDir: Option[String] = None,
+      localThreshold: Long = 1000000L): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter, checkpointDir, localThreshold)._1
 
   private[operators] def connectedComponentsWithRounds(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 30, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+      maxIter: Int = 30, checkpointDir: Option[String] = None,
+      localThreshold: Long = 1000000L): (DataFrame, Int) = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
@@ -268,6 +282,29 @@ object DataFramePregel {
     var prev = checksum(e)
     var rounds = 0
     var converged = prev._1 == 0
+
+    if (!converged && prev._1 <= localThreshold) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent.update(c, r); c = n }
+        r
+      }
+      e.select(col("u"), col("v")).collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // attach the larger root under the smaller: root stays the min id
+          if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        }
+      }
+      val assignments = parent.keysIterator.map(v => (v, find(v))).toSeq
+      val assigned = allV
+        .join(assignments.toDF("vid", "component"), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("component"), col("vid")).as("component"))
+      return (assigned, 0)
+    }
     while (rounds < maxIter && !converged) {
       // ---- large-star: (v, min(N(u) ∪ {u})) for every neighbor v > u
       val und = e.select(col("u"), col("v"))

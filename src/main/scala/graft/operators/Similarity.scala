@@ -125,8 +125,15 @@ object Similarity {
   def trainIvf(
       corpus: DataFrame, vecCol: String, nCells: Int,
       seed: Long = 42L, sampleRows: Int = 100000, iters: Int = 10): IvfModel = {
+    // Deterministic, layout-independent sample: a bare limit() returns
+    // whichever partitions answer first, so the trained centroids would
+    // depend on file layout/parallelism. Ordering by a content hash of the
+    // vector makes the sample a pure function of corpus CONTENT (Spark
+    // plans orderBy+limit as TakeOrderedAndProject — a top-k per
+    // partition + merge, not a full sort).
     val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>"))
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(to_json(col("__v"))).asc)
       .limit(sampleRows)
       .collect()
       .map(_.getSeq[Double](0).toArray)

@@ -47,20 +47,36 @@ object TopK {
         case (x: java.lang.Float, y: java.lang.Float)     => x.compareTo(y)
         case (x: java.lang.Double, y: java.lang.Double)   => x.compareTo(y)
         case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+        case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+        case (x: String, y: String)                       => x.compareTo(y)
+        case (x: java.sql.Date, y: java.sql.Date)         => x.compareTo(y)
+        case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+        case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
+        case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
         case (x, _) => throw new IllegalArgumentException(
           s"unsupported ordering column type: ${x.getClass.getName}")
       }
-      // \u0001 separator: never appears in printable data and, unlike a
-      // NUL literal, keeps this source file text to git; unlike a space it
-      // cannot collide with values containing spaces
-      def tieKey(r: Row): String =
-        tieIdx.map(i => String.valueOf(r.getAs[Any](i))).mkString("\u0001")
-      // min-heap: the WORST row (smallest ord, then largest tie key) gets
-      // the highest priority so dequeue() drops it
+      // Tie-break comparison is TYPED per column, same comparator as the
+      // ordering column: the exact window pass sorts tie columns typed
+      // ascending, and a lexicographic fallback diverges for numerics
+      // ("10" < "9") — the local prune could then evict a row the window
+      // would keep when >k rows tie on ordCol.
+      def cmpTie(a: Row, b: Row): Int = {
+        var i = 0
+        while (i < tieIdx.length) {
+          val c = cmpOrdValue(a.getAs[Any](tieIdx(i)), b.getAs[Any](tieIdx(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+      // min-heap: the WORST row (smallest ord, then largest tie value —
+      // the window sorts ties ascending, so larger loses) gets the highest
+      // priority so dequeue() drops it
       implicit val ord: Ordering[Row] = new Ordering[Row] {
         def compare(a: Row, b: Row): Int = {
           val c = -cmpOrdValue(a.getAs[Any](ordIdx), b.getAs[Any](ordIdx))
-          if (c != 0) c else tieKey(a).compareTo(tieKey(b))
+          if (c != 0) c else cmpTie(a, b)
         }
       }
       it.foreach { r =>

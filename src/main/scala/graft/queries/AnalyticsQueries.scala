@@ -15,8 +15,18 @@ object AnalyticsQueries {
   def pagerank(s: SparkSession, dir: String): DataFrame =
     GraphAnalytics.pageRank(TpchGraph.load(s, dir), numIter = 10)
 
-  def connectedComponents(s: SparkSession, dir: String): DataFrame =
-    GraphAnalytics.connectedComponents(TpchGraph.load(s, dir))
+  /** Connected components over the unified graph via the DataFrame scale
+    * path (star rounds + adaptive local fallback). Output is identical to
+    * GraphX's connectedComponents — both label every vertex with the
+    * minimum global vid of its component (GraphX/DF agreement is
+    * spec-checked); the GraphX operator stays available as
+    * [[GraphAnalytics.connectedComponents]]. */
+  def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    GraphAnalytics.decode(
+      DataFramePregel.connectedComponents(edges), "vid", labels)
+      .select(col("label"), col("node_id"), col("component"))
+  }
 
   /** Triangle counts over the part co-occurrence graph (parts sharing an
     * order). The raw TPC-H-mapped graph is multipartite by label — it has

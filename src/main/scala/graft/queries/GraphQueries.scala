@@ -262,21 +262,24 @@ object GraphQueries {
   def modelMappings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_model_mappings").toString
-    val g = TpchGraph.load(s, dir)
-    // distributed (multi-part) CSV write — the only mode that holds at
-    // scale; the single-file rename path keeps its own spec coverage
-    graft.export.GraphExporter.exportAll(g, out, singleFileCsv = false, createZip = true)
-    val re = graft.export.GraphImporter.fromPackage(s, out)
-    val nodeRows = re.schema.labels.map { ls =>
-      ("node", ls.label, s"${ls.label}.csv", ls.identifier,
-        re.nodes(ls.label).columns.length.toLong)
-    }
-    val relRows = re.schema.rels.map { rs =>
-      val df = re.rels(rs.pattern)
-      ("rel", rs.pattern.key, s"${rs.pattern.key}.csv",
-        df.columns.take(2).mkString("->"), df.columns.length.toLong)
-    }
-    (nodeRows ++ relRows).toDF("kind", "name", "csv_file", "key_property", "n_columns")
+    try {
+      val g = TpchGraph.load(s, dir)
+      // distributed (multi-part) CSV write — the only mode that holds at
+      // scale; the single-file rename path keeps its own spec coverage
+      graft.export.GraphExporter.exportAll(g, out, singleFileCsv = false, createZip = true)
+      val re = graft.export.GraphImporter.fromPackage(s, out)
+      val nodeRows = re.schema.labels.map { ls =>
+        ("node", ls.label, s"${ls.label}.csv", ls.identifier,
+          re.nodes(ls.label).columns.length.toLong)
+      }
+      val relRows = re.schema.rels.map { rs =>
+        val df = re.rels(rs.pattern)
+        ("rel", rs.pattern.key, s"${rs.pattern.key}.csv",
+          df.columns.take(2).mkString("->"), df.columns.length.toLong)
+      }
+      // the result is a driver-local literal — the package dir is done
+      (nodeRows ++ relRows).toDF("kind", "name", "csv_file", "key_property", "n_columns")
+    } finally graft.tools.Fs.deleteRecursively(out)
   }
 
   /** Path-pattern matching compiled to joins: every Customer→Order→Part
@@ -297,6 +300,7 @@ object GraphQueries {
   def graphIoRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pgio").toString
+    try {
     val g = TpchGraph.load(s, dir)
     // lineitem-free subgraph: the layout/manifest/round-trip machinery is
     // fully exercised by 5 labels + 4 patterns; re-writing the two
@@ -317,7 +321,9 @@ object GraphQueries {
     val re = graft.model.PropertyGraphIO.load(s, root)
     val nodeRows = re.nodes.toSeq.map { case (label, df) => ("node", label, df.count()) }
     val relRows = re.rels.toSeq.map { case (p, df) => ("rel", p.key, df.count()) }
+    // counts are materialized above — the at-rest layout can be reclaimed
     (nodeRows ++ relRows).toDF("kind", "name", "n_rows")
+    } finally graft.tools.Fs.deleteRecursively(root)
   }
 
   /** All three importer-model format generators, driver-checked: generate

@@ -42,15 +42,34 @@ class GraphAnalyticsSpec extends SparkTestBase {
     // ~255 rounds; large-star/small-star must finish in O(log n)
     val n = 256L
     val chain = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
-    val (df, rounds) = DataFramePregel.connectedComponentsWithRounds(chain, "src", "dst", maxIter = 30)
+    // localThreshold = 0 forces the distributed star rounds (the adaptive
+    // fallback would otherwise solve a 255-edge graph on the driver)
+    val (df, rounds) = DataFramePregel.connectedComponentsWithRounds(
+      chain, "src", "dst", maxIter = 30, localThreshold = 0L)
     val comps = df.as[(Long, Long)].collect()
     assert(comps.length == n && comps.forall(_._2 == 1L))
-    assert(rounds <= 12, s"expected O(log n) rounds on a 256-chain, got $rounds")
+    assert(rounds > 0 && rounds <= 12, s"expected O(log n) rounds on a 256-chain, got $rounds")
 
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val reliable = DataFramePregel.connectedComponents(chain, "src", "dst",
-      checkpointDir = Some(ckptDir)).as[(Long, Long)].collect().toSet
+      checkpointDir = Some(ckptDir), localThreshold = 0L).as[(Long, Long)].collect().toSet
     assert(reliable == comps.toSet)
+  }
+
+  test("local union-find fallback agrees with the distributed star rounds") {
+    val rnd = new scala.util.Random(11)
+    // random sparse graph + a long chain + singleton-producing self-loop
+    val edges = (Seq.tabulate(300)(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)) ++
+      (500L until 540L).map(i => (i, i + 1)) :+ (900L, 900L))
+      .toDF("src", "dst")
+    val local = DataFramePregel.connectedComponents(edges) // default threshold → local
+      .as[(Long, Long)].collect().toSet
+    val dist = DataFramePregel.connectedComponents(edges, localThreshold = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
+    // min-id invariant: every component id is a member of its own component
+    val byComp = local.groupBy(_._2)
+    byComp.foreach { case (cid, members) => assert(members.map(_._1).min == cid) }
   }
 
   test("triangle counts: one triangle, hand-computed") {

@@ -30,4 +30,27 @@ class TopKSpec extends SparkTestBase {
       .select("name").as[String].collect().toSet
     assert(got == Set("a", "b"))
   }
+
+  test("numeric tie-breaks compare typed, not lexicographically") {
+    // All rows tie on ord within one key; the window keeps the k smallest
+    // tie values NUMERICALLY (asc). A lexicographic prune would keep
+    // id=10 ("10" < "9") and evict id=9 when >k tied rows share a
+    // partition — coalesce(1) forces exactly that layout.
+    val df = Seq.tabulate(12)(i => (1L, 5.0, (i + 3).toLong)) // ids 3..14
+      .toDF("k", "ord", "id").coalesce(1)
+    val got = TopK.perKey(df, "k", "ord", k = 2, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L))
+  }
+
+  test("mixed-type tie-break columns (string, date) match the window pass") {
+    val d = java.sql.Date.valueOf(_: String)
+    val df = Seq(
+      (1L, 7.0, "x", d("2024-01-02")), (1L, 7.0, "x", d("2024-01-01")),
+      (1L, 7.0, "a", d("2024-06-01")), (1L, 7.0, "x", d("2024-01-03")))
+      .toDF("k", "ord", "s", "dt").coalesce(1)
+    val got = TopK.perKey(df, "k", "ord", k = 2, tieBreak = Seq("s", "dt"))
+      .select("s", "dt").as[(String, java.sql.Date)].collect().toSet
+    assert(got == Set(("a", d("2024-06-01")), ("x", d("2024-01-01"))))
+  }
 }
