@@ -175,6 +175,45 @@ object GraphAnalytics {
     ranks
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, "Near linear time algorithm to detect community structures"):
+    * every vertex starts in its own community and each round
+    * simultaneously adopts the most frequent community among its
+    * neighbors (ties → smallest community id — deterministic, unlike the
+    * textbook's random tie-break). Runs a FIXED number of rounds: the
+    * synchronous update oscillates on bipartite structures, so
+    * convergence is not guaranteed and fixed rounds is the standard batch
+    * form. Per round: one equi-join of the undirected edge list against
+    * the label table and two aggregations — all shuffles on vertex ids,
+    * AQE-skew-safe, nothing driver-side. Distinct from connected
+    * components: CC gives the coarsest partition; LPA finds denser
+    * sub-communities inside components.
+    *
+    * The deterministic max is `max(struct(n, -community))` — lexicographic
+    * struct ordering picks highest count, then smallest community id. */
+  def labelPropagationDF(edges: DataFrame, numIter: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(numIter >= 1, "numIter must be >= 1")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("u").as("vid")).distinct()
+      .withColumn("community", col("vid"))
+    (1 to numIter).foreach { i =>
+      val next = und.join(labels, und("v") === labels("vid"))
+        .groupBy(und("u"), col("community")).agg(count(lit(1)).as("n"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("n"), (-col("community")).as("negc"))).as("m"))
+        .select(col("u").as("vid"), (-col("m.negc")).as("community"))
+      // truncate lineage every other round — plans stay O(1), and the
+      // odd-round plan (one join + two aggs on a checkpointed input) is
+      // still small enough to skip the materialization cost
+      labels = if (i % 2 == 0 || i == numIter) next.localCheckpoint(true) else next
+    }
+    labels
+  }
+
   /** Degree distribution of the unified graph: how many vertices have each
     * (in+out) degree — the classic first look at any 100 TB graph. */
   def degreeDistribution(g: PropertyGraph): DataFrame = {

@@ -40,14 +40,21 @@ object AnalyticsQueries {
       .select(lit("Part").as("label"), col("vid").as("node_id"), col("triangles"))
   }
 
-  /** DataFrame-Pregel connected components over the unified edge list —
-    * the RDD-free scale path; must agree with GraphX (checked in spec). */
+  /** Label-propagation community detection over the unified graph: 5
+    * synchronous rounds of most-frequent-neighbor-community adoption
+    * (ties → smallest id). Unlike connected components (the coarsest
+    * partition, see g_connected_components), LPA exposes denser
+    * sub-communities. Deterministic, fixed-round → fully
+    * SQL-expressible: the oracle replays the identical rounds as chained
+    * CTEs. */
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
     val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
     GraphAnalytics.decode(
-      DataFramePregel.connectedComponents(edges), "vid", labels)
-      .select(col("label"), col("node_id"), col("component"))
+      GraphAnalytics.labelPropagationDF(edges, numIter = LpaRounds), "vid", labels)
+      .select(col("label"), col("node_id"), col("community"))
   }
+
+  private val LpaRounds = 5
 
   def degreeDistribution(s: SparkSession, dir: String): DataFrame =
     GraphAnalytics.degreeDistribution(TpchGraph.load(s, dir))
@@ -61,7 +68,52 @@ object AnalyticsQueries {
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
+  private val UnifiedEdgesSql =
+    """  SELECT n_nationkey + 1*17592186044416 AS src, n_regionkey + 4*17592186044416 AS dst
+      |    FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
+      |  UNION ALL SELECT c_custkey, c_nationkey + 1*17592186044416
+      |    FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+      |  UNION ALL SELECT s_suppkey + 5*17592186044416, s_nationkey + 1*17592186044416
+      |    FROM supplier WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
+      |  UNION ALL SELECT o_custkey, o_orderkey + 2*17592186044416
+      |    FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+      |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_partkey + 3*17592186044416
+      |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_suppkey + 5*17592186044416
+      |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL""".stripMargin
+
+  /** The LPA oracle replays labelPropagationDF's rounds as chained CTEs:
+    * round i picks, per vertex, the (max count, then min community)
+    * neighbor community of round i−1 — `row_number() OVER (ORDER BY n
+    * DESC, community ASC)` in SQL ≡ `max(struct(n, -community))` in
+    * Spark; all values are integers, so the hash comparison is exact. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n), "
+    sb ++= """und AS (SELECT DISTINCT u, v FROM (
+             |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+             |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+             |l0 AS (SELECT DISTINCT u AS vid, u AS community FROM und)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |c$i AS (SELECT und.u AS u, l.community AS community, count(*) AS n
+                |  FROM und JOIN l${i - 1} l ON und.v = l.vid GROUP BY 1, 2),
+                |l$i AS (SELECT u AS vid, community FROM (
+                |  SELECT u, community,
+                |    row_number() OVER (PARTITION BY u ORDER BY n DESC, community ASC) AS rn
+                |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  vid % 17592186044416 AS node_id, community
+              |FROM l$rounds""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_label_propagation" -> lpaOracleSql(LpaRounds),
     "g_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
         |sized AS (SELECT g, item FROM (
@@ -77,19 +129,8 @@ object AnalyticsQueries {
         |FROM verts LEFT JOIN (SELECT vid, count(*) AS cnt FROM pv GROUP BY vid) t
         |  ON t.vid = verts.vid""".stripMargin,
     "g_degree_distribution" ->
-      """WITH e AS (
-        |  SELECT n_nationkey + 1*17592186044416 AS src, n_regionkey + 4*17592186044416 AS dst
-        |    FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
-        |  UNION ALL SELECT c_custkey, c_nationkey + 1*17592186044416
-        |    FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
-        |  UNION ALL SELECT s_suppkey + 5*17592186044416, s_nationkey + 1*17592186044416
-        |    FROM supplier WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
-        |  UNION ALL SELECT o_custkey, o_orderkey + 2*17592186044416
-        |    FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
-        |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_partkey + 3*17592186044416
-        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-        |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_suppkey + 5*17592186044416
-        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+      s"""WITH e AS (
+        |$UnifiedEdgesSql
         |), d AS (
         |  SELECT vid, count(*) AS degree FROM (
         |    SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY vid)

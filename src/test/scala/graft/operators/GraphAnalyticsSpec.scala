@@ -72,6 +72,26 @@ class GraphAnalyticsSpec extends SparkTestBase {
     byComp.foreach { case (cid, members) => assert(members.map(_._1).min == cid) }
   }
 
+  test("label propagation: barbell graph splits one component into two communities") {
+    // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10: connected
+    // components would merge everything into one; LPA keeps two dense
+    // communities. Hand-computed synchronous rounds (ties -> min id):
+    //   r1: 1->2 2->1 3->1 10->3 11->10 12->10
+    //   r2: 1->1 2->1 3->1 10->10 11->3 12->3
+    //   r3: 1->1 2->1 3->1 10->3  11->3 12->3   (stable from here)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.labelPropagationDF(edges, numIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // disconnected triangles converge to per-component minimum labels
+    val two = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("src", "dst")
+    val sep = GraphAnalytics.labelPropagationDF(two, numIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(sep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("triangle counts: one triangle, hand-computed") {
     // single-label triangle 1-2-3 plus pendant 4
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("nid")
