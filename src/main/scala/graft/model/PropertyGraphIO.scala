@@ -15,10 +15,50 @@ import org.apache.spark.sql.functions._
   * time means later endpoint joins and degree aggregations start
   * co-partitioned — the "pay the shuffle once" layout for a graph that is
   * written once and queried many times.
+  *
+  * Mutation path: [[upsertNodes]]/[[upsertRels]] merge a batch into a
+  * table copy-on-write — the merged table is written to a NEW generation
+  * directory (`gen-N/`) and a `_current` pointer file flips to it, so
+  * readers of the previous generation are never disturbed and a failed
+  * write leaves the pointer (and therefore the table) untouched. This is
+  * the Delta/Iceberg snapshot recipe reduced to its minimal form; a
+  * production deployment would swap the pointer file for a transactional
+  * catalog entry, which is exactly the role the pointer isolates.
+  * Superseded generations are reclaimed with [[vacuum]].
   */
 object PropertyGraphIO {
   import graft.export.{JArr, JObj, JStr, JValue, JsonParser}
   import JsonParser.JOps
+
+  private val CurrentPtr = "_current"
+
+  /** Resolve a table's active data directory: the generation named by
+    * `_current` when present, else the flat (generation-less) layout
+    * `save` writes. */
+  private def currentDir(tableRoot: String): String = {
+    val ptr = java.nio.file.Paths.get(tableRoot, CurrentPtr)
+    if (java.nio.file.Files.exists(ptr))
+      s"$tableRoot/${java.nio.file.Files.readString(ptr).trim}"
+    else tableRoot
+  }
+
+  /** Write `df` as the table's next generation and atomically flip the
+    * `_current` pointer (write-temp + ATOMIC_MOVE). */
+  private def writeGeneration(tableRoot: String, df: org.apache.spark.sql.DataFrame,
+      partitionKey: String, bucketsPerTable: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ptr = Paths.get(tableRoot, CurrentPtr)
+    val next =
+      if (Files.exists(ptr)) {
+        val cur = Files.readString(ptr).trim
+        s"gen-${cur.stripPrefix("gen-").toLong + 1}"
+      } else "gen-1"
+    val out = if (bucketsPerTable > 0) df.repartition(bucketsPerTable, col(partitionKey)) else df
+    out.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$next")
+    val tmp = Paths.get(tableRoot, s".$CurrentPtr.tmp")
+    Files.writeString(tmp, next + "\n")
+    Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   def save(g: PropertyGraph, root: String, bucketsPerTable: Int = 0): Unit = {
     g.schema.labels.foreach { ls =>
@@ -43,17 +83,91 @@ object PropertyGraphIO {
       java.nio.file.Paths.get(root, "_schema.json"), schemaJson.render() + "\n")
   }
 
+  /** Upsert `batch` into label `label`'s node table: batch rows whose
+    * identifier matches an existing row REPLACE it, new identifiers
+    * append (the Cypher MERGE + SET semantics of the reference's source
+    * database, expressed as one co-partitioned anti-join + union over the
+    * at-rest layout — neo4j_export.py reads from a store maintained this
+    * way). The batch must carry the table's schema; duplicate ids within
+    * a batch are rejected (a batch is a set of final states, not a log —
+    * last-write-wins inside one batch would depend on row order). */
+  def upsertNodes(spark: SparkSession, root: String, label: String,
+      batch: org.apache.spark.sql.DataFrame, bucketsPerTable: Int = 0): Unit = {
+    val idCol = schemaOf(root).labels.find(_.label == label)
+      .getOrElse(throw new IllegalArgumentException(s"unknown label: $label")).identifier
+    upsertTable(spark, s"$root/nodes/$label", Seq(idCol), batch, idCol, bucketsPerTable)
+  }
+
+  /** Upsert `batch` into a relationship table; the endpoint pair (the
+    * first two columns) is the merge key. */
+  def upsertRels(spark: SparkSession, root: String, patternKey: String,
+      batch: org.apache.spark.sql.DataFrame, bucketsPerTable: Int = 0): Unit = {
+    val tableRoot = s"$root/rels/$patternKey"
+    val keyCols = spark.read.parquet(currentDir(tableRoot)).columns.take(2).toSeq
+    upsertTable(spark, tableRoot, keyCols, batch, keyCols.head, bucketsPerTable)
+  }
+
+  private def upsertTable(spark: SparkSession, tableRoot: String, keyCols: Seq[String],
+      batch: org.apache.spark.sql.DataFrame, partitionKey: String, bucketsPerTable: Int): Unit = {
+    val cur = spark.read.parquet(currentDir(tableRoot))
+    require(batch.columns.toSet == cur.columns.toSet,
+      s"batch schema ${batch.columns.toSeq} must match table schema ${cur.columns.toSeq}")
+    val aligned = batch.select(cur.columns.map(col).toSeq: _*)
+    val dups = aligned.groupBy(keyCols.map(col): _*).count().where(col("count") > 1).limit(1).count()
+    require(dups == 0, s"batch contains duplicate merge keys on ${keyCols.mkString(",")}")
+    val merged = cur
+      .join(aligned.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      .unionByName(aligned)
+    writeGeneration(tableRoot, merged, partitionKey, bucketsPerTable)
+  }
+
+  /** Delete every superseded generation directory under `root`, keeping
+    * each table's `_current` target (and legacy flat files). */
+  def vacuum(root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return
+    Seq("nodes", "rels").map(rootPath.resolve).filter(Files.isDirectory(_)).foreach { kind =>
+      val tables = Files.list(kind)
+      try tables.forEach { tableRoot =>
+        val ptr = tableRoot.resolve(CurrentPtr)
+        if (Files.exists(ptr)) {
+          val keep = Files.readString(ptr).trim
+          val gens = Files.list(tableRoot)
+          try gens.forEach { child =>
+            val name = child.getFileName.toString
+            if (name.startsWith("gen-") && name != keep)
+              graft.tools.Fs.deleteRecursively(child.toString)
+          } finally gens.close()
+        }
+      } finally tables.close()
+    }
+  }
+
+  /** Parse the schema manifest alone (no table reads). */
+  private def schemaOf(root: String): GraphSchema = {
+    val schemaJson = JsonParser.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(root, "_schema.json")))
+    GraphSchema(
+      labels = (schemaJson / "labels").items.map(l =>
+        LabelSchema((l / "label").str, (l / "identifier").str, Nil)),
+      rels = (schemaJson / "rels").items.map { r =>
+        RelSchema(RelPattern((r / "src").str, (r / "relType").str, (r / "dst").str),
+          (r / "srcIdProp").str, (r / "dstIdProp").str, Nil)
+      })
+  }
+
   def load(spark: SparkSession, root: String): PropertyGraph = {
     val schemaJson = JsonParser.parse(
       java.nio.file.Files.readString(java.nio.file.Paths.get(root, "_schema.json")))
     val labels = (schemaJson / "labels").items.map { l =>
       val label = (l / "label").str
-      val df = spark.read.parquet(s"$root/nodes/$label")
+      val df = spark.read.parquet(currentDir(s"$root/nodes/$label"))
       (label, (l / "identifier").str, df)
     }
     val rels = (schemaJson / "rels").items.map { r =>
       val pattern = RelPattern((r / "src").str, (r / "relType").str, (r / "dst").str)
-      val df = spark.read.parquet(s"$root/rels/${pattern.key}")
+      val df = spark.read.parquet(currentDir(s"$root/rels/${pattern.key}"))
       val rs = RelSchema(pattern, (r / "srcIdProp").str, (r / "dstIdProp").str,
         df.columns.drop(2).toSeq.map(c => PropertyMeta(c,
           graft.schema.TypeInference.fromCatalyst(df.schema(c).dataType), df.schema(c).nullable)))

@@ -326,6 +326,46 @@ object GraphQueries {
     } finally graft.tools.Fs.deleteRecursively(root)
   }
 
+  /** Incremental mutation path, driver-checked end to end: save a
+    * Nation+Region subgraph to the at-rest layout, upsert a batch that
+    * REWRITES nations 0-4 and APPENDS a new nation 990 (the Cypher
+    * MERGE+SET shape the reference's source store is maintained by), load
+    * the flipped generation back and render the merged table. Any
+    * breakage in generation writing, pointer flipping, anti-join merge
+    * semantics or `_current` resolution surfaces as a row/hash
+    * mismatch. */
+  def graphUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{GraphSchema, LabelSchema, PropertyGraph, PropertyGraphIO, RelPattern, RelSchema}
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    try {
+      val nation = graft.Tables(s, dir, "nation")
+      val region = graft.Tables(s, dir, "region")
+      val pat = RelPattern("Nation", "IN_REGION", "Region")
+      val g = PropertyGraph(
+        nodes = Map("Nation" -> nation, "Region" -> region),
+        rels = Map(pat -> nation.select(
+          col("n_nationkey").as("Nation_n_nationkey"),
+          col("n_regionkey").as("Region_r_regionkey"))),
+        schema = GraphSchema(
+          labels = Seq(LabelSchema("Nation", "n_nationkey", Nil),
+            LabelSchema("Region", "r_regionkey", Nil)),
+          rels = Seq(RelSchema(pat, "n_nationkey", "r_regionkey", Nil))))
+      PropertyGraphIO.save(g, root, bucketsPerTable = 2)
+      val batch = nation.where(col("n_nationkey") < 5)
+        .withColumn("n_name", lit("UPSERTED"))
+        .unionByName(nation.where(col("n_nationkey") === 10)
+          .withColumn("n_nationkey", lit(990))
+          .withColumn("n_name", lit("NEWLAND"))
+          .withColumn("n_regionkey", lit(0)))
+      PropertyGraphIO.upsertNodes(s, root, "Nation", batch, bucketsPerTable = 2)
+      // localCheckpoint materializes the merged generation into block
+      // storage so the scratch dir can be reclaimed under the lazy result
+      PropertyGraphIO.load(s, root).nodes("Nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .localCheckpoint(true)
+    } finally graft.tools.Fs.deleteRecursively(root)
+  }
+
   /** All three importer-model format generators, driver-checked: generate
     * each model from the SAME export metadata (no CSV writes), render to
     * JSON text, parse the text back, and report structural entry counts
@@ -383,6 +423,7 @@ object GraphQueries {
     "g_pattern_filtered" -> (patternFiltered _),
     "g_model_versions" -> (modelVersions _),
     "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
+    "g_graph_upsert" -> (graphUpsert _),
     "g_pattern_match" -> (patternMatch _),
     "g_model_mappings" -> (modelMappings _),
     "g_nodes_customer" -> (nodesCustomer _),
@@ -421,6 +462,12 @@ object GraphQueries {
         |  ('2.4.0-beta.0', 6, 6, 12),
         |  ('0.1.0-beta.0', 6, 6, 6)
         |) AS t(version, n_node_entries, n_rel_entries, n_table_entries)""".stripMargin,
+    "g_graph_upsert" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey < 5 THEN 'UPSERTED' ELSE n_name END AS n_name,
+        |  n_regionkey
+        |FROM nation
+        |UNION ALL SELECT 990, 'NEWLAND', 0""".stripMargin,
     "g_graph_io_roundtrip" ->
       """SELECT 'node' AS kind, 'Region' AS name, COUNT(*) AS n_rows FROM region WHERE r_regionkey IS NOT NULL
         |UNION ALL SELECT 'node', 'Nation', COUNT(*) FROM nation WHERE n_nationkey IS NOT NULL

@@ -18,4 +18,61 @@ class PropertyGraphIOSpec extends SparkTestBase {
     assert(g1.rels(p).count() == g0.rels(p).count())
     assert(g1.rels(p).columns.take(2).toSeq == Seq("Order_o_orderkey", "Part_p_partkey"))
   }
+
+  test("upsert replaces matched ids, appends new ones, old generation survives until vacuum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val g0 = TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft-pgio-upsert").toString
+    PropertyGraphIO.save(g0, root, bucketsPerTable = 2)
+    val nation = g0.nodes("Nation")
+    val n0 = nation.count()
+
+    // batch: rewrite nations 0 and 1, add nation 990
+    val batch = nation.where(col("n_nationkey") < 2)
+      .withColumn("n_name", org.apache.spark.sql.functions.lit("REWRITTEN"))
+      .unionByName(nation.where(col("n_nationkey") === 3)
+        .withColumn("n_nationkey", org.apache.spark.sql.functions.lit(990L)))
+    PropertyGraphIO.upsertNodes(spark, root, "Nation", batch, bucketsPerTable = 2)
+
+    val g1 = PropertyGraphIO.load(spark, root)
+    val after = g1.nodes("Nation")
+    assert(after.count() == n0 + 1)
+    assert(after.where(col("n_name") === "REWRITTEN").count() == 2)
+    assert(after.where(col("n_nationkey") === 990L).count() == 1)
+    // unmatched rows untouched
+    assert(after.where(col("n_nationkey") === 5L).count() == 1)
+
+    // a second upsert stacks on the first; duplicate keys in a batch reject
+    val batch2 = after.where(col("n_nationkey") === 990L)
+      .withColumn("n_name", org.apache.spark.sql.functions.lit("V2"))
+    PropertyGraphIO.upsertNodes(spark, root, "Nation", batch2, bucketsPerTable = 2)
+    val g2 = PropertyGraphIO.load(spark, root)
+    assert(g2.nodes("Nation").where(col("n_name") === "V2").count() == 1)
+    assert(g2.nodes("Nation").count() == n0 + 1)
+    intercept[IllegalArgumentException] {
+      PropertyGraphIO.upsertNodes(spark, root, "Nation", batch2.unionByName(batch2))
+    }
+
+    // rel upsert keyed on the endpoint pair
+    val p = RelPattern("Customer", "IN_NATION", "Nation")
+    val relsBefore = g2.rels(p).count()
+    val relBatch = g2.rels(p).limit(1)
+      .withColumn("Nation_n_nationkey", org.apache.spark.sql.functions.lit(990L))
+    PropertyGraphIO.upsertRels(spark, root, p.key, relBatch)
+    assert(PropertyGraphIO.load(spark, root).rels(p).count() == relsBefore + 1)
+
+    // vacuum drops superseded generations, keeps the live one
+    val tableRoot = java.nio.file.Paths.get(root, "nodes", "Nation")
+    def gens() = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(tableRoot)
+      try s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("gen-")).toSet
+      finally s.close()
+    }
+    assert(gens() == Set("gen-1", "gen-2"))
+    PropertyGraphIO.vacuum(root)
+    assert(gens() == Set("gen-2"))
+    assert(PropertyGraphIO.load(spark, root).nodes("Nation").count() == n0 + 1)
+  }
 }
