@@ -284,16 +284,20 @@ object DataFramePregel {
     * the corpus is 100 TB. Unioning to the smaller root keeps the
     * invariant component id = min member id — identical output to the
     * distributed rounds (spec-checked). `localThreshold = 0` forces the
-    * distributed path. */
+    * distributed path. The 4M-edge default is sized to the driver
+    * footprint, not the cluster: 4M canonical edges is 64 MB of raw
+    * longs (a few hundred MB with Row overhead, under default
+    * spark.driver.maxResultSize), while each avoided star round costs
+    * 3-4 shuffles plus two actions of fixed latency. */
   def connectedComponents(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 30, checkpointDir: Option[String] = None,
-      localThreshold: Long = 1000000L): DataFrame =
+      localThreshold: Long = 4000000L): DataFrame =
     connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter, checkpointDir, localThreshold)._1
 
   private[operators] def connectedComponentsWithRounds(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 30, checkpointDir: Option[String] = None,
-      localThreshold: Long = 1000000L): (DataFrame, Int) = {
+      localThreshold: Long = 4000000L): (DataFrame, Int) = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =

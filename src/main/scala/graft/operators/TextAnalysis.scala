@@ -97,6 +97,64 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  // -------------------------------------------------- repetition quality
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", App. A quality filters): heavily repetitive documents are
+    * low-quality training data even when every other signal looks fine.
+    * Per document: token counts, duplicate-token fraction, and the most
+    * frequent word bigram with its occurrence count and fraction of all
+    * bigrams (ties → lexicographically smallest bigram, deterministic).
+    * The bigram count is one explode + two aggregations keyed by (doc,
+    * bigram) — shuffles carry (id, bigram) pairs, never documents. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("__toks"))).cast("long"))
+    val bigrams = base.select(col(idCol),
+      explode(transform(
+        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+        (t, i) => concat(t, lit(" "), get(col("__toks"), i + 1)))).as("bigram"))
+    // deterministic argmax: min(struct(-n, bigram)) = highest count, then
+    // lexicographically smallest bigram
+    val top = bigrams.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("n")).as("negn"), col("bigram").as("bigram"))).as("m"))
+      .select(col(idCol), col("m.bigram").as("top_bigram"), (-col("m.negn")).as("top_bigram_n"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        ratio(col("n_tokens") - col("n_distinct_tokens"), col("n_tokens")).as("dup_token_frac"),
+        col("top_bigram"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        when(col("n_tokens") <= 1, lit(0.0))
+          .otherwise(ratio(coalesce(col("top_bigram_n"), lit(0L)), col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+  }
+
+  // ------------------------------------------------------- PII redaction
+
+  /** PII patterns kept RE2-compatible (simple classes, no lookaround) so
+    * the DuckDB oracle applies the identical regexes. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][-0-9 ()]{6,}[0-9]"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+
+  /** Phone counting runs on email-redacted text: digit runs inside an
+    * email's local part must not double-count as phone numbers. */
+  def phoneCount(emailRedacted: Column): Column =
+    size(regexp_extract_all(emailRedacted, lit(PhonePattern), lit(0))).cast("long")
+
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, EmailPattern, "<EMAIL>")
+
+  /** Redact emails then phone numbers with typed sentinels — the
+    * pre-training PII scrub pass. Pure regexp_replace: codegen'd,
+    * linear in input bytes, no UDFs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(redactEmails(text), PhonePattern, "<PHONE>")
+
   // -------------------------------------------------------- fingerprints
 
   /** Rolling-hash document fingerprint: xxhash64 over the document's

@@ -125,7 +125,35 @@ object TextQueries {
       "doc_id", "text", "split", trainSplit = "train", evalSplit = "eval")
   }
 
+  /** Gopher-style repetition quality signals per document (duplicate-token
+    * fraction, dominant bigram) — the filter that catches boilerplate and
+    * degenerate repetition that length/punctuation signals miss. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TA.repetitionStats(Tables(s, dir, "documents"), "doc_id", "text")
+
+  /** PII scrub pass: the corpus has no natural PII, so a deterministic
+    * email + phone per document is injected first (same constructed-
+    * fixture approach as tx_contamination and the triangle projection),
+    * then redacted — the oracle replays injection AND redaction, so a
+    * regex or sentinel drift fails the hash. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call +1 555 010 "),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val emailRedacted = TA.redactEmails(withPii)
+    d.select(col("doc_id"),
+      TA.emailCount(withPii).as("n_emails"),
+      TA.phoneCount(emailRedacted).as("n_phones"),
+      md5(regexp_replace(emailRedacted, TA.PhonePattern, "<PHONE>")).as("redacted_md5"),
+      length(withPii).cast("long").as("n_chars_before"),
+      length(regexp_replace(emailRedacted, TA.PhonePattern, "<PHONE>")).cast("long").as("n_chars_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_repetition" -> (repetition _),
+    "tx_pii_redact" -> (piiRedact _),
     "tx_split" -> (split _),
     "tx_contamination" -> (contamination _),
     "tx_balanced_sample" -> ((s, dir) => balancedSample(s, dir)),
@@ -171,7 +199,53 @@ object TextQueries {
       |  SELECT 1 FROM fp t WHERE t.split = 'train'
       |    AND t.fingerprint_md5 = e.fingerprint_md5)""".stripMargin
 
+  private val repetitionOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct_tokens, t
+      |  FROM toks),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM base),
+      |cnt AS (SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY 1, 2),
+      |top AS (SELECT doc_id, bigram AS top_bigram, n AS top_bigram_n FROM (
+      |  SELECT doc_id, bigram, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram ASC) AS rn
+      |  FROM cnt) WHERE rn = 1)
+      |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+      |  round(CASE WHEN n_tokens = 0 THEN 0.0
+      |    ELSE CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens END, 6) AS dup_token_frac,
+      |  top.top_bigram,
+      |  CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+      |  round(CASE WHEN n_tokens <= 1 THEN 0.0
+      |    ELSE CAST(COALESCE(top.top_bigram_n, 0) AS DOUBLE) / (n_tokens - 1) END, 6) AS top_bigram_frac
+      |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin
+
+  private val piiOracle: String =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or call +1 555 010 '
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+      |  FROM documents),
+      |er AS (
+      |  SELECT doc_id, s,
+      |    regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS e
+      |  FROM pii)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(e, '\+?[0-9][-0-9 ()]{6,}[0-9]')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(e, '\+?[0-9][-0-9 ()]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5,
+      |  CAST(length(s) AS BIGINT) AS n_chars_before,
+      |  CAST(length(regexp_replace(e, '\+?[0-9][-0-9 ()]{6,}[0-9]', '<PHONE>', 'g')) AS BIGINT) AS n_chars_after
+      |FROM er""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "tx_repetition" -> repetitionOracle,
+    "tx_pii_redact" -> piiOracle,
     "tx_split" -> splitOracle,
     "tx_contamination" -> contaminationOracle,
     "tx_balanced_sample" ->

@@ -91,4 +91,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(q(0) > q(1))
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("repetition stats: hand-computed bigram dominance and duplicate fraction") {
+    // "a b a b a b c": 7 tokens, 3 distinct, bigrams = [a b, b a, a b, b a, a b, b c]
+    // → top bigram "a b" ×3 of 6 bigrams
+    val df = Seq((1L, "a b a b a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double, String, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 7L, 3L, 0.571429, "a b", 3L, 0.5)))
+    // no repeated bigram: deterministic tie-break picks the smallest
+    assert(got(2L) == ((2L, 3L, 3L, 0.0, "x y", 1L, 0.5)))
+  }
+
+  test("pii redaction: emails then phones, counts match replacements") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org or call +1 (555) 010-9988 today"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val red = df.select(col("doc_id"),
+      TextAnalysis.emailCount(col("text")).as("ne"),
+      TextAnalysis.phoneCount(TextAnalysis.redactEmails(col("text"))).as("np"),
+      TextAnalysis.redactPii(col("text")).as("r"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(red(1L)._2 == 1L && red(1L)._3 == 1L)
+    assert(red(1L)._4 == "mail me at <EMAIL> or call <PHONE> today")
+    assert(red(2L) == ((2L, 0L, 0L, "no pii here at all")))
+  }
 }
