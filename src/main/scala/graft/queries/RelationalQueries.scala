@@ -209,6 +209,22 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Exact distributed quantiles of the price distribution per return
+    * flag: Spark's `percentile` (exact, linear interpolation — identical
+    * definition to DuckDB's quantile_cont) over ~600k values/group at
+    * sf0.1. Exact percentile buffers per-group value counts; at 100 TB
+    * the same query swaps in `approx_percentile` (t-digest, bounded
+    * memory) — kept exact here because exactness is what the cross-engine
+    * oracle can check. */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    def p(q: Double, name: String) =
+      round(expr(s"percentile(l_extendedprice, $q)"), 6).as(name)
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"), p(0.9, "p90"), p(0.99, "p99"))
+  }
+
   /** Bounded-memory top-k per key (TopK.perKey): top-3 orders by value per
     * customer. The local heap prunes before the exact window pass — the
     * window's input is ≤ partitions·k rows per key, not every order. */
@@ -239,6 +255,7 @@ object RelationalQueries {
     "g_csv_typed" -> (csvTyped _),
     "q_topk_orders" -> (topkOrders _),
     "q_skew_agg" -> (skewAgg _),
+    "q_quantiles" -> (quantiles _),
     "g_bucketed_join" -> (bucketedJoin _),
     "q6_forecast_revenue" -> (q6 _),
     "q_running_balance" -> (runningBalance _),
@@ -254,6 +271,14 @@ object RelationalQueries {
   private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
 
   val oracles: Map[String, String] = Map(
+    "q_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "g_csv_typed" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_totalprice,
