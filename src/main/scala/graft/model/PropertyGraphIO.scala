@@ -93,8 +93,7 @@ object PropertyGraphIO {
     * last-write-wins inside one batch would depend on row order). */
   def upsertNodes(spark: SparkSession, root: String, label: String,
       batch: org.apache.spark.sql.DataFrame, bucketsPerTable: Int = 0): Unit = {
-    val idCol = schemaOf(root).labels.find(_.label == label)
-      .getOrElse(throw new IllegalArgumentException(s"unknown label: $label")).identifier
+    val idCol = identifierOf(root, label)
     upsertTable(spark, s"$root/nodes/$label", Seq(idCol), batch, idCol, bucketsPerTable)
   }
 
@@ -143,6 +142,12 @@ object PropertyGraphIO {
       } finally tables.close()
     }
   }
+
+  /** The declared identifier property of a label, from the manifest alone
+    * (no table reads) — what streaming upsert sinks key their merges on. */
+  def identifierOf(root: String, label: String): String =
+    schemaOf(root).labels.find(_.label == label)
+      .getOrElse(throw new IllegalArgumentException(s"unknown label: $label")).identifier
 
   /** Parse the schema manifest alone (no table reads). */
   private def schemaOf(root: String): GraphSchema = {

@@ -139,4 +139,32 @@ object EventStreams {
       .option("path", targetDir)
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Streaming MUTATION ingest: merge each micro-batch into a label's
+    * at-rest node table via PropertyGraphIO.upsertNodes — the streaming
+    * twin of the Cypher MERGE+SET loop that maintains the reference's
+    * source store. Within a batch, multiple updates to one key are
+    * reduced to the final state (max `orderCol` wins, deterministic)
+    * before the merge, because a snapshot merge takes one value per key.
+    * Retry safety comes from the merge itself being idempotent: a batch
+    * re-run after a mid-write failure re-merges the same final states
+    * onto keys that already hold them, leaving the table identical (a new
+    * generation with equal content) — unlike a blind append, which would
+    * double rows. */
+  def upsertNodesStream(batches: DataFrame, root: String, label: String,
+      orderCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idCol = graft.model.PropertyGraphIO.identifierOf(root, label)
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col(orderCol).desc, col(idCol))
+        val finalStates = batch
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+        if (!finalStates.isEmpty)
+          graft.model.PropertyGraphIO.upsertNodes(batch.sparkSession, root, label, finalStates)
+      }
+      .start()
+  }
 }

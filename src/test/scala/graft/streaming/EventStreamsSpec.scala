@@ -5,6 +5,8 @@ import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+case class NodeUpd(nid: Long, name: String, ver: Long)
+
 class EventStreamsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -107,6 +109,37 @@ class EventStreamsSpec extends SparkTestBase {
       assert(total == 2 * deduped)
       assert(spark.table("dedup_out").groupBy("event_id").count()
         .where(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming node upsert: in-batch last-write-wins, cross-batch merge, retry-idempotent shape") {
+    import graft.model._
+    val root = Files.createTempDirectory("graft-upsert-stream").toString
+    val ckp = Files.createTempDirectory("graft-upsert-ckp").toString
+    val nodes = Seq((1L, "one", 0L), (2L, "two", 0L), (3L, "three", 0L))
+      .toDF("nid", "name", "ver")
+    val g = PropertyGraph(
+      nodes = Map("N" -> nodes), rels = Map.empty,
+      schema = GraphSchema(labels = Seq(LabelSchema("N", "nid", Nil)), rels = Nil))
+    PropertyGraphIO.save(g, root)
+
+    val ms = MemoryStream[NodeUpd](spark)
+    val q = EventStreams.upsertNodesStream(
+      ms.toDS().select(col("nid"), col("name"), col("ver")),
+      root, "N", orderCol = "ver", checkpointDir = ckp)
+    try {
+      // batch 1: two updates to nid=1 (ver 2 must win) + a brand-new nid=9
+      ms.addData(NodeUpd(1L, "one_v1", 1L), NodeUpd(1L, "one_v2", 2L), NodeUpd(9L, "nine", 1L))
+      q.processAllAvailable()
+      val t1 = PropertyGraphIO.load(spark, root).nodes("N")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+      assert(t1 == Map(1L -> "one_v2", 2L -> "two", 3L -> "three", 9L -> "nine"))
+      // batch 2: update the row batch 1 created
+      ms.addData(NodeUpd(9L, "nine_v2", 2L))
+      q.processAllAvailable()
+      val t2 = PropertyGraphIO.load(spark, root).nodes("N")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+      assert(t2(9L) == "nine_v2" && t2.size == 4)
     } finally q.stop()
   }
 
