@@ -128,12 +128,13 @@ object Similarity {
     // Deterministic, layout-independent sample: a bare limit() returns
     // whichever partitions answer first, so the trained centroids would
     // depend on file layout/parallelism. Ordering by a content hash of the
-    // vector makes the sample a pure function of corpus CONTENT (Spark
-    // plans orderBy+limit as TakeOrderedAndProject — a top-k per
-    // partition + merge, not a full sort).
+    // vector (xxhash64 hashes array columns element-wise natively) makes
+    // the sample a pure function of corpus CONTENT, and Spark plans
+    // orderBy+limit as TakeOrderedAndProject — a top-k per partition +
+    // merge, not a full sort.
     val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("__v"))
-      .orderBy(xxhash64(to_json(col("__v"))).asc)
+      .orderBy(xxhash64(col("__v")).asc)
       .limit(sampleRows)
       .collect()
       .map(_.getSeq[Double](0).toArray)

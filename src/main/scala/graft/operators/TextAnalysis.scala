@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions (SURVEY §2.8) — all built from codegen'd
@@ -129,6 +130,91 @@ object TextAnalysis {
         when(col("n_tokens") <= 1, lit(0.0))
           .otherwise(ratio(coalesce(col("top_bigram_n"), lit(0L)), col("n_tokens") - 1))
           .as("top_bigram_frac"))
+  }
+
+  // ----------------------------------------------------------- chunking
+
+  /** Fixed-size overlapping character chunks — the RAG/pretraining
+    * chunker. Chunk starts are 1, 1+stride, … while ≤ len (tail chunks run
+    * shorter than `size`), so every character is covered and consecutive
+    * chunks overlap by size − stride chars. One `sequence` + `explode`:
+    * the expansion is columnar, codegen'd, and shuffles nothing. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 200, stride: Int = 150): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    df.select(col(idCol), col(textCol).as("__t"))
+      .where(length(col("__t")) > 0)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), length(col("__t")), lit(stride))).as("__start"))
+      .select(col(idCol),
+        ((col("__start") - 1) / stride).cast("long").as("chunk_id"),
+        length(col("__t").substr(col("__start"), lit(size))).cast("long").as("n_chars"),
+        md5(col("__t").substr(col("__start"), lit(size))).as("chunk_md5"))
+  }
+
+  // ------------------------------------------------- unigram LM scoring
+
+  /** Corpus-unigram negative log-likelihood per document — the perplexity
+    * proxy pretraining pipelines filter on (high avg −log p(token) =
+    * surprising/unnatural text). Two passes: a corpus-wide token
+    * frequency table (one groupBy over exploded tokens), then per-doc
+    * scoring via an equi-join on token.
+    *
+    * Cross-engine determinism: each token's −ln(p) is rounded to 6
+    * decimals and summed as DECIMAL(18,6) — decimal addition is exact and
+    * order-independent, where double summation would depend on
+    * aggregation order and never hash-match another engine. */
+  def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("total"))
+    val scored = toks.join(freq, "tok").crossJoin(broadcast(total))
+      .withColumn("neg_logp",
+        round(-log(col("n").cast("double") / col("total").cast("double")), 6)
+          .cast("decimal(18,6)"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("neg_logp")).cast("double") / count(lit(1))), 6).as("avg_neg_logprob"))
+  }
+
+  // ------------------------------------------- temperature resampling
+
+  /** Temperature-resampled corpus composition (the mT5/Pile recipe):
+    * target language share q_l ∝ p_l^alpha flattens the natural
+    * distribution p_l, upsampling rare languages. Realized as
+    * deterministic per-document acceptance — md5-bucket(doc id) <
+    * per-language threshold — where thresholds a_l = K·q_l/p_l (K sized
+    * so the largest rate is 1) give expected composition ∝ q_l without
+    * any rand(): the same documents survive on every run, reshard, and
+    * engine. Returns per-language (n_in, accept_threshold, n_sampled). */
+  def temperatureSample(df: DataFrame, idCol: String, langCol: String,
+      alpha: Double = 0.3): DataFrame = {
+    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("n_in"))
+    val withP = counts
+      .withColumn("total", sum(col("n_in")).over(Window.partitionBy()))
+      .withColumn("p", col("n_in").cast("double") / col("total").cast("double"))
+      // q_raw quantized to 6dp and summed as decimal: exact,
+      // order-independent normalization (a double sum would depend on
+      // window aggregation order and diverge across engines)
+      .withColumn("q_raw", round(pow(col("p"), lit(alpha)), 6).cast("decimal(18,6)"))
+      .withColumn("q", col("q_raw").cast("double") /
+        sum(col("q_raw")).over(Window.partitionBy()).cast("double"))
+      .withColumn("ratio", col("q") / col("p"))
+      .withColumn("rate", col("ratio") / max(col("ratio")).over(Window.partitionBy()))
+      // integer threshold out of 256 md5 buckets, rounded half-up like
+      // round(); 1-ulp pow differences cannot flip it off a .5 boundary
+      .withColumn("accept_thr", round(col("rate") * 256).cast("long"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10).cast("int")
+    val sampled = df.select(col(idCol), col(langCol))
+      .withColumn("__bucket", bucket)
+      .join(withP.select(col(langCol), col("accept_thr")), Seq(langCol))
+      .where(col("__bucket") < col("accept_thr"))
+      .groupBy(col(langCol)).agg(count(lit(1)).as("n_sampled"))
+    withP.select(col(langCol), col("n_in"), col("accept_thr"))
+      .join(sampled, Seq(langCol), "left")
+      .select(col(langCol), col("n_in"), col("accept_thr"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
   }
 
   // ------------------------------------------------------- PII redaction

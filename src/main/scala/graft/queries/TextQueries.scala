@@ -151,7 +151,26 @@ object TextQueries {
       length(regexp_replace(emailRedacted, TA.PhonePattern, "<PHONE>")).cast("long").as("n_chars_after"))
   }
 
+  /** Fixed-size overlapping chunks (200 chars, stride 150) — the
+    * RAG/pretraining chunker; digests instead of chunk text keep the
+    * driver comparator scalar. */
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    TA.chunk(Tables(s, dir, "documents"), "doc_id", "text")
+
+  /** Corpus-unigram negative log-likelihood per document — the perplexity
+    * proxy filter. */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TA.unigramLogprob(Tables(s, dir, "documents"), "doc_id", "text")
+
+  /** Temperature resampling (alpha = 0.3, the mT5 exponent) of the
+    * language mix via deterministic md5-bucket acceptance. */
+  def temperatureSample(s: SparkSession, dir: String): DataFrame =
+    TA.temperatureSample(Tables(s, dir, "documents"), "doc_id", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_chunk" -> (chunk _),
+    "tx_unigram_logprob" -> (unigramLogprob _),
+    "tx_temperature_sample" -> (temperatureSample _),
     "tx_repetition" -> (repetition _),
     "tx_pii_redact" -> (piiRedact _),
     "tx_split" -> (split _),
@@ -243,7 +262,55 @@ object TextQueries {
       |  CAST(length(regexp_replace(e, '\+?[0-9][-0-9 ()]{6,}[0-9]', '<PHONE>', 'g')) AS BIGINT) AS n_chars_after
       |FROM er""".stripMargin
 
+  private val chunkOracle: String =
+    """SELECT doc_id, CAST((s - 1) // 150 AS BIGINT) AS chunk_id,
+      |  CAST(length(substr(text, s, 200)) AS BIGINT) AS n_chars,
+      |  md5(substr(text, s, 200)) AS chunk_md5
+      |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 150)) AS s
+      |      FROM documents WHERE length(text) > 0)""".stripMargin
+
+  private val unigramLogprobOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+      |tot AS (SELECT SUM(n) AS total FROM freq),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(-ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(18,6)) AS v
+      |  FROM toks JOIN freq USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** Mirrors TextAnalysis.temperatureSample step for step; the md5 bucket
+    * reuses the generated hexmap (DuckDB has no base-16 conv). */
+  private val temperatureOracle: String = {
+    val hexvals = (0 until 256).map(i => f"('$i%02x', $i)").mkString(", ")
+    s"""WITH hexmap(hx, val) AS (VALUES $hexvals),
+       |counts AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY lang),
+       |t1 AS (SELECT lang, n_in,
+       |  CAST(n_in AS DOUBLE) / CAST(SUM(n_in) OVER () AS DOUBLE) AS p FROM counts),
+       |t2 AS (SELECT lang, n_in, p,
+       |  CAST(round(pow(p, 0.3), 6) AS DECIMAL(18,6)) AS q_raw FROM t1),
+       |t3 AS (SELECT lang, n_in, p,
+       |  CAST(q_raw AS DOUBLE) / CAST(SUM(q_raw) OVER () AS DOUBLE) AS q FROM t2),
+       |t4 AS (SELECT lang, n_in, q / p AS ratio FROM t3),
+       |t5 AS (SELECT lang, n_in,
+       |  CAST(round(ratio / MAX(ratio) OVER () * 256) AS BIGINT) AS accept_thr FROM t4),
+       |s AS (SELECT d.lang, count(*) AS n_sampled
+       |  FROM documents d
+       |  JOIN hexmap m ON m.hx = substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+       |  JOIN t5 ON t5.lang = d.lang
+       |  WHERE m.val < t5.accept_thr GROUP BY d.lang)
+       |SELECT t5.lang, CAST(t5.n_in AS BIGINT) AS n_in, t5.accept_thr,
+       |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+       |FROM t5 LEFT JOIN s ON s.lang = t5.lang""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "tx_chunk" -> chunkOracle,
+    "tx_unigram_logprob" -> unigramLogprobOracle,
+    "tx_temperature_sample" -> temperatureOracle,
     "tx_repetition" -> repetitionOracle,
     "tx_pii_redact" -> piiOracle,
     "tx_split" -> splitOracle,

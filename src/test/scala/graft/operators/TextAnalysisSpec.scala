@@ -104,6 +104,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2L) == ((2L, 3L, 3L, 0.0, "x y", 1L, 0.5)))
   }
 
+  test("chunking: full coverage, overlap, short tail") {
+    val text = "x" * 350
+    val got = TextAnalysis.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", size = 200, stride = 150)
+      .select("chunk_id", "n_chars").as[(Long, Long)].collect().sortBy(_._1)
+    // starts 1, 151, 301 → lengths 200, 200, 50
+    assert(got.toSeq == Seq((0L, 200L), (1L, 200L), (2L, 50L)))
+    // empty docs produce no chunks
+    assert(TextAnalysis.chunk(Seq((2L, "")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
+  test("unigram logprob: hand-computed corpus frequencies") {
+    // freq: a=3, b=2, total=5; -ln(3/5)→0.510826, -ln(2/5)→0.916291
+    // doc1 = (3·0.510826 + 0.916291)/4 = 0.612192; doc2 = 0.916291
+    val df = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogprob(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((4L, 0.612192)))
+    assert(got(2L) == ((1L, 0.916291)))
+  }
+
+  test("temperature sampling flattens the language mix deterministically") {
+    val df = (0 until 80).map(i => (i.toLong, "en")) ++ (80 until 100).map(i => (i.toLong, "fr"))
+    val got = TextAnalysis.temperatureSample(df.toDF("doc_id", "lang"), "doc_id", "lang")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the rare language keeps everything (threshold saturates at 256);
+    // the dominant language is downsampled
+    assert(got("fr")._3 == 256L && got("fr")._4 == 20L)
+    assert(got("en")._3 < 256L && got("en")._4 < 80L && got("en")._4 > 0L)
+    // deterministic: same input → identical sample
+    val again = TextAnalysis.temperatureSample(df.toDF("doc_id", "lang"), "doc_id", "lang")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("pii redaction: emails then phones, counts match replacements") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@corp.example.org or call +1 (555) 010-9988 today"),
