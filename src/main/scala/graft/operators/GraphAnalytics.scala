@@ -112,13 +112,23 @@ object GraphAnalytics {
     * task. Input edges need not be canonical or self-loop-free; output is
     * (vid, triangles) over every edge endpoint. */
   def triangleCountsDF(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // The canonical edge list feeds FOUR plan branches (both join sides,
+    // the close probe, the vertex universe). Materialize it once —
+    // without this, Spark recomputes the whole upstream plan (e.g. a
+    // co-occurrence projection) per branch: the audit showed 79 exchanges
+    // on g_triangles, ~4x the upstream cost, all duplicate work.
     val canon = edges.where(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val e1 = canon.select(col("u").as("a"), col("v").as("b"))
     val e2 = canon.select(col("u").as("b"), col("v").as("c"))
     val e3 = canon.select(col("u").as("a"), col("v").as("c"))
+    // The triangle set also feeds three union branches, but is NOT
+    // materialized: triangles can vastly outnumber edges (measured 6x
+    // slower checkpointed at sf0.1), and recomputing two hash joins over
+    // the cached canon is cheaper than storing every closed triangle.
     val tris = e1.join(e2, "b").join(e3, Seq("a", "c"), "left_semi")
       .select(col("a"), col("b"), col("c"))
     val perVertex = tris.select(col("a").as("vid"))
