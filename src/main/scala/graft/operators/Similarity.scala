@@ -271,10 +271,16 @@ object Similarity {
       threshold: Double = 0.95, numBits: Int = 12, numTables: Int = 4): DataFrame = {
     val b = (0 until numTables).map(i =>
       struct(lit(i).as("tbl"), lshBucket(col("vec"), dim, numBits, seed = 7L + i).as("bucket")))
+    // Materialize the bucketed projection once: both self-join sides read
+    // it, and without this the numTables x numBits hyperplane dot products
+    // (the expensive generated code) run twice over the corpus. This is
+    // the LSH INDEX — production keeps it persisted; here it lives in
+    // executor storage for the query's lifetime.
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2Norm(col(vecCol)).as("nrm"))
       .select(col("id"), col("vec"), col("nrm"), explode(array(b: _*)).as("tb"))
       .select(col("id"), col("vec"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .localCheckpoint(true)
     val l = base.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a"))
     val r = base.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("v_b"), col("nrm").as("n_b"))
     l.join(r, Seq("tbl", "bucket")).where(col("id_a") < col("id_b"))

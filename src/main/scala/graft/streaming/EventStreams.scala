@@ -152,18 +152,33 @@ object EventStreams {
     * generation with equal content) — unlike a blind append, which would
     * double rows. */
   def upsertNodesStream(batches: DataFrame, root: String, label: String,
-      orderCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      orderCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    upsertStream(batches, checkpointDir, keyColsOf = b =>
+      Seq(graft.model.PropertyGraphIO.identifierOf(root, label)), orderCol,
+      (b, finalStates) =>
+        graft.model.PropertyGraphIO.upsertNodes(b.sparkSession, root, label, finalStates))
+
+  /** Relationship twin of [[upsertNodesStream]]: merge key is the endpoint
+    * pair (the rel table's first two columns by layout contract). */
+  def upsertRelsStream(batches: DataFrame, root: String, patternKey: String,
+      orderCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    upsertStream(batches, checkpointDir, keyColsOf = b => b.columns.take(2).toSeq, orderCol,
+      (b, finalStates) =>
+        graft.model.PropertyGraphIO.upsertRels(b.sparkSession, root, patternKey, finalStates))
+
+  private def upsertStream(batches: DataFrame, checkpointDir: String,
+      keyColsOf: DataFrame => Seq[String], orderCol: String,
+      merge: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val idCol = graft.model.PropertyGraphIO.identifierOf(root, label)
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col(orderCol).desc, col(idCol))
+        val keyCols = keyColsOf(batch)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc +: keyCols.map(col(_).asc): _*)
         val finalStates = batch
           .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
-        if (!finalStates.isEmpty)
-          graft.model.PropertyGraphIO.upsertNodes(batch.sparkSession, root, label, finalStates)
+        if (!finalStates.isEmpty) merge(batch, finalStates)
       }
       .start()
   }

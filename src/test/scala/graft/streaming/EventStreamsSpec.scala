@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class NodeUpd(nid: Long, name: String, ver: Long)
+case class RelUpd(a: Long, b: Long, w: Long)
 
 class EventStreamsSpec extends SparkTestBase {
   import spark.implicits._
@@ -140,6 +141,33 @@ class EventStreamsSpec extends SparkTestBase {
       val t2 = PropertyGraphIO.load(spark, root).nodes("N")
         .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
       assert(t2(9L) == "nine_v2" && t2.size == 4)
+    } finally q.stop()
+  }
+
+  test("streaming rel upsert merges on the endpoint pair") {
+    import graft.model._
+    val root = Files.createTempDirectory("graft-upsert-rels").toString
+    val ckp = Files.createTempDirectory("graft-upsert-rels-ckp").toString
+    val p = RelPattern("N", "R", "N")
+    val g = PropertyGraph(
+      nodes = Map("N" -> Seq(1L, 2L, 3L).toDF("nid")),
+      rels = Map(p -> Seq((1L, 2L, 10L)).toDF("N_nid_source", "N_nid_target", "w")),
+      schema = GraphSchema(
+        labels = Seq(LabelSchema("N", "nid", Nil)),
+        rels = Seq(RelSchema(p, "nid", "nid", Nil))))
+    PropertyGraphIO.save(g, root)
+
+    val ms = MemoryStream[RelUpd](spark)
+    val q = EventStreams.upsertRelsStream(
+      ms.toDS().select(col("a").as("N_nid_source"), col("b").as("N_nid_target"), col("w")),
+      root, p.key, orderCol = "w", checkpointDir = ckp)
+    try {
+      // replace edge (1,2) [two in-batch updates, max w wins] and append (2,3)
+      ms.addData(RelUpd(1L, 2L, 77L), RelUpd(1L, 2L, 99L), RelUpd(2L, 3L, 5L))
+      q.processAllAvailable()
+      val got = PropertyGraphIO.load(spark, root).rels(p)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L, 99L), (2L, 3L, 5L)))
     } finally q.stop()
   }
 
