@@ -120,10 +120,14 @@ object PropertyGraphIO {
     writeGeneration(tableRoot, merged, partitionKey, bucketsPerTable)
   }
 
-  /** Delete every superseded generation directory under `root`, keeping
-    * each table's `_current` target (and legacy flat files). */
-  def vacuum(root: String): Unit = {
+  /** Delete superseded generation directories under `root`, keeping each
+    * table's `_current` target plus the `retain` most recent superseded
+    * generations (time-travel/rollback window — the Delta VACUUM
+    * retention knob in minimal form; legacy flat files are never
+    * touched). */
+  def vacuum(root: String, retain: Int = 0): Unit = {
     import java.nio.file.{Files, Paths}
+    require(retain >= 0, "retain must be non-negative")
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return
     Seq("nodes", "rels").map(rootPath.resolve).filter(Files.isDirectory(_)).foreach { kind =>
@@ -133,11 +137,16 @@ object PropertyGraphIO {
         if (Files.exists(ptr)) {
           val keep = Files.readString(ptr).trim
           val gens = Files.list(tableRoot)
-          try gens.forEach { child =>
-            val name = child.getFileName.toString
-            if (name.startsWith("gen-") && name != keep)
-              graft.tools.Fs.deleteRecursively(child.toString)
+          val superseded = try {
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            gens.forEach { child =>
+              val name = child.getFileName.toString
+              if (name.startsWith("gen-") && name != keep) b += name
+            }
+            b.sortBy(-_.stripPrefix("gen-").toLong)
           } finally gens.close()
+          superseded.drop(retain).foreach(name =>
+            graft.tools.Fs.deleteRecursively(tableRoot.resolve(name).toString))
         }
       } finally tables.close()
     }

@@ -142,6 +142,20 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** CUBE twin of the rollup: all four grouping combinations of
+    * (nation, market segment) in one pass — Spark plans rollup/cube as a
+    * single Expand + aggregate, not N scans. */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(sum(dec2("o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** Running balance per customer: cumulative order total in date order —
     * the lag/lead/cumsum window family over a ROWS frame. */
   def runningBalance(s: SparkSession, dir: String): DataFrame = {
@@ -260,6 +274,7 @@ object RelationalQueries {
     "q6_forecast_revenue" -> (q6 _),
     "q_running_balance" -> (runningBalance _),
     "q_rollup_revenue" -> (rollupRevenue _),
+    "q_cube_revenue" -> (cubeRevenue _),
     "q1_pricing_summary" -> (q1 _),
     "q3_shipping_priority" -> (q3 _),
     "q5_supplier_volume" -> (q5 _),
@@ -316,6 +331,14 @@ object RelationalQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total,
         |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
         |FROM orders""".stripMargin,
+    "q_cube_revenue" ->
+      """SELECT n_name, c_mktsegment,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT n_name, c_mktsegment,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,

@@ -71,6 +71,9 @@ class PropertyGraphIOSpec extends SparkTestBase {
       finally s.close()
     }
     assert(gens() == Set("gen-1", "gen-2"))
+    // retain=1 keeps the most recent superseded generation (rollback window)
+    PropertyGraphIO.vacuum(root, retain = 1)
+    assert(gens() == Set("gen-1", "gen-2"))
     PropertyGraphIO.vacuum(root)
     assert(gens() == Set("gen-2"))
     assert(PropertyGraphIO.load(spark, root).nodes("Nation").count() == n0 + 1)
