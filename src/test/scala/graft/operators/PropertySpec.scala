@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seeded randomized equivalence properties — many random instances per
+  * law, deterministic seeds (no flaky tests). Where scalacheck's Gen
+  * would drive these, a seeded Random keeps the dependency surface to
+  * scalatest alone while testing the same laws.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("TopK.perKey equals the exact window top-k under random ties and k") {
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(4)
+      // few distinct ord values → dense ties; tie-break on id must decide
+      val data = Seq.tabulate(400)(i =>
+        (rnd.nextInt(7).toLong, rnd.nextInt(5).toDouble, i.toLong))
+      val df = data.toDF("key", "ord", "id").repartition(1 + rnd.nextInt(7))
+      val got = TopK.perKey(df, "key", "ord", k, tieBreak = Seq("id"))
+        .select("key", "ord", "id").as[(Long, Double, Long)].collect().toSet
+      val w = Window.partitionBy(col("key")).orderBy(col("ord").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select("key", "ord", "id").as[(Long, Double, Long)].collect().toSet
+      assert(got == want, s"seed=$seed k=$k")
+    }
+  }
+
+  test("chunking covers every character; stride==size reassembles the text") {
+    val rnd = new scala.util.Random(5)
+    (1 to 4).foreach { _ =>
+      val len = 1 + rnd.nextInt(900)
+      val text = rnd.alphanumeric.take(len).mkString
+      val size = 1 + rnd.nextInt(100)
+      // no-overlap chunks concatenate back to the exact original
+      val flat = TextAnalysis.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size = size, stride = size)
+        .select("chunk_id", "n_chars").as[(Long, Long)].collect().sortBy(_._1)
+      assert(flat.map(_._2).sum == len, s"len=$len size=$size")
+      assert(flat.map(_._1).toSeq == flat.indices.map(_.toLong), "contiguous chunk ids")
+      // overlapping chunks: every non-tail chunk is exactly `size` chars
+      val stride = 1 + rnd.nextInt(size)
+      val over = TextAnalysis.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size = size, stride = stride)
+        .select("chunk_id", "n_chars").as[(Long, Long)].collect().sortBy(_._1)
+      assert(over.length == (len - 1) / stride + 1)
+      over.dropRight(1).zipWithIndex.foreach { case ((_, n), i) =>
+        val start = i.toLong * stride + 1
+        assert(n == math.min(size.toLong, len - start + 1), s"chunk $i len=$len size=$size stride=$stride")
+      }
+    }
+  }
+
+  test("splitAssign is total, deterministic, and layout-independent") {
+    val ids = (0L until 2000L).toDF("id")
+    val weights = Seq("train" -> 204, "val" -> 26, "test" -> 26)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), TextAnalysis.splitAssign(col("id"), weights).as("s"))
+        .as[(Long, String)].collect().toMap
+    val a = assign(ids.repartition(3))
+    val b = assign(ids.repartition(11).sortWithinPartitions(desc("id")))
+    assert(a == b)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size == 2000)
+    // weight-proportional within tolerance
+    val train = a.values.count(_ == "train").toDouble / a.size
+    assert(train > 0.72 && train < 0.88, s"train frac $train")
+  }
+}
