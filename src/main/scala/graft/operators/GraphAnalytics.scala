@@ -224,6 +224,48 @@ object GraphAnalytics {
     labels
   }
 
+  /** PageRank in FIXED-POINT integer arithmetic — identical join-agg loop
+    * to [[pageRankDF]], but ranks live in micro-units (rank × 10⁶) as
+    * BIGINT, contributions use integral division, and damping is the
+    * exact rational (10⁶ − resetMicro)/10⁶ applied as multiply-then-
+    * integer-divide. Every operation is integer → the result is
+    * bit-reproducible across partitionings, engines, and reruns, which
+    * no floating-point formulation achieves (even per-round round(x, s)
+    * quantization diverges cross-engine: thousands of summed roundings
+    * per hub vertex amplify the ulp gap between DuckDB's multiply-divide
+    * round() and Spark's BigDecimal rounding — measured at 1e-6..1e-5 on
+    * hub ranks). Deviation from true PageRank is ≤1e-6·deg per vertex
+    * per round (floor bias) — irrelevant for ranking, and the fixed
+    * round count replays as chained CTEs in the DuckDB oracle.
+    * Headroom: in_sum·10⁶ must fit in signed 64 bits — holds to ~10¹²
+    * micro-units of total rank mass (≈10⁶ vertices); above that, widen
+    * to DECIMAL. */
+  def pageRankQuantizedDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val Micro = 1000000L
+    val resetMicro = math.round(resetProb * Micro)
+    val dampMicro = Micro - resetMicro
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val verts = e.select(col("src").as("vid"))
+      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
+    var ranks = verts.withColumn("rank_micro", lit(Micro))
+    (1 to numIter).foreach { i =>
+      val contribs = e.join(ranks, e("src") === ranks("vid"))
+        .join(deg, "src")
+        .select(col("dst").as("vid"), expr("rank_micro div deg").as("c"))
+        .groupBy("vid").agg(sum(col("c")).as("in_sum"))
+      ranks = verts.join(contribs, Seq("vid"), "left")
+        .select(col("vid"),
+          (lit(resetMicro) +
+            expr(s"coalesce(in_sum, 0L) * ${dampMicro}L div ${Micro}L")).as("rank_micro"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint(true)
+    }
+    // micro-units ≤ ~1e11 are exact in double; /1e6 is one correctly-
+    // rounded IEEE op — identical in every engine
+    ranks.select(col("vid"), (col("rank_micro").cast("double") / 1000000.0).as("rank"))
+  }
+
   /** Degree distribution of the unified graph: how many vertices have each
     * (in+out) degree — the classic first look at any 100 TB graph. */
   def degreeDistribution(g: PropertyGraph): DataFrame = {

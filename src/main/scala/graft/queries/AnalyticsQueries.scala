@@ -5,15 +5,30 @@ import graft.operators.{DataFramePregel, GraphAnalytics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Whole-graph analytics queries (SURVEY §2.4). PageRank/CC/triangles are
-  * iterative — not ANSI-SQL-expressible — so they are rows-only checked
-  * here and verified against hand-computed graphs in AnalyticsSpec;
-  * the degree distribution is fully oracle-checked.
+/** Whole-graph analytics queries (SURVEY §2.4). Fixed-round iterative
+  * algorithms (quantized PageRank, label propagation) replay as chained
+  * CTEs and are fully oracle-checked, as are triangles (3-way self-join)
+  * and the degree distribution; connected components stays rows-only —
+  * its round count is data-dependent — and is spec-verified against
+  * GraphX plus the local union-find fallback.
   */
 object AnalyticsQueries {
 
-  def pagerank(s: SparkSession, dir: String): DataFrame =
-    GraphAnalytics.pageRank(TpchGraph.load(s, dir), numIter = 10)
+  /** Quantized DataFrame PageRank (10 rounds): per-round 6-decimal
+    * quantization + decimal-exact in-sums make the result reproducible
+    * across engines, so the fixed rounds replay as chained CTEs in the
+    * oracle — the same technique as g_label_propagation. Agreement with
+    * GraphX staticPageRank is spec-checked; the GraphX and
+    * unquantized-DF operators remain available. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    GraphAnalytics.decode(
+      GraphAnalytics.pageRankQuantizedDF(edges, numIter = PrRounds), "vid", labels)
+      .select(col("label"), col("node_id"), col("rank").as("pagerank"))
+  }
+
+  private val PrRounds = 10
+  private val PrReset = 0.15
 
   /** Connected components over the unified graph via the DataFrame scale
     * path (star rounds + adaptive local fallback). Output is identical to
@@ -112,7 +127,42 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** PageRank oracle: replay the fixed-point rounds. All arithmetic is
+    * BIGINT (micro-units, integral division), so every intermediate is
+    * engine-exact; the only floating-point op is the final /1e6, one
+    * correctly-rounded IEEE division of an exactly-representable
+    * integer. */
+  private def pagerankOracleSql(rounds: Int, resetProb: Double): String = {
+    val micro = 1000000L
+    val resetMicro = math.round(resetProb * micro)
+    val dampMicro = micro - resetMicro
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n),\n"
+    sb ++= s"""deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+              |verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+              |r0 AS (SELECT vid, CAST($micro AS BIGINT) AS rank_micro FROM verts)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |c$i AS (SELECT e.dst AS vid,
+                |  CAST(SUM(r.rank_micro // d.deg) AS BIGINT) AS in_sum
+                |  FROM e JOIN r${i - 1} r ON e.src = r.vid JOIN deg d ON d.src = e.src
+                |  GROUP BY e.dst),
+                |r$i AS (SELECT v.vid,
+                |  CAST($resetMicro + COALESCE(c.in_sum, 0) * $dampMicro // $micro AS BIGINT) AS rank_micro
+                |  FROM verts v LEFT JOIN c$i c ON c.vid = v.vid)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  vid % 17592186044416 AS node_id,
+              |  CAST(rank_micro AS DOUBLE) / 1000000.0 AS pagerank
+              |FROM r$rounds""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_pagerank" -> pagerankOracleSql(PrRounds, PrReset),
     "g_label_propagation" -> lpaOracleSql(LpaRounds),
     "g_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),

@@ -149,6 +149,15 @@ class GraphAnalyticsSpec extends SparkTestBase {
     gx.foreach { case (vid, r) =>
       assert(math.abs(r - df(vid)) < 1e-9, s"vertex $vid: graphx=$r df=${df(vid)}")
     }
+    // the fixed-point (oracle-able) variant stays within micro-unit
+    // floor-bias noise (≤ deg·1e-6 per round)
+    val qu = GraphAnalytics.pageRankQuantizedDF(edges, numIter = 10)
+      .select("vid", "rank").as[(Long, Double)].collect()
+      .map { case (vid, r) => (vid & ((1L << 44) - 1)) -> r }.toMap
+    assert(qu.keySet == gx.keySet)
+    gx.foreach { case (vid, r) =>
+      assert(math.abs(r - qu(vid)) < 1e-4, s"vertex $vid: graphx=$r quantized=${qu(vid)}")
+    }
   }
 
   test("pagerank: star graph center ranks highest, mass ≈ N") {
