@@ -5,12 +5,12 @@ import graft.operators.{DataFramePregel, GraphAnalytics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Whole-graph analytics queries (SURVEY §2.4). Fixed-round iterative
-  * algorithms (quantized PageRank, label propagation) replay as chained
-  * CTEs and are fully oracle-checked, as are triangles (3-way self-join)
-  * and the degree distribution; connected components stays rows-only —
-  * its round count is data-dependent — and is spec-verified against
-  * GraphX plus the local union-find fallback.
+/** Whole-graph analytics queries (SURVEY §2.4) — all five are
+  * oracle-checked. Fixed-round iterative algorithms (fixed-point
+  * PageRank, label propagation) replay their rounds as chained CTEs;
+  * connected components replays a generous fixed count of star rounds
+  * (identity at the fixpoint); triangles are a 3-way self-join and the
+  * degree distribution a plain aggregate.
   */
 object AnalyticsQueries {
 
@@ -161,8 +161,49 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** CC oracle: replay `rounds` alternating large-star/small-star rounds
+    * (DataFramePregel's exact per-round algebra — min-neighbor attach,
+    * canonical shrink). The round count is data-dependent in the engine
+    * (it stops at the fixpoint, or solves locally via union-find), but a
+    * star round applied AT the fixpoint is the identity, so replaying a
+    * generous fixed count ≥ the convergence point yields the identical
+    * (child → min-id root) assignment; 16 rounds is ~3x the measured
+    * convergence of the sf graphs (O(log n) bound). All integers —
+    * hash-exact. */
+  private def ccOracleSql(rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: each s_i is referenced twice by
+    // round i+1, and DuckDB's default CTE inlining would expand the
+    // chain EXPONENTIALLY (observed as "too many open files" from 2^16
+    // inlined lineitem scans).
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED (\n$UnifiedEdgesSql\n),\n"
+    sb ++= """allv AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+             |s0 AS MATERIALIZED (SELECT DISTINCT GREATEST(src, dst) AS u, LEAST(src, dst) AS v
+             |  FROM e WHERE src <> dst)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |und$i AS MATERIALIZED (SELECT u, v FROM s${i - 1} UNION ALL SELECT v AS u, u AS v FROM s${i - 1}),
+                |m1_$i AS (SELECT u, LEAST(MIN(v), u) AS m FROM und$i GROUP BY u),
+                |lg$i AS (SELECT und$i.v AS u, m AS v FROM und$i JOIN m1_$i USING (u)
+                |  WHERE und$i.v > und$i.u),
+                |m2_$i AS (SELECT u, MIN(v) AS m FROM lg$i GROUP BY u),
+                |s$i AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+                |  SELECT lg$i.v AS u, m AS v FROM lg$i JOIN m2_$i USING (u) WHERE lg$i.v <> m2_$i.m
+                |  UNION ALL SELECT u, m AS v FROM m2_$i))""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE a.vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  a.vid % 17592186044416 AS node_id,
+              |  COALESCE(s.v, a.vid) AS component
+              |FROM allv a LEFT JOIN s$rounds s ON s.u = a.vid""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> pagerankOracleSql(PrRounds, PrReset),
+    "g_connected_components" -> ccOracleSql(16),
     "g_label_propagation" -> lpaOracleSql(LpaRounds),
     "g_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
