@@ -168,13 +168,14 @@ object GraphAnalytics {
   def pageRankDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the degree join is loop-invariant — pay it once, not once per round
+    val ed = e.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
     var ranks = verts.withColumn("rank", lit(1.0))
     (1 to numIter).foreach { i =>
-      val contribs = e.join(ranks, e("src") === ranks("vid"))
-        .join(deg, "src")
+      val contribs = ed.join(ranks, ed("src") === ranks("vid"))
         .select(col("dst").as("vid"), (col("rank") / col("deg")).as("c"))
         .groupBy("vid").agg(sum(col("c")).as("in_sum"))
       ranks = verts.join(contribs, Seq("vid"), "left")
@@ -246,13 +247,14 @@ object GraphAnalytics {
     val resetMicro = math.round(resetProb * Micro)
     val dampMicro = Micro - resetMicro
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the degree join is loop-invariant — pay it once, not once per round
+    val ed = e.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
     var ranks = verts.withColumn("rank_micro", lit(Micro))
     (1 to numIter).foreach { i =>
-      val contribs = e.join(ranks, e("src") === ranks("vid"))
-        .join(deg, "src")
+      val contribs = ed.join(ranks, ed("src") === ranks("vid"))
         .select(col("dst").as("vid"), expr("rank_micro div deg").as("c"))
         .groupBy("vid").agg(sum(col("c")).as("in_sum"))
       ranks = verts.join(contribs, Seq("vid"), "left")
