@@ -252,20 +252,30 @@ object GraphAnalytics {
     val ed = e.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
-    var ranks = verts.withColumn("rank_micro", lit(Micro))
-    (1 to numIter).foreach { i =>
-      val contribs = ed.join(ranks, ed("src") === ranks("vid"))
-        .select(col("dst").as("vid"), expr("rank_micro div deg").as("c"))
+
+    // SPARSE loop: ranks are kept only for vertices that RECEIVE edges —
+    // any vertex absent from the in-sums has rank exactly resetMicro
+    // (in_sum = 0), so a coalesce default replaces the per-round
+    // verts-fill join (one join + one exchange saved per round). Round 1
+    // needs no join at all: every rank is the initial Micro.
+    def ranksOf(inSums: DataFrame): DataFrame =
+      inSums.select(col("vid"),
+        (lit(resetMicro) + expr(s"in_sum * ${dampMicro}L div ${Micro}L")).as("rank_micro"))
+    var inSums = ed
+      .select(col("dst").as("vid"), expr(s"${Micro}L div deg").as("c"))
+      .groupBy("vid").agg(sum(col("c")).as("in_sum"))
+    (2 to numIter).foreach { i =>
+      val r = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
+      inSums = ed.join(r, ed("src") === r("vid"), "left")
+        .select(col("dst").as("vid"),
+          expr(s"coalesce(rank_micro, ${resetMicro}L) div deg").as("c"))
         .groupBy("vid").agg(sum(col("c")).as("in_sum"))
-      ranks = verts.join(contribs, Seq("vid"), "left")
-        .select(col("vid"),
-          (lit(resetMicro) +
-            expr(s"coalesce(in_sum, 0L) * ${dampMicro}L div ${Micro}L")).as("rank_micro"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint(true)
     }
     // micro-units ≤ ~1e11 are exact in double; /1e6 is one correctly-
     // rounded IEEE op — identical in every engine
-    ranks.select(col("vid"), (col("rank_micro").cast("double") / 1000000.0).as("rank"))
+    verts.join(ranksOf(inSums), Seq("vid"), "left")
+      .select(col("vid"),
+        (coalesce(col("rank_micro"), lit(resetMicro)).cast("double") / 1000000.0).as("rank"))
   }
 
   /** Degree distribution of the unified graph: how many vertices have each
