@@ -11,12 +11,32 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
   *     (cluster-wide, config-driven);
   *   - [[GraftFunctions.register]] for an existing session.
+  *
+  * Beyond the custom codegen expressions (VecDot/VecNorm), the
+  * highest-traffic text primitives are registered as Catalyst trees of
+  * BUILT-IN expressions — SQL users get the identical semantics the
+  * Column API (TextAnalysis) defines, with whole-stage codegen intact.
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types.{BinaryType, IntegerType}
+
+  private def normalized(text: Expression): Expression =
+    RegExpReplace(Lower(StringTrim(text)), Literal("\\s+"), Literal(" "))
+
+  /** Whitespace token count with the empty-text guard —
+    * TextAnalysis.tokenCount as a Catalyst tree. */
+  private def tokenCount(text: Expression): Expression =
+    If(EqualTo(Length(StringTrim(text)), Literal(0)),
+      Literal(0),
+      Size(StringSplit(StringTrim(text), Literal("\\s+"), Literal(-1))))
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "vec_norm" -> (es => VecNorm(es.head)))
+    "vec_norm" -> (es => VecNorm(es.head)),
+    "graft_token_count" -> (es => tokenCount(es.head)),
+    "graft_fingerprint" -> (es => XxHash64(Seq(normalized(es.head)), 42L)),
+    "graft_fingerprint_md5" -> (es => Md5(Cast(normalized(es.head), BinaryType))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")

@@ -13,4 +13,25 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r._1 == 11.0)
     assert(math.abs(r._2 - math.sqrt(5.0)) < 1e-12)
   }
+
+  test("SQL text primitives agree with the Column API definitions") {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val docs = Seq("  Hello   WORLD  ", "one two three", "").toDF("t")
+    docs.createOrReplaceTempView("docs_fn")
+    val viaSql = spark.sql(
+      """SELECT graft_token_count(t), graft_fingerprint(t), graft_fingerprint_md5(t)
+        |FROM docs_fn""".stripMargin)
+      .as[(Int, Long, String)].collect().toSeq
+    val viaCol = docs.select(
+      graft.operators.TextAnalysis.tokenCount(col("t")),
+      graft.operators.TextAnalysis.fingerprint(col("t")),
+      graft.operators.TextAnalysis.fingerprintMd5(col("t")))
+      .as[(Int, Long, String)].collect().toSeq
+    assert(viaSql == viaCol)
+    // normalization collapses case + whitespace
+    val same = spark.sql(
+      "SELECT graft_fingerprint('a  B') = graft_fingerprint('A b')").as[Boolean].head()
+    assert(same)
+  }
 }
