@@ -77,6 +77,22 @@ object EventQueries {
         col("event_type"), col("last_purchase_value"))
   }
 
+  /** TWO-TABLE as-of join (AsOf.joinAsOf): every non-purchase event
+    * enriched with the user's most recent purchase value at-or-before it.
+    * The purchase side is pre-aggregated to one row per (user, µs) so the
+    * as-of pick is well-defined; the oracle uses DuckDB's native
+    * `ASOF LEFT JOIN` — two independent implementations of the same
+    * semantics. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    val left = ev.where(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val right = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us")).agg(max(col("value")).as("pvalue"))
+    graft.operators.AsOf.joinAsOf(left, right, keyCol = "user_id", timeCol = "ts_us",
+      rightValue = col("pvalue"), asOfCol = "last_purchase_value")
+  }
+
   // four weekly promo windows over Jan 2024, inclusive µs bounds
   private val WeekUs = 7L * 24 * 3600 * 1000000L
   private val Jan1Us = 1704067200000000L // 2024-01-01T00:00:00Z
@@ -152,6 +168,7 @@ object EventQueries {
     "ev_attribution" -> (attribution _),
     "ev_interval_windows" -> (intervalWindows _),
     "ev_asof_last_purchase" -> (asofLastPurchase _),
+    "ev_asof_join" -> (asofJoin _),
     "ev_windowed_agg" -> (windowedAgg _),
     "ev_sessionize" -> (sessionize _),
     "ev_top_event_types" -> (topEventTypes _))
@@ -160,6 +177,15 @@ object EventQueries {
     .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ev_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type <> 'purchase'),
+        |r AS (SELECT user_id, ts_us, max(value) AS pvalue
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us, r.pvalue AS last_purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
     "ev_between_rewrite" ->
       s"""WITH w(window_id, start_us, end_us) AS (VALUES $windowValues)
          |SELECT CAST(w.window_id AS BIGINT) AS window_id, COUNT(*) AS n_events,
