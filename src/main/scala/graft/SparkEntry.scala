@@ -13,15 +13,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q1(spark, "/root/testdata/sf0.001")
 
-  /** Rows-only-checked operators (hash sketches DuckDB cannot reproduce):
-    * near-dup LSH structures. Pair-level semantics are spec-tested with
-    * hand-computed oracles in src/test. dd_ngram_jaccard IS oracle-checked
-    * (PipelineQueries.oracles mirrors its blocking + jaccard in SQL). */
+  /** dd_ngram_jaccard is oracle-checked (PipelineQueries.oracles mirrors
+    * its blocking + jaccard in SQL); dd_simhash and dd_minhash_lsh moved
+    * to PipelineQueries with full oracles via their md5-hash variants. */
   private val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dd_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashBands(Tables(s, dir, "documents"), "doc_id", "text")),
-    "dd_simhash" -> ((s, dir) =>
-      Tables(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))),
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
         Tables(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text",

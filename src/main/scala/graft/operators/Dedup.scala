@@ -44,19 +44,38 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     transform(array_distinct(wordShingles(text, n)), s => xxhash64(s))
 
+  /** 60-bit md5 hash of a string column (first 15 hex chars) —
+    * engine-portable: DuckDB parses `'0x' || hex` to BIGINT directly, so
+    * structures built on it are SQL-replayable (see [[simHashMd5]]). */
+  private[graft] def md5Long(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Engine-portable variant of [[shingleHashes]]. */
+  def shingleHashesMd5(text: Column, n: Int): Column =
+    transform(array_distinct(wordShingles(text, n)), s => md5Long(s))
+
   // ------------------------------------------------------------- minhash
 
+  /** Deterministic (a, b) parameters of the `numHashes` universal-hash
+    * permutations — exposed within graft so SQL oracles embed the
+    * IDENTICAL constants (same pattern as Similarity.hyperplanes). */
+  private[graft] def minHashParams(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % 1000000007L + 1, math.abs(rnd.nextLong()) % 1000000007L))
+  }
+
+  private[graft] val MinHashPrime = 4294967311L // smallest prime > 2^32
+
   /** MinHash signature of `numHashes` permutations via the standard
-    * (a*x + b) mod p universal-hash trick over xxhash64 shingle hashes,
+    * (a*x + b) mod p universal-hash trick over the given shingle hashes,
     * folded to 32 bits first so a*x never overflows a signed 64-bit long
     * (p ≈ 2^32, a < 2^30 → a*x < 2^62). Pure column expressions — the
     * signature computation never leaves whole-stage codegen. */
   def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val p = lit(4294967311L) // smallest prime > 2^32
-    val rnd = new scala.util.Random(seed)
-    val params = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % 1000000007L + 1, math.abs(rnd.nextLong()) % 1000000007L))
+    val p = lit(MinHashPrime)
     val folded = transform(shingles, h => pmod(h, p))
-    array(params.map { case (a, b) =>
+    array(minHashParams(numHashes, seed).map { case (a, b) =>
       array_min(transform(folded, h => pmod(h * lit(a) + lit(b), p)))
     }: _*)
   }
@@ -68,6 +87,14 @@ object Dedup {
       struct(lit(b).as("band"), xxhash64(array_join(slice(signature, b * rows + 1, rows), ",")).as("bucket"))
     }: _*)
 
+  /** Engine-portable band keys: the bucket hash is [[md5Long]] of the
+    * comma-joined slice instead of xxhash64. */
+  def lshBandKeysMd5(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5Long(array_join(slice(signature, b * rows + 1, rows), ",")).as("bucket"))
+    }: _*)
+
   /** LSH band-bucket assignment per document: (doc_id, band, bucket).
     * The join key space of the near-dup candidate generation — exposed as
     * its own operator so the banding can be checked/benchmarked directly. */
@@ -77,6 +104,19 @@ object Dedup {
     df.select(col(idCol).as("doc_id"),
       minHashSignature(shingleHashes(col(textCol), shingleSize), numHashes).as("sig"))
       .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Fully engine-portable [[minHashBands]]: md5 shingle hashes + md5
+    * band buckets — every value SQL-replayable, so the driver can
+    * hash-check the complete banding structure. The xxhash64 form stays
+    * the production default (xxhash64 is several times faster). */
+  def minHashBandsMd5(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol).as("doc_id"),
+      minHashSignature(shingleHashesMd5(col(textCol), shingleSize), numHashes).as("sig"))
+      .select(col("doc_id"), explode(lshBandKeysMd5(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
   }
 
@@ -174,6 +214,26 @@ object Dedup {
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** 60-bit SimHash over md5 token hashes — identical vote/sign algebra
+    * to [[simHash]], but the per-token hash is the first 15 hex chars of
+    * md5 (60 bits, always non-negative), which every engine can compute:
+    * DuckDB parses `'0x' || hex` straight to BIGINT, so the whole
+    * signature is SQL-replayable and the driver can hash-check it —
+    * xxhash64 exists only in Spark. Keep [[simHash]] for production
+    * (xxhash64 is several times faster than md5); this variant is the
+    * cross-engine-verifiable twin with the same near-dup behavior. */
+  def simHashMd5(text: Column, bits: Int = 60): Column = {
+    require(bits <= 60, "md5 prefix parses to 60 bits")
+    val tokenHashes = transform(split(trim(text), "\\s+"),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { i =>
+      val votes = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** Hamming distance between two 64-bit signatures. */

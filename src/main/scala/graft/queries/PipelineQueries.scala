@@ -95,7 +95,23 @@ object PipelineQueries {
     Similarity.quantizedTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** SimHash signatures via the md5 token hash (Dedup.simHashMd5) — the
+    * cross-engine-verifiable twin of the xxhash64 production form; the
+    * oracle replays all 60 bit votes in SQL. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), graft.operators.Dedup.simHashMd5(col("text")).as("simhash"))
+
+  /** MinHash band-bucket assignment via the fully portable md5 form
+    * (Dedup.minHashBandsMd5) — shingles, permutations AND band buckets
+    * all replay in SQL, so the complete LSH banding structure is
+    * hash-checked by the driver. */
+  def minhashBands(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minHashBandsMd5(Tables(s, dir, "documents"), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_simhash" -> (simhash _),
+    "dd_minhash_lsh" -> (minhashBands _),
     "ss_quant_topk" -> (quantizedTopK _),
     "dd_cluster" -> (cluster _),
     "ss_cosine_topk" -> (cosineTopK _),
@@ -247,7 +263,57 @@ object PipelineQueries {
        |FROM agg GROUP BY id""".stripMargin
   }
 
+  /** Replays Dedup.simHashMd5 bit for bit: per token, the first 15 md5
+    * hex chars parse to a 60-bit BIGINT (`'0x' || hex` cast); 60 signed
+    * bit-vote sums per document; positive votes set bits. */
+  private val simhashOracle: String = {
+    val votes = (0 until 60).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n  ")
+    val assemble = (0 until 60).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |v AS (SELECT doc_id,
+       |  $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  /** Replays Dedup.minHashBandsMd5 end to end: 3-word shingles (with the
+    * short-text whole-string fallback), distinct, md5 60-bit hashes
+    * folded mod p, the 64 (a,b) permutation minima with the SAME
+    * constants the operator draws from its seed, and md5 band buckets
+    * over comma-joined 4-slot slices. */
+  private val minhashOracle: String = {
+    val p = graft.operators.Dedup.MinHashPrime
+    val slots = graft.operators.Dedup.minHashParams(64).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 16).map { b =>
+      val joined = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ('0x' || substring(md5($joined), 1, 15))::BIGINT AS bucket FROM sig"
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |         ELSE list_transform(generate_series(0, len(w) - 3),
+       |                i -> array_to_string(w[i+1:i+3], ' ')) END AS shingles
+       |  FROM toks),
+       |hs AS (SELECT doc_id,
+       |    list_transform(list_distinct(shingles),
+       |      s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % $p) AS hs
+       |  FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id, [
+       |    $slots] AS sig FROM hs)
+       |$bandSelects""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dd_minhash_lsh" -> minhashOracle,
+    "dd_simhash" -> simhashOracle,
     "mm_decode_features" -> decodeFeaturesOracle,
     "ss_quant_topk" -> quantTopKOracle,
     "dd_embed_cosine" -> embedCosineOracle,

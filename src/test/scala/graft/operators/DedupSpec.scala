@@ -82,6 +82,21 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("md5 simhash: same near-dup behavior, 60-bit range, engine-portable hash") {
+    val nearDup = base.replace("quick", "swift")
+    val df = Seq((1L, base), (2L, nearDup), (3L, base)).toDF("doc_id", "text")
+    val sigs = df.select(Dedup.simHashMd5(col("text"))).as[Long].collect()
+    assert(sigs(0) == sigs(2))
+    assert(sigs.forall(s => s >= 0 && s < (1L << 60)))
+    val d12 = java.lang.Long.bitCount(sigs(0) ^ sigs(1))
+    assert(d12 > 0 && d12 <= 16, s"near-dup hamming was $d12")
+    // spot-check the token hash against a known md5: conv(md5 prefix)
+    // must equal DuckDB's ('0x' || prefix)::BIGINT for 'hello'
+    val h = spark.sql(
+      "SELECT CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS BIGINT)").as[Long].head()
+    assert(h == 419982666956583591L)
+  }
+
   test("ngram jaccard: hand-computed value") {
     // 4-grams("abcde") = {abcd, bcde}; 4-grams("abcd") = {abcd} → J = 1/2
     val df2 = Seq((1L, "abcdx"), (2L, "abcdy")).toDF("doc_id", "text")
