@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Empty-input behavior of the pipeline operators: a 100 TB pipeline
+  * routinely produces empty partitions, empty filters, and empty
+  * micro-batches — every operator must return an empty (or identity)
+  * result, never throw.
+  */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+
+  test("dedup operators on an empty corpus") {
+    assert(Dedup.exactGroups(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashBands(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashBandsMd5(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashLshPairs(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simHashPairs(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text").count() == 0)
+    val clusters = Dedup.nearDupClusters(noDocs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(clusters.count() == 0)
+  }
+
+  test("text operators on an empty corpus") {
+    assert(TextAnalysis.repetitionStats(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.chunk(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.unigramLogprob(noDocs, "doc_id", "text").count() == 0)
+    val ts = TextAnalysis.temperatureSample(
+      Seq.empty[(Long, String)].toDF("doc_id", "lang"), "doc_id", "lang")
+    assert(ts.count() == 0)
+    val cont = TextAnalysis.contamination(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "split"),
+      "doc_id", "text", "split", "train", "eval")
+    assert(cont.count() == 0)
+  }
+
+  test("graph operators on an empty edge list") {
+    // CC converges immediately (checksum count 0) and assigns nothing
+    assert(DataFramePregel.connectedComponents(noEdges).count() == 0)
+    assert(DataFramePregel.connectedComponents(noEdges, localThreshold = 0L).count() == 0)
+    assert(GraphAnalytics.triangleCountsDF(noEdges).count() == 0)
+    assert(GraphAnalytics.labelPropagationDF(noEdges).count() == 0)
+    assert(GraphAnalytics.pageRankQuantizedDF(noEdges).count() == 0)
+    assert(GraphAnalytics.coOccurrenceEdges(
+      Seq.empty[(Long, Long)].toDF("g", "item"), "g", "item").count() == 0)
+  }
+
+  test("top-k and as-of on empty inputs") {
+    val noOrders = Seq.empty[(Long, Double, Long)].toDF("k", "ord", "id")
+    assert(TopK.perKey(noOrders, "k", "ord", 3, tieBreak = Seq("id")).count() == 0)
+    val noLeft = Seq.empty[(Long, Long)].toDF("k", "t")
+    val noRight = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    assert(AsOf.joinAsOf(noLeft, noRight, "k", "t", col("v"), "asof").count() == 0)
+  }
+}
