@@ -5,11 +5,12 @@ import graft.operators.{Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Training-data-pipeline queries (SURVEY §2.7–§2.9): similarity search,
-  * language ID, fingerprinting, multimodal columns. ANN/fingerprint
-  * results hinge on xxhash64/LSH internals DuckDB cannot reproduce, so
-  * they are rows-only checked here and exactness-tested in specs;
-  * mm_binary_meta is fully oracle-checked.
+/** Training-data-pipeline queries (SURVEY §2.6–§2.9): near-dup sketches,
+  * similarity search, language ID, fingerprinting, multimodal columns.
+  * Everything here is oracle-checked — the sketch queries via their
+  * engine-portable md5 variants (simHashMd5, minHashBandsMd5), ANN via
+  * literal hyperplanes / list_dot_product — except ss_ivf_topk, whose
+  * trained centroids are data-dependent (rows-only + ScalaTest oracle).
   */
 object PipelineQueries {
 
