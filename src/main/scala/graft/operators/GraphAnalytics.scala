@@ -207,6 +207,12 @@ object GraphAnalytics {
     require(numIter >= 1, "numIter must be >= 1")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
+    // A pre-partitioned persist (repartition(v) + MEMORY_AND_DISK) was
+    // measured and reverted: the label table is vertex-sized, so AQE
+    // broadcasts it and the edge list never reshuffles in the first
+    // place — the extra repartition only added setup cost. When labels
+    // outgrow broadcast at extreme scale, that variant becomes the
+    // right trade (it pins und's layout so only labels shuffle).
     val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
     var labels = und.select(col("u").as("vid")).distinct()
