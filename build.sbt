@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked app output goes STRAIGHT to stdout, un-prefixed: the bench
+// harness prints one JSON line that downstream tooling parses, and
+// sbt's default logger would wrap it as "[info] {...}", breaking any
+// line-oriented JSON consumer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
