@@ -218,8 +218,14 @@ object GraphAnalytics {
     var labels = und.select(col("u").as("vid")).distinct()
       .withColumn("community", col("vid"))
     (1 to numIter).foreach { i =>
+      // one explicit repartition on u makes BOTH aggregations
+      // exchange-free: hash(u) satisfies the (u, community) clustering
+      // of the count and the (u) clustering of the argmax — one shuffle
+      // per round instead of two
       val next = und.join(labels, und("v") === labels("vid"))
-        .groupBy(und("u"), col("community")).agg(count(lit(1)).as("n"))
+        .select(und("u"), col("community"))
+        .repartition(col("u"))
+        .groupBy(col("u"), col("community")).agg(count(lit(1)).as("n"))
         .groupBy(col("u"))
         .agg(max(struct(col("n"), (-col("community")).as("negc"))).as("m"))
         .select(col("u").as("vid"), (-col("m.negc")).as("community"))
