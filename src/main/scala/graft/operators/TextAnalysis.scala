@@ -117,8 +117,12 @@ object TextAnalysis {
         slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
         (t, i) => concat(t, lit(" "), get(col("__toks"), i + 1)))).as("bigram"))
     // deterministic argmax: min(struct(-n, bigram)) = highest count, then
-    // lexicographically smallest bigram
-    val top = bigrams.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+    // lexicographically smallest bigram. One repartition on the doc id
+    // makes both aggregations exchange-free (hash(id) satisfies the
+    // (id, bigram) count clustering and the per-id argmax) — the same
+    // fused-shuffle shape as labelPropagationDF's rounds.
+    val top = bigrams.repartition(col(idCol))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
       .groupBy(col(idCol))
       .agg(min(struct((-col("n")).as("negn"), col("bigram").as("bigram"))).as("m"))
       .select(col(idCol), col("m.bigram").as("top_bigram"), (-col("m.negn")).as("top_bigram_n"))
