@@ -218,14 +218,18 @@ object GraphAnalytics {
     var labels = und.select(col("u").as("vid")).distinct()
       .withColumn("community", col("vid"))
     (1 to numIter).foreach { i =>
-      // one explicit repartition on u makes BOTH aggregations
-      // exchange-free: hash(u) satisfies the (u, community) clustering
-      // of the count and the (u) clustering of the argmax — one shuffle
-      // per round instead of two
+      // Fusing both aggregations onto one repartition(u) exchange was
+      // measured (12.7 -> 9.6 s at sf0.1) and REVERTED: a bare
+      // repartition shuffles raw (u, community) rows, while the
+      // (u, community) groupBy's map-side partial combine collapses
+      // same-community neighbors BEFORE the wire — and as rounds
+      // converge, neighbors increasingly share communities, so the
+      // combine grows more effective exactly when it matters. Partial
+      // aggregation is also the defense against hot-vertex shuffle
+      // skew; the local stage-latency saving does not survive that
+      // trade at cluster scale.
       val next = und.join(labels, und("v") === labels("vid"))
-        .select(und("u"), col("community"))
-        .repartition(col("u"))
-        .groupBy(col("u"), col("community")).agg(count(lit(1)).as("n"))
+        .groupBy(und("u"), col("community")).agg(count(lit(1)).as("n"))
         .groupBy(col("u"))
         .agg(max(struct(col("n"), (-col("community")).as("negc"))).as("m"))
         .select(col("u").as("vid"), (-col("m.negc")).as("community"))

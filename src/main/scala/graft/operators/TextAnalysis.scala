@@ -117,11 +117,14 @@ object TextAnalysis {
         slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
         (t, i) => concat(t, lit(" "), get(col("__toks"), i + 1)))).as("bigram"))
     // deterministic argmax: min(struct(-n, bigram)) = highest count, then
-    // lexicographically smallest bigram. One repartition on the doc id
-    // makes both aggregations exchange-free (hash(id) satisfies the
-    // (id, bigram) count clustering and the per-id argmax) — the same
-    // fused-shuffle shape as labelPropagationDF's rounds.
-    val top = bigrams.repartition(col(idCol))
+    // lexicographically smallest bigram. Deliberately NOT fused onto one
+    // repartition(id) shuffle (the labelPropagationDF trick): the
+    // (id, bigram) aggregation's map-side partial combine collapses
+    // repeated bigrams BEFORE the exchange, and heavily repetitive
+    // documents — the very thing this operator hunts — are where that
+    // combine shrinks the shuffle the most. Two exchanges of combined
+    // rows beat one exchange of raw explosion here.
+    val top = bigrams
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
       .groupBy(col(idCol))
       .agg(min(struct((-col("n")).as("negn"), col("bigram").as("bigram"))).as("m"))
