@@ -226,6 +226,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF top-k with JOIN-BASED cell assignment — the large-`nCells`
+    * scale path. [[ivfTopK]] compiles the centroids into the projection
+    * as literal arrays: O(nCells·dim) generated code per operator, ideal
+    * at 16 cells and impossible at 65k (janino limits, compile time).
+    * Here the centroids are a broadcast DataFrame: every row meets every
+    * centroid through a broadcast cross join and keeps its argmin via
+    * `min(struct(d2, cell))` — plan size is constant in nCells, the
+    * distance math is the same VecDot codegen, and the per-row work is
+    * identical flops. Same-model agreement with the literal path is
+    * spec-checked. */
+  def ivfTopKJoin(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: IvfModel, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(model.centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      (i, c.toSeq, c.map(x => x * x).sum)
+    }.toDF("cell", "cvec", "c2"))
+
+    def withD2(df: DataFrame, vec: Column): DataFrame = df.crossJoin(cdf)
+      .withColumn("d2", dot(vec, vec) - lit(2.0) * dot(vec, col("cvec")) + col("c2"))
+
+    val c = withD2(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        l2Norm(col(vecCol)).as("c_norm")), col("c_vec"))
+      .groupBy(col("neighbor_id"), col("c_vec"), col("c_norm"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("m.cell").as("cell"))
+
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)
+    val q = withD2(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_norm")), col("q_vec"))
+      .withColumn("__r", row_number().over(qw))
+      .where(col("__r") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        when(col("q_norm") * col("c_norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Convenience overload that trains the quantizer from a corpus sample
     * in-line — for exploration and tests. Production pipelines call
     * [[trainIvf]] once and reuse the model across queries. */

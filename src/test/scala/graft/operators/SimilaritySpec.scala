@@ -57,6 +57,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.length == 1 && got(0)._1 == 100L && math.abs(got(0)._2 - 1.0) < 1e-9)
   }
 
+  test("join-based IVF assignment agrees with the literal-centroid path") {
+    val rnd = new scala.util.Random(9)
+    val vecs = (1L to 120L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.trainIvf(vecs, "embedding", nCells = 6, sampleRows = 120)
+    val queries = vecs.where(col("vec_id") <= 5)
+    val literal = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, model, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val joined = Similarity.ivfTopKJoin(vecs, queries, "vec_id", "embedding",
+      k = 3, model, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(literal == joined)
+    assert(literal.nonEmpty)
+  }
+
   test("int8 quantization: bounded error, scales cancel in cosine, zero-vector safe") {
     val v = Seq(0.5f, -1.0f, 0.25f, 2.0f, -0.125f, 1.5f, 0.0f, -2.0f)
     val df = Seq((1L, v), (2L, v.map(-_)), (3L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
