@@ -366,6 +366,29 @@ object GraphQueries {
     } finally graft.tools.Fs.deleteRecursively(root)
   }
 
+  /** Schema-evolution diff between two exports, driver-checked: the
+    * "before" schema is the real graph's schema with Supplier (label +
+    * its two patterns) and Customer.c_mktsegment removed — the shape of
+    * yesterday's model missing what today's source gained. ModelDiff must
+    * report exactly the additions; the mapping is schema-sized and
+    * SF-invariant, so the oracle is a VALUES literal. */
+  def modelDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val after = TpchGraph.load(s, dir).schema
+    val before = graft.model.GraphSchema(
+      labels = after.labels.filterNot(_.label == "Supplier")
+        .map(l => if (l.label == "Customer")
+          l.copy(properties = l.properties.filterNot(_.name == "c_mktsegment"))
+        else l),
+      rels = after.rels.filterNot(r =>
+        r.pattern.srcLabel == "Supplier" || r.pattern.dstLabel == "Supplier"),
+      constraints = after.constraints,
+      indexes = after.indexes)
+    graft.export.ModelDiff.diff(before, after)
+      .map(e => (e.kind, e.name, e.change, e.detail))
+      .toDF("kind", "name", "change", "detail")
+  }
+
   /** All three importer-model format generators, driver-checked: generate
     * each model from the SAME export metadata (no CSV writes), render to
     * JSON text, parse the text back, and report structural entry counts
@@ -424,6 +447,7 @@ object GraphQueries {
     "g_model_versions" -> (modelVersions _),
     "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
     "g_graph_upsert" -> (graphUpsert _),
+    "g_model_diff" -> (modelDiff _),
     "g_pattern_match" -> (patternMatch _),
     "g_model_mappings" -> (modelMappings _),
     "g_nodes_customer" -> (nodesCustomer _),
@@ -462,6 +486,13 @@ object GraphQueries {
         |  ('2.4.0-beta.0', 6, 6, 12),
         |  ('0.1.0-beta.0', 6, 6, 6)
         |) AS t(version, n_node_entries, n_rel_entries, n_table_entries)""".stripMargin,
+    "g_model_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('node_label', 'Supplier', 'added', 's_suppkey'),
+        |  ('property', 'Customer.c_mktsegment', 'added', 'string'),
+        |  ('rel_pattern', 'Order_SUPPLIED_BY_Supplier', 'added', 'Order->Supplier'),
+        |  ('rel_pattern', 'Supplier_LOCATED_IN_Nation', 'added', 'Supplier->Nation')
+        |) AS t(kind, name, change, detail)""".stripMargin,
     "g_graph_upsert" ->
       """SELECT n_nationkey,
         |  CASE WHEN n_nationkey < 5 THEN 'UPSERTED' ELSE n_name END AS n_name,
