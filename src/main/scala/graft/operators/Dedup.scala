@@ -241,16 +241,28 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket by the 4 16-bit signature quarters
     * (any pair within hamming distance 3 shares at least one quarter),
-    * then verify the full distance. */
+    * then verify the full distance.
+    *
+    * Boilerplate corpora concentrate signatures: one hot (q, qk) bucket of
+    * k docs would emit k² candidate rows, so buckets above `maxBucketSize`
+    * are dropped before the self-join — the same skew guard as
+    * [[minHashLshPairs]]. Docs inside a dropped bucket still pair through
+    * any of their three other quarters, so only pairs whose EVERY shared
+    * quarter is pathological are lost — at that bucket size they are
+    * boilerplate, the thing near-dup dedup exists to collapse. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sig"))
     val quarters = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL)).as("qk"))): _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.q").as("q"), col("b.qk").as("qk"))
-    val l = quarters.select(col("q"), col("qk"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = quarters.select(col("q"), col("qk"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    // skew guard: cap quarter-bucket size (boilerplate signature pileup)
+    val sized = quarters.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("q"), col("qk"))))
+      .where(col("bucket_n") <= maxBucketSize)
+    val l = sized.select(col("q"), col("qk"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = sized.select(col("q"), col("qk"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("q", "qk")).where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
@@ -260,24 +272,77 @@ object Dedup {
 
   // ------------------------------------------------------- ngram jaccard
 
-  /** Character n-gram Jaccard similarity of candidate pairs produced by a
-    * cheap length-bucket blocking (documents within ±10% length). */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.7): DataFrame = {
-    val g = (c: Column) => array_distinct(transform(
+  /** Character n-grams of a text column, distinct, as an array column. */
+  private[graft] def charGrams(c: Column, n: Int): Column =
+    array_distinct(transform(
       sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => c.substr(i, lit(n))))
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("grams", g(col("text")))
-      .withColumn("len_bucket", floor(log(1.1, greatest(length(col("text")), lit(1)).cast("double"))))
-    // one side probes its own AND both adjacent buckets so near-dups that
-    // straddle a bucket boundary (lengths within ±10% but different
-    // floor(log)) are still compared
-    val l = base.select(explode(array(col("len_bucket") - 1, col("len_bucket"), col("len_bucket") + 1)).as("len_bucket"),
-      col("doc_id").as("id_a"), col("grams").as("g_a"))
-    val r = base.select(col("len_bucket"), col("doc_id").as("id_b"), col("grams").as("g_b"))
-    l.join(r, Seq("len_bucket")).where(col("id_a") < col("id_b"))
+
+  /** Blocking band keys over a minhash signature: one 60-bit md5 key per
+    * `bands`-th slice of `rows` slots, with the band index folded INTO the
+    * hash input (`"b:slots"`) so keys from different bands can never
+    * collide and a single long column is the whole join key. Every value
+    * is SQL-replayable (see [[md5Long]]). */
+  private[graft] def bandKeysFolded(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      md5Long(concat(lit(s"$b:"), array_join(slice(sig, b * rows + 1, rows), ",")))
+    }: _*)
+
+  /** Character n-gram Jaccard similarity over blocked candidate pairs.
+    *
+    * Blocking is length bucket (±10%, adjacent-bucket probe) AND a shared
+    * band of a small minhash over the gram set — length alone concentrates
+    * a web corpus into a few hot buckets (document length distributions
+    * are tight) and made the self-join quadratic per bucket. The band keys
+    * use the engine-portable md5 hash family so an external SQL oracle can
+    * replay the complete blocking structure.
+    *
+    * The blocking join is SIGNATURE-ONLY: it carries (doc_id, len_bucket,
+    * band_key) — the gram arrays, which are document-sized, are joined
+    * back BY ID only for the surviving candidates' exact-Jaccard verify
+    * (the same refactor [[minHashLshPairs]] got). Buckets larger than
+    * `maxBucketSize` are dropped before the self-join (boilerplate skew
+    * guard, as in minhash/simhash).
+    *
+    * Recall is governed by the banding: P(candidate | J) =
+    * 1 − (1 − J^rows)^bands within a length bucket. The default 8 bands ×
+    * 2 rows keeps ≈99.5% recall at J = 0.7; callers screening at a LOW
+    * threshold should pass `blockBands = blockHashes` (1-row bands:
+    * 1 − (1−J)^16 ≈ 99% at J = 0.25). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.7,
+      blockHashes: Int = 16, blockBands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(blockHashes % blockBands == 0, "blockBands must divide blockHashes")
+    val rows = blockHashes / blockBands
+    // per-doc blocking keys: length bucket + minhash band keys over the
+    // md5-hashed gram set. The gram arrays themselves stay out of this DF.
+    val keyed = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("len_bucket",
+        floor(log(1.1, greatest(length(col("text")), lit(1)).cast("double"))))
+      .withColumn("sig",
+        minHashSignature(transform(charGrams(col("text"), n), g => md5Long(g)), blockHashes))
+      .select(col("doc_id"), col("len_bucket"),
+        explode(bandKeysFolded(col("sig"), blockBands, rows)).as("bk"))
+    // skew guard: drop pathological content buckets before the self-join
+    val sized = keyed.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("bucket_n") <= maxBucketSize)
+    // one side probes its own AND both adjacent length buckets so
+    // near-dups straddling a bucket boundary are still compared
+    val l = sized.select(
+      explode(array(col("len_bucket") - 1, col("len_bucket"), col("len_bucket") + 1)).as("len_bucket"),
+      col("bk"), col("doc_id").as("id_a"))
+    val r = sized.select(col("len_bucket"), col("bk"), col("doc_id").as("id_b"))
+    val candidates = l.join(r, Seq("len_bucket", "bk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact verify on candidates only: gram arrays fetched by id — two
+    // id-equi-joins against the corpus, never part of the blocking shuffle
+    val grams = df.select(col(idCol).as("__gid"), charGrams(col(textCol), n).as("__g"))
+    candidates
+      .join(grams.select(col("__gid").as("id_a"), col("__g").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("__gid").as("id_b"), col("__g").as("g_b")), Seq("id_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))).cast("double"), 6))

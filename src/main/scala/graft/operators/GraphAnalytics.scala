@@ -254,9 +254,13 @@ object GraphAnalytics {
     * hub ranks). Deviation from true PageRank is ≤1e-6·deg per vertex
     * per round (floor bias) — irrelevant for ranking, and the fixed
     * round count replays as chained CTEs in the DuckDB oracle.
-    * Headroom: in_sum·10⁶ must fit in signed 64 bits — holds to ~10¹²
-    * micro-units of total rank mass (≈10⁶ vertices); above that, widen
-    * to DECIMAL. */
+    * Headroom: the in-sum accumulator and the damping product run in
+    * DECIMAL(38,0) (exact, no 64-bit ceiling — a hub can absorb the
+    * whole graph's rank mass at any vertex count); only the final
+    * PER-VERTEX rank must fit BIGINT micro-units, i.e. ≤9.2×10¹² units
+    * of rank mass on a single vertex — more vertices than a 100 TB graph
+    * has. DuckDB sums integers in HUGEINT, so the oracle needs no
+    * change: both engines compute the identical exact integers. */
   def pageRankQuantizedDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val Micro = 1000000L
@@ -274,18 +278,24 @@ object GraphAnalytics {
     // (in_sum = 0), so a coalesce default replaces the per-round
     // verts-fill join (one join + one exchange saved per round). Round 1
     // needs no join at all: every rank is the initial Micro.
+    // in_sum runs in DECIMAL(38,0): a hub vertex's in-sum is bounded only
+    // by TOTAL rank mass (n·10⁶ micro-units), and the damping multiply
+    // adds 6 more digits — past ~10⁷ vertices the BIGINT form overflowed
+    // silently. The decimal agg is one exact wide-int sum (still map-side
+    // combined); the per-vertex quotient casts back to BIGINT.
     def ranksOf(inSums: DataFrame): DataFrame =
       inSums.select(col("vid"),
-        (lit(resetMicro) + expr(s"in_sum * ${dampMicro}L div ${Micro}L")).as("rank_micro"))
+        (lit(resetMicro) + expr(
+          s"CAST(in_sum * ${dampMicro} div ${Micro} AS BIGINT)")).as("rank_micro"))
     var inSums = ed
       .select(col("dst").as("vid"), expr(s"${Micro}L div deg").as("c"))
-      .groupBy("vid").agg(sum(col("c")).as("in_sum"))
+      .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
     (2 to numIter).foreach { i =>
       val r = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
       inSums = ed.join(r, ed("src") === r("vid"), "left")
         .select(col("dst").as("vid"),
           expr(s"coalesce(rank_micro, ${resetMicro}L) div deg").as("c"))
-        .groupBy("vid").agg(sum(col("c")).as("in_sum"))
+        .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
     }
     // micro-units ≤ ~1e11 are exact in double; /1e6 is one correctly-
     // rounded IEEE op — identical in every engine
@@ -416,7 +426,11 @@ object DataFramePregel {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent.update(c, r); c = n }
         r
       }
-      e.select(col("u"), col("v")).collect().foreach { row =>
+      // ids collect as longs regardless of the input integral width (int
+      // vid columns are common), and the assignment casts back to the
+      // input type so local and distributed paths emit the same schema
+      val vidType = allV.schema("vid").dataType
+      e.select(col("u").cast("long"), col("v").cast("long")).collect().foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         if (ra != rb) { // attach the larger root under the smaller: root stays the min id
           if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
@@ -424,7 +438,8 @@ object DataFramePregel {
       }
       val assignments = parent.keysIterator.map(v => (v, find(v))).toSeq
       val assigned = allV
-        .join(assignments.toDF("vid", "component"), Seq("vid"), "left")
+        .join(assignments.toDF("vid", "component")
+          .select(col("vid").cast(vidType), col("component").cast(vidType)), Seq("vid"), "left")
         .select(col("vid"), coalesce(col("component"), col("vid")).as("component"))
       return (assigned, 0)
     }

@@ -81,11 +81,14 @@ object PipelineQueries {
   /** Near-dup clustering end to end: n-gram Jaccard candidate pairs →
     * connected components (large-star/small-star) → one canonical doc per
     * cluster. Oracle: DuckDB recursive-CTE transitive closure over the
-    * same pair set — feasible because the query is capped to doc_id<50. */
+    * same pair set — feasible because the query is capped to doc_id<50.
+    * Screening at the LOW threshold 0.25 → 1-row blocking bands
+    * (blockBands = blockHashes), per the ngramJaccardPairs recall note. */
   def cluster(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").where(col("doc_id") < 50)
     val pairs = graft.operators.Dedup.ngramJaccardPairs(
-      docs, "doc_id", "text", n = 4, threshold = 0.25)
+      docs, "doc_id", "text", n = 4, threshold = 0.25,
+      blockHashes = 16, blockBands = 16)
     graft.operators.Dedup.nearDupClusters(docs, "doc_id", pairs)
   }
 
@@ -312,6 +315,45 @@ object PipelineQueries {
        |$bandSelects""".stripMargin
   }
 
+  /** Replays Dedup.ngramJaccardPairs end to end: distinct char 4-grams,
+    * the log-1.1 length bucket, the `blockHashes`-slot minhash over md5
+    * gram hashes (same (a,b) constants the operator draws from its seed),
+    * folded "band:slots" md5 band keys, then the candidate join — adjacent
+    * length bucket AND a shared band key — feeding the exact-Jaccard
+    * computation. The bucket-size cap is a no-op at the ≤50-doc query
+    * scale (it only trips on pathological boilerplate buckets). */
+  private def ngramCandCte(filter: String, blockHashes: Int, blockBands: Int): String = {
+    val p = graft.operators.Dedup.MinHashPrime
+    val rows = blockHashes / blockBands
+    val slots = graft.operators.Dedup.minHashParams(blockHashes).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until blockBands).map { b =>
+      val joined = (1 to rows).map(r => s"CAST(sig[${b * rows + r}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"('0x' || substring(md5('$b:' || $joined), 1, 15))::BIGINT"
+    }.mkString(",\n    ")
+    s"""base AS (
+       |  SELECT doc_id,
+       |    list_distinct([substr(text, i, 4) FOR i IN generate_series(1, greatest(length(text)-3, 1))]) AS grams,
+       |    floor(ln(CAST(greatest(length(text), 1) AS DOUBLE)) / ln(1.1)) AS bucket
+       |  FROM documents $filter),
+       |hs AS (SELECT doc_id, grams, bucket,
+       |    list_transform(grams, g -> ('0x' || substring(md5(g), 1, 15))::BIGINT % $p) AS hs
+       |  FROM base),
+       |sig AS MATERIALIZED (SELECT doc_id, grams, bucket, [
+       |    $slots] AS sig FROM hs),
+       |blocked AS MATERIALIZED (SELECT doc_id, grams, bucket, [
+       |    $bandExprs] AS bks FROM sig),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+       |  FROM blocked a JOIN blocked b ON a.doc_id < b.doc_id
+       |    AND abs(a.bucket - b.bucket) <= 1
+       |    AND len(list_intersect(a.bks, b.bks)) > 0)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracle,
     "dd_simhash" -> simhashOracle,
@@ -320,16 +362,8 @@ object PipelineQueries {
     "dd_embed_cosine" -> embedCosineOracle,
     "ss_lsh_topk" -> lshTopKOracle,
     "dd_cluster" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 4) FOR i IN generate_series(1, greatest(length(text)-3, 1))]) AS grams,
-        |    floor(ln(CAST(greatest(length(text), 1) AS DOUBLE)) / ln(1.1)) AS bucket
-        |  FROM documents WHERE doc_id < 50),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1
-        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.25),
+      s"""WITH RECURSIVE ${ngramCandCte("WHERE doc_id < 50", blockHashes = 16, blockBands = 16)},
+        |pairs AS (SELECT id_a, id_b FROM cand WHERE jaccard >= 0.25),
         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
         |reach AS (
         |  SELECT a AS src, b AS dst FROM und
@@ -359,15 +393,8 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "dd_ngram_jaccard" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 4) FOR i IN generate_series(1, greatest(length(text)-3, 1))]) AS grams,
-        |    floor(ln(CAST(greatest(length(text), 1) AS DOUBLE)) / ln(1.1)) AS bucket
-        |  FROM documents WHERE doc_id < 50)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
-        |FROM base a JOIN base b ON a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1""".stripMargin,
+      s"""WITH ${ngramCandCte("WHERE doc_id < 50", blockHashes = 16, blockBands = 8)}
+        |SELECT id_a, id_b, jaccard FROM cand""".stripMargin,
     "tx_langid" -> langIdOracle,
     "mm_frame_sample" ->
       """WITH t AS (SELECT doc_id AS id, hex(encode(text)) AS h,

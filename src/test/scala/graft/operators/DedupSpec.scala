@@ -98,17 +98,64 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("ngram jaccard: hand-computed value") {
-    // 4-grams("abcde") = {abcd, bcde}; 4-grams("abcd") = {abcd} → J = 1/2
+    // 4-grams: {abcd,bcdx} vs {abcd,bcdy} → J = 1/3; 1-row bands so the
+    // shared gram "abcd" reliably blocks the pair (any shared slot joins)
     val df2 = Seq((1L, "abcdx"), (2L, "abcdy")).toDF("doc_id", "text")
-    // 4-grams: {abcd,bcdx} vs {abcd,bcdy} → J = 1/3
-    val got2 = Dedup.ngramJaccardPairs(df2, "doc_id", "text", n = 4, threshold = 0.0)
+    val got2 = Dedup.ngramJaccardPairs(df2, "doc_id", "text", n = 4, threshold = 0.0,
+      blockHashes = 16, blockBands = 16)
       .select("jaccard").as[Double].head()
     assert(math.abs(got2 - 1.0 / 3.0) < 1e-5)
     // lengths 49 vs 50 straddle the log-1.1 bucket boundary at 1.1^41≈49.8
-    // (within ±10% length) — adjacent-bucket probing must pair them
+    // (within ±10% length) — adjacent-bucket probing must pair them;
+    // identical gram sets → identical signatures → every band shared
     val df3 = Seq((1L, "x" * 49), (2L, "x" * 50)).toDF("doc_id", "text")
     val got3 = Dedup.ngramJaccardPairs(df3, "doc_id", "text", n = 4, threshold = 0.0)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
     assert(got3.toSeq == Seq((1L, 2L, 1.0))) // grams both just {"xxxx"}
+  }
+
+  test("ngram jaccard: near-dups found at default banding, unrelated not paired") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "completely different content about spark dataframes and distributed query planning at scale today"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 4, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard: blocking join is signature-only — gram arrays never shuffle") {
+    val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val plan = Dedup.ngramJaccardPairs(df, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    val blockJoin = joins.find(_.condition.exists(_.references.exists(a =>
+      a.name == "bk" || a.name == "len_bucket")))
+    assert(blockJoin.nonEmpty, "blocking self-join not found in plan")
+    val blockJoinCols = blockJoin.get.children.flatMap(_.output).map(_.name)
+    val gramCols = Set("grams", "g_a", "g_b", "__g")
+    assert(!blockJoinCols.exists(gramCols),
+      s"gram arrays must not ride the blocking join, got: $blockJoinCols")
+  }
+
+  test("ngram jaccard: hot buckets above maxBucketSize are dropped") {
+    // 40 identical docs: one hot content bucket → with the cap at 10 the
+    // bucket is dropped entirely and no pairs come back; with the default
+    // cap they all pair up (40*39/2)
+    val df = (1L to 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", maxBucketSize = 10).count()
+    assert(capped == 0L)
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text").count()
+    assert(uncapped == 40L * 39 / 2)
+  }
+
+  test("simhash pairs: hot quarter buckets above maxBucketSize are dropped") {
+    // identical docs share all four quarter buckets; cap 10 drops all four
+    // hot buckets → no candidates; default cap finds every pair
+    val df = (1L to 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.simHashPairs(df, "doc_id", "text", maxBucketSize = 10).count()
+    assert(capped == 0L)
+    val uncapped = Dedup.simHashPairs(df, "doc_id", "text").count()
+    assert(uncapped == 40L * 39 / 2)
   }
 }

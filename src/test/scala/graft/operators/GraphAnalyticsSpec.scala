@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkTestBase
 import graft.model.{GraphSchema, PropertyGraph, RelPattern}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 class GraphAnalyticsSpec extends SparkTestBase {
   import spark.implicits._
@@ -169,6 +170,33 @@ class GraphAnalyticsSpec extends SparkTestBase {
       .as[(String, Long, Double)].collect().map(t => t._2 -> t._3).toMap
     assert(pr(1L) > pr(2L))
     assert(math.abs(pr.values.sum - 5.0) < 0.3)
+  }
+
+  test("local union-find fallback handles integer vid columns, preserves type") {
+    // int-typed ids: the local path must not ClassCastException on getLong
+    // and must emit the same column type as the distributed star rounds
+    val edges = Seq((1, 2), (2, 3), (5, 5)).toDF("src", "dst")
+    val local = DataFramePregel.connectedComponents(edges)
+    val dist = DataFramePregel.connectedComponents(edges, localThreshold = 0L)
+    assert(local.schema("component").dataType == dist.schema("component").dataType)
+    assert(local.as[(Int, Int)].collect().toSet == dist.as[(Int, Int)].collect().toSet)
+    assert(local.as[(Int, Int)].collect().toSet ==
+      Set((1, 1), (2, 1), (3, 1), (5, 5)))
+  }
+
+  test("quantized pagerank: hub in-sum past the old BIGINT ceiling stays exact") {
+    // 11M leaves all pointing at one hub: the hub's round-1 in-sum is
+    // 1.1e13 micro-units, and the damping product 1.1e13·850000 ≈ 9.35e18
+    // exceeds 2⁶³−1 ≈ 9.22e18 — the BIGINT formulation silently wrapped
+    // negative here; the DECIMAL(38,0) accumulator is exact. numIter=1:
+    // the overflow fired in the final ranksOf already.
+    val n = 11000000L
+    val edges = spark.range(1, n + 1).select($"id".as("src"), lit(0L).as("dst"))
+    val hub = GraphAnalytics.pageRankQuantizedDF(edges, numIter = 1)
+      .where($"vid" === 0L).select("rank").as[Double].head()
+    val expected = 0.15 + 0.85 * n.toDouble // leaves contribute 1e6 div 1 each
+    assert(hub > 0, s"hub rank overflowed: $hub")
+    assert(math.abs(hub - expected) / expected < 1e-6, s"hub=$hub expected≈$expected")
   }
 
   test("degree distribution on tiny graph") {
