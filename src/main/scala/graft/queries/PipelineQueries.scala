@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * similarity search, language ID, fingerprinting, multimodal columns.
   * Everything here is oracle-checked — the sketch queries via their
   * engine-portable md5 variants (simHashMd5, minHashBandsMd5), ANN via
-  * literal hyperplanes / list_dot_product — except ss_ivf_topk, whose
-  * trained centroids are data-dependent (rows-only + ScalaTest oracle).
+  * literal hyperplanes / list_dot_product. ss_ivf_topk's centroids are
+  * data-dependent, so its oracle is generated AFTER training (the model
+  * trained while the query ran embeds as literals — see [[ivfOracle]]).
   */
 object PipelineQueries {
 
@@ -354,7 +355,62 @@ object PipelineQueries {
        |    AND len(list_intersect(a.bks, b.bks)) > 0)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** Replays Similarity.ivfTopK against the TRAINED quantizer: the
+    * centroids (and their precomputed squared norms) embed as SQL
+    * literals — the same technique as the LSH hyperplanes — so cell
+    * assignment (argmin of d² = v·v − 2·v·c + |c|², ties to the lower
+    * cell), the nProbe query probes, and the in-cell exact rerank all
+    * replay bit-for-bit (list_dot_product ≡ VecDot accumulation;
+    * Double.toString round-trips through DuckDB's parser). Emitted only
+    * once the quantizer has been trained: Verify dumps oracle_sql.json
+    * AFTER running the queries, at which point the per-corpus model is
+    * in [[ivfModels]]. */
+  private def ivfOracle(model: Similarity.IvfModel, nProbe: Int, k: Int): String = {
+    val cellSelects = model.centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ",", "]")
+      val c2 = c.map(x => x * x).sum
+      s"SELECT vec_id, v, nrm, $i AS cell, list_dot_product(v, v) - 2.0 * list_dot_product(v, $arr) + $c2 AS d2 FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cd AS MATERIALIZED (
+       |$cellSelects
+       |),
+       |corpus AS (
+       |  SELECT vec_id AS neighbor_id, v AS c_vec, nrm AS c_norm, cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, v AS q_vec, nrm AS q_norm, cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM cd WHERE vec_id < 10)
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN q_norm * c_norm = 0 THEN 0.0
+       |      ELSE list_dot_product(q_vec, c_vec) / (q_norm * c_norm) END AS cosine_sim
+       |  FROM probe JOIN corpus USING (cell)
+       |  WHERE neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Static oracles plus — once a quantizer has been trained for exactly
+    * one corpus this session (the Verify shape) — the ss_ivf_topk replay
+    * against that model's centroids. With zero models the key is simply
+    * absent (driver falls back to its rows-only check); with models for
+    * SEVERAL corpora the right one is ambiguous, so the key is withheld
+    * rather than risk replaying the wrong centroids. */
+  def oracles: Map[String, String] =
+    if (ivfModels.size == 1)
+      staticOracles + ("ss_ivf_topk" -> ivfOracle(ivfModels.values.head, nProbe = 4, k = 5))
+    else staticOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracle,
     "dd_simhash" -> simhashOracle,
     "mm_decode_features" -> decodeFeaturesOracle,
