@@ -12,7 +12,18 @@ import org.apache.spark.sql.functions.col
   * sharing the same schema/identifier/naming machinery so a round trip is
   * loss-free.
   */
-final case class NodeMapping(label: String, table: String, idProp: Option[String] = None)
+/** One table's rows can carry SEVERAL labels (Neo4j `:Person:Customer`
+  * multi-labeling): the reference exports such a node once per label
+  * (`MATCH (n:label) RETURN n` runs label by label —
+  * neo4j_export.py:281-292), so each label in `label +: extraLabels` gets
+  * its OWN node table, identifier detection (per-label constraints can
+  * name different key properties), NULL-id filter and column order. An
+  * explicit `idProp` applies to every label of this mapping. */
+final case class NodeMapping(label: String, table: String, idProp: Option[String] = None,
+    extraLabels: Seq[String] = Nil) {
+  /** All labels this table's rows carry, primary first. */
+  def labels: Seq[String] = label +: extraLabels
+}
 
 /** Edge rows come from `table`; `srcFk`/`dstFk` reference the id properties
   * of the endpoint labels; `props` are the relationship's own columns. */
@@ -46,14 +57,18 @@ final class TableGraphMapper(
       math.max(1, math.min(8, math.max(nodeMappings.size, edgeMappings.size))))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
+    // one (label, mapping) unit per label a table declares — multi-label
+    // tables fan out to one node table per label, reference semantics
+    val labelMappings: Seq[(String, NodeMapping)] =
+      nodeMappings.flatMap(nm => nm.labels.map(l => (l, nm)))
     val nodeTables: Map[String, (DataFrame, LabelSchema)] =
-      Await.result(Future.traverse(nodeMappings) { nm => Future {
+      Await.result(Future.traverse(labelMappings) { case (label, nm) => Future {
         val raw = readTable(spark, dir, nm.table)
-        val id = nm.idProp.getOrElse(IdentifierDetector.detect(raw, nm.label, catalog))
+        val id = nm.idProp.getOrElse(IdentifierDetector.detect(raw, label, catalog))
         val built = NodeTableBuilder.build(raw, id)
         val props = built.schema.fields.toSeq.map(f =>
           PropertyMeta(f.name, graft.schema.TypeInference.fromCatalyst(f.dataType), f.nullable))
-        nm.label -> (built, LabelSchema(nm.label, id, props))
+        label -> (built, LabelSchema(label, id, props))
       }}, Duration.Inf).toMap
 
     val rels: Seq[(RelPattern, DataFrame, RelSchema)] =
@@ -73,7 +88,7 @@ final class TableGraphMapper(
       nodes = nodeTables.map { case (l, (df, _)) => l -> df },
       rels = rels.map { case (p, df, _) => p -> df }.toMap,
       schema = GraphSchema(
-        labels = nodeMappings.map(nm => nodeTables(nm.label)._2),
+        labels = nodeMappings.flatMap(nm => nm.labels.map(l => nodeTables(l)._2)),
         rels = rels.map(_._3),
         constraints = catalog.constraints,
         indexes = catalog.indexes))

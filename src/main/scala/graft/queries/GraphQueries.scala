@@ -1,9 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.model.{RelPattern, TpchGraph}
+import graft.model.{NodeMapping, RelPattern, TableGraphMapper, TpchGraph}
 import graft.operators.{NodeTableBuilder, RelTableBuilder}
-import graft.schema.{IdentifierDetector, SchemaInference, TypeInference}
+import graft.schema.{GraphCatalog, IdentifierDetector, SchemaInference, TypeInference}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -442,7 +442,27 @@ object GraphQueries {
         count_distinct(col("part_id")).as("n_parts"))
   }
 
+  /** Multi-label vertices: a table declared under several labels exports
+    * once PER label (the reference's `MATCH (n:label) RETURN n` runs label
+    * by label — neo4j_export.py:281-292 — so a :Supplier:Vendor node
+    * appears in both label tables), with identifier detection PER label:
+    * Supplier keys on its s_suppkey unique constraint, Vendor on its own
+    * s_name constraint, so the two exports apply DIFFERENT null-identifier
+    * filters. Output: both per-label export tables, tagged. */
+  def multilabelNodes(s: SparkSession, dir: String): DataFrame = {
+    val catalog = GraphCatalog.empty
+      .withUnique("Supplier", "s_suppkey")
+      .withUnique("Vendor", "s_name")
+    val mapper = new TableGraphMapper(
+      Seq(NodeMapping("Supplier", "supplier", extraLabels = Seq("Vendor"))), Nil, catalog)
+    val g = mapper.load(s, dir)
+    g.nodes.toSeq.sortBy(_._1).map { case (label, df) =>
+      df.select(lit(label).as("label"), col("s_suppkey"), col("s_name"))
+    }.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_multilabel_nodes" -> (multilabelNodes _),
     "g_pattern_filtered" -> (patternFiltered _),
     "g_model_versions" -> (modelVersions _),
     "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
@@ -469,6 +489,15 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    // per-label export of a multi-label table: one row set per label,
+    // each under its label's own identifier filter (s_suppkey numeric →
+    // IS NOT NULL; s_name string → the reference's None/""/"NULL" rule)
+    "g_multilabel_nodes" ->
+      """SELECT 'Supplier' AS label, s_suppkey, s_name
+        |FROM supplier WHERE s_suppkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'Vendor', s_suppkey, s_name
+        |FROM supplier WHERE s_name IS NOT NULL AND s_name <> '' AND s_name <> 'NULL'""".stripMargin,
     "g_pattern_filtered" ->
       """SELECT COUNT(*) AS n_paths,
         |  COUNT(DISTINCT o_custkey) AS n_customers,

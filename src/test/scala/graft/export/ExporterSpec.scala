@@ -120,6 +120,32 @@ class ExporterSpec extends SparkTestBase {
     assert(back.toSeq == Seq(("1", """say "hi" now"""), ("2", "plain")))
   }
 
+  test("multi-label mapping exports one table per label and round-trips the model") {
+    import graft.model.{NodeMapping, TableGraphMapper}
+    val catalog = graft.schema.GraphCatalog.empty
+      .withUnique("Supplier", "s_suppkey")
+      .withUnique("Vendor", "s_name")
+    val mapper = new TableGraphMapper(
+      Seq(NodeMapping("Supplier", "supplier", extraLabels = Seq("Vendor"))), Nil, catalog)
+    val g = mapper.load(spark, "/root/testdata/sf0.001")
+    // one node table per label, each under its own identifier
+    assert(g.nodes.keySet == Set("Supplier", "Vendor"))
+    assert(g.schema.labels.map(l => l.label -> l.identifier).toMap ==
+      Map("Supplier" -> "s_suppkey", "Vendor" -> "s_name"))
+    // per-label column order: identifier first
+    assert(g.nodes("Supplier").columns.head == "s_suppkey")
+    assert(g.nodes("Vendor").columns.head == "s_name")
+    // the model JSON carries both labels and survives a package round trip
+    val dir = Files.createTempDirectory("graft-multilabel").toString
+    GraphExporter.exportAll(g, dir, formatVersion = "3.0", singleFileCsv = true, createZip = false)
+    val re = GraphImporter.fromPackage(spark, dir)
+    assert(re.nodes.keySet == Set("Supplier", "Vendor"))
+    assert(re.schema.labels.map(l => l.label -> l.identifier).toMap ==
+      Map("Supplier" -> "s_suppkey", "Vendor" -> "s_name"))
+    assert(re.nodes("Supplier").count() == g.nodes("Supplier").count())
+    assert(re.nodes("Vendor").count() == g.nodes("Vendor").count())
+  }
+
   test("v0.1 model: legacy layout with deterministic identifiers") {
     val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-export01").toString
