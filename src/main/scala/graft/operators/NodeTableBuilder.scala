@@ -34,6 +34,23 @@ object NodeTableBuilder {
     df.where(validId(df, identifier)).select(ordered.map(col): _*)
   }
 
+  /** Schemaless ingest: explode a `MAP<STRING,STRING>` properties column
+    * into the union of OBSERVED keys — the reference's actual node data
+    * model (each node is a property map; the export column set is the
+    * union of keys seen across nodes, absent keys filled with the NULL
+    * restval — neo4j_export.py:285-292).
+    *
+    * The key union is computed distributively (explode → distinct — a
+    * map-side-combined agg whose result is SCHEMA-sized, the one thing a
+    * driver may hold); each observed key becomes one `element_at` column,
+    * NULL where a row lacks it. Keys sort after the identifier, matching
+    * the export column order. A key observed nowhere yields no column. */
+  def fromPropertyMap(df: DataFrame, idCol: String, mapCol: String): DataFrame = {
+    val keys = df.select(explode(map_keys(col(mapCol))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    df.select(col(idCol) +: keys.toSeq.map(k => element_at(col(mapCol), lit(k)).as(k)): _*)
+  }
+
   /** Detect the identifier, infer property metadata, and build the table. */
   def buildWithSchema(df: DataFrame, label: String,
       catalog: GraphCatalog = GraphCatalog.empty): (DataFrame, LabelSchema) = {

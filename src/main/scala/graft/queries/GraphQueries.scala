@@ -461,7 +461,25 @@ object GraphQueries {
     }.reduce(_ unionAll _)
   }
 
+  /** Schemaless (map-typed) node ingest: documents become property MAPS
+    * with heterogeneous keys — `lang` everywhere, `flag` on every third
+    * doc, `words` only on long docs — and NodeTableBuilder.fromPropertyMap
+    * rebuilds the tabular view as the union of OBSERVED keys with NULL
+    * restval (the reference's per-node property-map data model,
+    * neo4j_export.py:285-292). The key union is computed distributively;
+    * the oracle replays the per-key presence rules in SQL. */
+  def mapProperties(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val asMap = docs.select(col("doc_id"), map_filter(map(
+      lit("lang"), col("lang"),
+      lit("flag"), when(col("doc_id") % 3 === 0, lit("y")).otherwise(lit(null)),
+      lit("words"), when(length(col("text")) > 200, length(col("text")).cast("string"))
+        .otherwise(lit(null))), (_, v) => v.isNotNull).as("props"))
+    NodeTableBuilder.fromPropertyMap(asMap, "doc_id", "props")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_map_properties" -> (mapProperties _),
     "g_multilabel_nodes" -> (multilabelNodes _),
     "g_pattern_filtered" -> (patternFiltered _),
     "g_model_versions" -> (modelVersions _),
@@ -489,6 +507,14 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    // observed-key union with NULL restval, replayed as per-key presence
+    // rules; every key observed somewhere is a column for ALL rows
+    "g_map_properties" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'y' END AS flag,
+        |  lang,
+        |  CASE WHEN length(text) > 200 THEN CAST(length(text) AS VARCHAR) END AS words
+        |FROM documents""".stripMargin,
     // per-label export of a multi-label table: one row set per label,
     // each under its label's own identifier filter (s_suppkey numeric →
     // IS NOT NULL; s_name string → the reference's None/""/"NULL" rule)

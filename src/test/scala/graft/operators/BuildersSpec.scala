@@ -14,6 +14,31 @@ class BuildersSpec extends SparkTestBase {
     assert(out.select("key").as[String].collect().sorted.toSeq == Seq("1", "2"))
   }
 
+  test("map-typed ingest: observed-key union, NULL restval, unseen key absent") {
+    val df = Seq(
+      (1L, Map("a" -> "1", "b" -> "2")),
+      (2L, Map("b" -> "3", "c" -> "4")),
+      (3L, Map.empty[String, String]))
+      .toDF("id", "props")
+    val out = NodeTableBuilder.fromPropertyMap(df, "id", "props")
+    // id first, then the union of OBSERVED keys sorted; no column for
+    // keys observed nowhere
+    assert(out.columns.toSeq == Seq("id", "a", "b", "c"))
+    val rows = out.as[(Long, Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1L, Some("1"), Some("2"), None),
+      (2L, None, Some("3"), Some("4")),
+      (3L, None, None, None)))
+    // composes with the export-shaped builder: null-id filtering applies
+    val withNullId = Seq(
+      (Some(1L), Map("a" -> "1")), (None, Map("a" -> "x")))
+      .toDF("id", "props")
+    val built = NodeTableBuilder.build(
+      NodeTableBuilder.fromPropertyMap(withNullId, "id", "props"), "id")
+    assert(built.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("rel table: dangling endpoints dropped, label-prefixed columns") {
     val edges = Seq((1L, 10L, 0.5), (2L, 99L, 0.7), (7L, 10L, 0.9)).toDF("src", "dst", "w")
     val srcIds = Seq(1L, 2L).toDF("id")
