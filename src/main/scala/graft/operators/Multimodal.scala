@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct, plus the
   * decode/feature-extract operator shape a training-data pipeline needs.
   *
-  * The Spark-side machinery — schema, batched per-partition processing,
-  * deterministic output shape — is real and tested. The codec itself is a
-  * clearly-marked deterministic STUB (`stubDecode`): this container has no
-  * image/audio libraries, and at 100 TB the codec is a per-row black box
-  * anyway — the engine's job is the batching, partitioning and schema
-  * around it.
+  * Decode dispatches on magic bytes: BMP and PCM-16 WAV payloads get a
+  * REAL pure-JVM parse (header + pixels/samples — [[Codec]]); any other
+  * format falls back to the generic byte-sum featurizer, which is what an
+  * opaque blob admits without its format's native library. The Spark-side
+  * machinery — schema, batched per-partition processing, deterministic
+  * output shape — is identical in both paths; production adds codecs by
+  * extending the dispatch, not the plumbing.
   */
 object Multimodal {
 
@@ -37,12 +38,11 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")))
 
-  /** ==== STUB ==== Deterministic fake decoder: a real deployment swaps
-    * this for an image/audio codec. Maps a payload to a fixed-length
-    * "feature vector" derived from byte content. Accumulation is INTEGER
-    * (exact in a 64-bit long, order-independent) with one final division,
-    * so the result is bit-reproducible by any engine — float accumulation
-    * would be summation-order-dependent and unverifiable. */
+  /** Generic featurizer for payloads in a format no codec claims: per-dim
+    * byte sums. Accumulation is INTEGER (exact in a 64-bit long,
+    * order-independent) with one final division, so the result is
+    * bit-reproducible by any engine — float accumulation would be
+    * summation-order-dependent and unverifiable. */
   def stubDecode(bytes: Array[Byte], featureDim: Int): Array[Double] = {
     val sums = new Array[Long](featureDim)
     var i = 0
@@ -52,6 +52,17 @@ object Multimodal {
     }
     sums.map(_ / 255.0)
   }
+
+  /** Magic-byte codec dispatch: BMP → image features, WAV → audio
+    * features (both real parses, [[Codec]]); anything else → the generic
+    * byte-sum featurizer at `featureDim`. BMP/WAV feature vectors are
+    * 8-wide by contract (Codec scaladoc). */
+  def decode(bytes: Array[Byte], featureDim: Int): Array[Double] =
+    Codec.detectFormat(bytes) match {
+      case Some("image/bmp") => Codec.bmpFeatures(bytes)
+      case Some("audio/wav") => Codec.wavFeatures(bytes)
+      case _ => stubDecode(bytes, featureDim)
+    }
 
   /** Batched decode/feature-extract over partitions — the `mapInPandas`
     * shape (iterator of batches in, iterator of batches out) expressed as
@@ -64,16 +75,14 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init (codec/model load) would happen here once
-        it.map { case (id, bytes) => (id, stubDecode(bytes, featureDim)) }
+        it.map { case (id, bytes) => (id, decode(bytes, featureDim)) }
       }
       .toDF("id", "features")
   }
 
-  /** ==== STUB ==== Deterministic fake resize: production swaps in an
-    * image scaler. Downsamples the byte stream by `factor` (keeping every
-    * factor-th byte) and records the new "dimensions" in the metadata —
-    * the shape (binary in → smaller binary out + updated meta) is what a
-    * real resize has. */
+  /** Generic downsample for formats no codec claims: keep every
+    * factor-th byte — the shape (binary in → smaller binary out) of a
+    * real resize, without format knowledge. */
   def stubResizeBytes(bytes: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((bytes.length + factor - 1) / factor)
     var i = 0
@@ -81,18 +90,31 @@ object Multimodal {
     out
   }
 
+  /** Resize: BMP payloads get a REAL nearest-neighbor downsample
+    * (re-encoded with correct headers — [[Codec.resizeBmp]]), with the
+    * new width/height in the metadata struct; other formats fall back to
+    * byte decimation. */
   def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, stubResizeBytes(bytes, factor)) })
-      .toDF("id", "content")
+      .mapPartitions(_.map { case (id, bytes) =>
+        Codec.detectFormat(bytes) match {
+          case Some("image/bmp") =>
+            val out = Codec.resizeBmp(bytes, factor)
+            val img = Codec.decodeBmp(out)
+            (id, out, "image/bmp", Some(img.width), Some(img.height))
+          case _ => (id, stubResizeBytes(bytes, factor), "resized", None: Option[Int], None: Option[Int])
+        }
+      })
+      .toDF("id", "content", "format", "width", "height")
       .withColumn("meta", struct(
-        lit("resized").as("format"),
+        col("format"),
         octet_length(col("content")).cast("long").as("n_bytes"),
-        lit(null).cast("int").as("width"),
-        lit(null).cast("int").as("height"),
+        col("width"),
+        col("height"),
         lit(null).cast("long").as("duration_ms")))
+      .select(col("id"), col("content"), col("meta"))
   }
 
   /** ==== STUB ==== Frame sampling for video-shaped payloads: split the

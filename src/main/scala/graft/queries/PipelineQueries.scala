@@ -69,6 +69,33 @@ object PipelineQueries {
       element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
   }
 
+  /** REAL codec decode end to end: deterministic BMP (even doc ids) and
+    * PCM-16 WAV (odd ids) payloads are built from each document's bytes
+    * (pixel/sample bytes cycle through the text), then
+    * Multimodal.decodeFeatures dispatches on magic bytes and parses the
+    * containers — headers, bottom-up BMP rows, RIFF chunks, signed
+    * samples. The oracle recomputes every feature from the SAME text
+    * bytes in SQL, so a parse/encode bug anywhere breaks the hash. All
+    * features are integer sums with one final division (bit-exact). */
+  def codecFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withBin = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        def cyc(i: Int): Byte = if (tb.isEmpty) 0 else tb(i % tb.length)
+        val content =
+          if (id % 2 == 0) graft.operators.Codec.encodeBmp(4, 4, Array.tabulate(48)(cyc))
+          else graft.operators.Codec.encodeWavPcm16(8000, 1, Array.tabulate(24) { k =>
+            ((cyc(2 * k) & 0xFF) | ((cyc(2 * k + 1) & 0xFF) << 8)).toShort
+          })
+        (id, content)
+      }.toDF("doc_id", "content")
+    Multimodal.decodeFeatures(withBin, "doc_id")
+      .select(col("id") +: (0 until 8).map(i =>
+        element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
   /** Frame bytes surface as an md5-of-hex digest: raw binary cells are
     * representation-fragile in the driver's pandas comparator, and the
     * digest is what a dedup/caching pipeline stores per frame anyway. The
@@ -136,6 +163,7 @@ object PipelineQueries {
     "tx_fingerprint" -> (fingerprint _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_features" -> (decodeFeatures _),
+    "mm_codec_features" -> (codecFeatures _),
     "mm_frame_sample" -> (frameSample _))
 
   /** tx_langid oracle is generated from TextAnalysis.LanguageProfiles so
@@ -316,6 +344,43 @@ object PipelineQueries {
        |$bandSelects""".stripMargin
   }
 
+  /** Replays codecFeatures from the raw text bytes: the BMP path's
+    * channel classes survive the encoder's bottom-up row order (rows are
+    * 12 bytes = a multiple of 3, so byte j is channel j%3 in any row
+    * permutation, and means/extrema are order-free); the WAV path
+    * reassembles each signed 16-bit LE sample from its two cycled text
+    * bytes. Byte extraction uses the hex-pair VALUES map (as
+    * mm_decode_features does). */
+  private val codecFeaturesOracle: String = {
+    val hexvals = (0 until 256).map(i => f"('$i%02X', $i)").mkString(", ")
+    s"""WITH hexmap(hx, val) AS (VALUES $hexvals),
+       |t AS (SELECT doc_id AS id, hex(encode(text)) AS h,
+       |  octet_length(encode(text)) AS L FROM documents),
+       |bb AS (SELECT id, h, L, unnest(generate_series(0, 47)) AS j FROM t WHERE id % 2 = 0),
+       |bv AS (SELECT bb.id, bb.j % 3 AS ch, m.val
+       |  FROM bb JOIN hexmap m ON m.hx = substring(bb.h, (bb.j % bb.L)*2 + 1, 2)),
+       |bmp AS (SELECT id,
+       |    4.0 AS f0, 4.0 AS f1, 16.0 AS f2,
+       |    CAST(SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS DOUBLE) / 16.0 AS f3,
+       |    CAST(SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS DOUBLE) / 16.0 AS f4,
+       |    CAST(SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS DOUBLE) / 16.0 AS f5,
+       |    CAST(MAX(val) AS DOUBLE) AS f6, CAST(MIN(val) AS DOUBLE) AS f7
+       |  FROM bv GROUP BY id),
+       |wk AS (SELECT id, h, L, unnest(generate_series(0, 23)) AS k FROM t WHERE id % 2 = 1),
+       |wv AS (SELECT wk.id,
+       |    (lo.val + 256*hi.val) - (CASE WHEN lo.val + 256*hi.val >= 32768 THEN 65536 ELSE 0 END) AS s
+       |  FROM wk
+       |  JOIN hexmap lo ON lo.hx = substring(wk.h, ((2*wk.k) % wk.L)*2 + 1, 2)
+       |  JOIN hexmap hi ON hi.hx = substring(wk.h, ((2*wk.k + 1) % wk.L)*2 + 1, 2)),
+       |wav AS (SELECT id,
+       |    24.0 AS f0, 8000.0 AS f1, 1.0 AS f2, 3.0 AS f3,
+       |    CAST(SUM(s) AS DOUBLE) / 24.0 AS f4,
+       |    CAST(SUM(abs(s)) AS DOUBLE) / 24.0 AS f5,
+       |    CAST(MAX(s) AS DOUBLE) AS f6, CAST(MIN(s) AS DOUBLE) AS f7
+       |  FROM wv GROUP BY id)
+       |SELECT * FROM bmp UNION ALL SELECT * FROM wav""".stripMargin
+  }
+
   /** Replays Dedup.ngramJaccardPairs end to end: distinct char 4-grams,
     * the log-1.1 length bucket, the `blockHashes`-slot minhash over md5
     * gram hashes (same (a,b) constants the operator draws from its seed),
@@ -414,6 +479,7 @@ object PipelineQueries {
     "dd_minhash_lsh" -> minhashOracle,
     "dd_simhash" -> simhashOracle,
     "mm_decode_features" -> decodeFeaturesOracle,
+    "mm_codec_features" -> codecFeaturesOracle,
     "ss_quant_topk" -> quantTopKOracle,
     "dd_embed_cosine" -> embedCosineOracle,
     "ss_lsh_topk" -> lshTopKOracle,

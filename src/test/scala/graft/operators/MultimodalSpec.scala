@@ -48,4 +48,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(0)._2.take(2) == Seq(97 / 255.0, 98 / 255.0))
     assert(got(1)._2.forall(_ == 0.0))
   }
+
+  test("BMP codec: encode/decode round-trips pixels, hand-computed features") {
+    // 2x2 BGR image: px(0,0)=(10,20,30) px(1,0)=(40,50,60)
+    //                px(0,1)=(70,80,90) px(1,1)=(100,110,120)
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val bmp = Codec.encodeBmp(2, 2, pixels)
+    assert(Codec.detectFormat(bmp).contains("image/bmp"))
+    val img = Codec.decodeBmp(bmp)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == pixels.toSeq) // bottom-up write undone by read
+    val f = Codec.bmpFeatures(bmp)
+    // [w, h, n, meanB, meanG, meanR, max, min]
+    assert(f.toSeq == Seq(2.0, 2.0, 4.0,
+      (10 + 40 + 70 + 100) / 4.0, (20 + 50 + 80 + 110) / 4.0, (30 + 60 + 90 + 120) / 4.0,
+      120.0, 10.0))
+    // width 2 → 6-byte rows are padded to 8: decode must skip padding
+    assert(bmp.length == 54 + 16)
+  }
+
+  test("BMP resize: nearest-neighbor downsample with rebuilt header") {
+    // 4x4 gradient image, factor 2 → 2x2 keeping pixels (0,0),(2,0),(0,2),(2,2)
+    val pixels = Array.tabulate(48)(i => i.toByte)
+    val bmp = Codec.encodeBmp(4, 4, pixels)
+    val out = Codec.resizeBmp(bmp, 2)
+    val img = Codec.decodeBmp(out)
+    assert(img.width == 2 && img.height == 2)
+    // pixel (x,y) of the original starts at (y*4+x)*3
+    val expect = Seq(0, 2, 8, 10).flatMap(p => Seq(p * 3, p * 3 + 1, p * 3 + 2)).map(_.toByte)
+    assert(img.pixels.toSeq == expect)
+    // and the DataFrame-level resize reports the new dimensions in meta
+    val df = Seq((1L, bmp)).toDF("doc_id", "content")
+    val row = Multimodal.resize(df, "doc_id", 2)
+      .select(col("meta.format"), col("meta.width"), col("meta.height")).head()
+    assert(row.getString(0) == "image/bmp" && row.getInt(1) == 2 && row.getInt(2) == 2)
+  }
+
+  test("WAV codec: encode/decode round-trips samples, hand-computed features") {
+    val samples = Array[Short](1000, -1000, 32767, -32768, 0, 500)
+    val wav = Codec.encodeWavPcm16(8000, 1, samples)
+    assert(Codec.detectFormat(wav).contains("audio/wav"))
+    val got = Codec.decodeWav(wav)
+    assert(got.sampleRate == 8000 && got.channels == 1)
+    assert(got.samples.toSeq == samples.toSeq)
+    val f = Codec.wavFeatures(wav)
+    // [n, rate, channels, durationMs, mean, meanAbs, max, min]
+    val sum = samples.map(_.toLong).sum
+    val sumAbs = samples.map(s => math.abs(s.toLong)).sum
+    assert(f.toSeq == Seq(6.0, 8000.0, 1.0, 0.0, sum / 6.0, sumAbs / 6.0, 32767.0, -32768.0))
+  }
+
+  test("decode dispatches on magic bytes: BMP/WAV real, other falls back") {
+    val bmp = Codec.encodeBmp(1, 1, Array[Byte](1, 2, 3))
+    assert(Multimodal.decode(bmp, 8).toSeq.take(3) == Seq(1.0, 1.0, 1.0))
+    val wav = Codec.encodeWavPcm16(16000, 1, Array[Short](7))
+    assert(Multimodal.decode(wav, 8)(1) == 16000.0)
+    val txt = "ab".getBytes("UTF-8")
+    assert(Multimodal.decode(txt, 8).toSeq == Multimodal.stubDecode(txt, 8).toSeq)
+  }
 }
