@@ -1,28 +1,96 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.LongAdder
+
+/** Benchmark main: one JSON line on stdout.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3): the
+  * headline per-query number is the MEDIAN (container timing noise was
+  * measured at ±40% — single-shot numbers hid real regressions), the min
+  * is the contention-free floor, and per-query shuffle/spill bytes from a
+  * task-metrics listener make plan regressions (a new exchange, a spill)
+  * visible even when wall-clock noise masks them. Bytes are taken from
+  * the LAST rep — steady state, after JVM-lifetime caches (bucketed
+  * staging, checkpoint reuse) have settled; first-rep timings still
+  * include them, which is why the median is over all reps.
+  *
+  * Top-level shape is unchanged ({"metric","value","unit","queries",
+  * "sf"}): "queries" now carries medians; "queries_detail" adds
+  * {median, min, shuffle_bytes, spilled_bytes} per query.
+  */
 object Bench {
+
+  /** Driver-side task-metric totals; deltas around a query give its
+    * shuffle and spill footprint. Listener events are posted async —
+    * [[settled]] waits until the counters stop moving. */
+  private final class MetricsListener extends SparkListener {
+    val shuffleWrite = new LongAdder
+    val spilled = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        spilled.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long) = (shuffleWrite.sum, spilled.sum)
+    def settled: (Long, Long) = {
+      var prev = snapshot
+      var tries = 0
+      while (tries < 20) { // wait ≤1s for the async listener bus to drain
+        Thread.sleep(50)
+        val now = snapshot
+        if (now == prev) tries = 20 else { prev = now; tries += 1 }
+      }
+      prev
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     // absorb one-time session costs (scheduler bootstrap, codegen
     // framework init) so they don't land on whichever query happens to
     // run first — query timings then measure the query, not the session
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    final case class QueryStats(median: Double, min: Double, shuffleBytes: Long, spilledBytes: Long)
+    val results: Seq[(String, QueryStats)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = new Array[Double](reps)
+        var shuffleBytes = 0L
+        var spilledBytes = 0L
+        (0 until reps).foreach { r =>
+          val before = metrics.settled
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          times(r) = (System.nanoTime() - t0) / 1e9
+          if (r == reps - 1) { // steady-state bytes from the last rep
+            val after = metrics.settled
+            shuffleBytes = after._1 - before._1
+            spilledBytes = after._2 - before._2
+          }
+        }
+        val sorted = times.sorted
+        name -> QueryStats(sorted(reps / 2), sorted.head, shuffleBytes, spilledBytes)
+      }
+
+    val qs = results.map { case (k, s) => s""""$k":${s.median}""" }.mkString("{", ",", "}")
+    val detail = results.map { case (k, s) =>
+      s""""$k":{"median":${s.median},"min":${s.min},"shuffle_bytes":${s.shuffleBytes},"spilled_bytes":${s.spilledBytes}}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.median).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

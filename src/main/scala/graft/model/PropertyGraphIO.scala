@@ -43,21 +43,37 @@ object PropertyGraphIO {
   }
 
   /** Write `df` as the table's next generation and atomically flip the
-    * `_current` pointer (write-temp + ATOMIC_MOVE). */
+    * `_current` pointer (write-temp + ATOMIC_MOVE).
+    *
+    * Only the pointer flip is atomic — the read-increment-write sequence
+    * is not, so two concurrent writers on one table would both read gen-N
+    * and clobber gen-N+1, the lost update silently masked by the second
+    * flip. A `.lock` file (atomic create-on-absent) enforces the
+    * single-writer-per-table contract: the loser fails loudly instead.
+    * Writers on DIFFERENT tables never contend. */
   private def writeGeneration(tableRoot: String, df: org.apache.spark.sql.DataFrame,
       partitionKey: String, bucketsPerTable: Int): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val ptr = Paths.get(tableRoot, CurrentPtr)
-    val next =
-      if (Files.exists(ptr)) {
-        val cur = Files.readString(ptr).trim
-        s"gen-${cur.stripPrefix("gen-").toLong + 1}"
-      } else "gen-1"
-    val out = if (bucketsPerTable > 0) df.repartition(bucketsPerTable, col(partitionKey)) else df
-    out.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$next")
-    val tmp = Paths.get(tableRoot, s".$CurrentPtr.tmp")
-    Files.writeString(tmp, next + "\n")
-    Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val lock = Paths.get(tableRoot, s".$CurrentPtr.lock")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => throw new IllegalStateException(
+        s"concurrent generation write on $tableRoot ($lock exists); " +
+          "retry after the holder finishes, or delete a stale lock left by a crash")
+    }
+    try {
+      val ptr = Paths.get(tableRoot, CurrentPtr)
+      val next =
+        if (Files.exists(ptr)) {
+          val cur = Files.readString(ptr).trim
+          s"gen-${cur.stripPrefix("gen-").toLong + 1}"
+        } else "gen-1"
+      val out = if (bucketsPerTable > 0) df.repartition(bucketsPerTable, col(partitionKey)) else df
+      out.write.mode(SaveMode.Overwrite).parquet(s"$tableRoot/$next")
+      val tmp = Paths.get(tableRoot, s".$CurrentPtr.tmp")
+      Files.writeString(tmp, next + "\n")
+      Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.delete(lock)
   }
 
   def save(g: PropertyGraph, root: String, bucketsPerTable: Int = 0): Unit = {
@@ -97,12 +113,19 @@ object PropertyGraphIO {
     upsertTable(spark, s"$root/nodes/$label", Seq(idCol), batch, idCol, bucketsPerTable)
   }
 
+  /** The merge-key (endpoint) columns of a relationship table at rest:
+    * its first two columns by layout contract. Callers that pre-dedup a
+    * batch (e.g. streaming sinks) MUST key on these, not on the batch's
+    * own column order. */
+  def relKeyColsOf(spark: SparkSession, root: String, patternKey: String): Seq[String] =
+    spark.read.parquet(currentDir(s"$root/rels/$patternKey")).columns.take(2).toSeq
+
   /** Upsert `batch` into a relationship table; the endpoint pair (the
     * first two columns) is the merge key. */
   def upsertRels(spark: SparkSession, root: String, patternKey: String,
       batch: org.apache.spark.sql.DataFrame, bucketsPerTable: Int = 0): Unit = {
     val tableRoot = s"$root/rels/$patternKey"
-    val keyCols = spark.read.parquet(currentDir(tableRoot)).columns.take(2).toSeq
+    val keyCols = relKeyColsOf(spark, root, patternKey)
     upsertTable(spark, tableRoot, keyCols, batch, keyCols.head, bucketsPerTable)
   }
 

@@ -197,7 +197,11 @@ object AnalyticsQueries {
               |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
               |  a.vid % 17592186044416 AS node_id,
               |  COALESCE(s.v, a.vid) AS component
-              |FROM allv a LEFT JOIN s$rounds s ON s.u = a.vid""".stripMargin
+              |FROM allv a LEFT JOIN s$rounds s ON s.u = a.vid
+              |UNION ALL
+              |SELECT 'ORACLE_UNDERCONVERGED', -1, -1
+              |WHERE EXISTS (
+              |  SELECT u, v FROM s$rounds EXCEPT SELECT u, v FROM s${rounds - 1})""".stripMargin
     sb.toString
   }
 

@@ -29,9 +29,14 @@ object RelationalQueries {
   // by input dir: queries that must WRITE before they can read return lazy
   // DataFrames, so the scratch space cannot be deleted eagerly — instead
   // repeated invocations (bench trials) reuse one staging per corpus
-  // rather than accumulating temp dirs and catalog entries.
+  // rather than accumulating temp dirs and catalog entries. The bucketed
+  // stage registers CATALOG tables, which live in one session's
+  // sessionState — its cache key includes the session identity so a
+  // restarted session in the same JVM re-stages instead of resolving
+  // names that no longer exist. The CSV stage is just a path (no catalog
+  // entry): per-dir is correct across sessions.
   private val bucketStages =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
   private val csvStages =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -204,7 +209,8 @@ object RelationalQueries {
     * BucketedTablesSpec) and aggregated per market segment. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.BucketedTables
-    val (to, tc) = bucketStages.getOrElseUpdate(dir, {
+    val (to, tc) = bucketStages.getOrElseUpdate(
+      (System.identityHashCode(s.sessionState), dir), {
       val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
       val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val (ordersTbl, custTbl) = (s"g_bkt_orders_$suffix", s"g_bkt_customer_$suffix")

@@ -159,10 +159,14 @@ object EventStreams {
         graft.model.PropertyGraphIO.upsertNodes(b.sparkSession, root, label, finalStates))
 
   /** Relationship twin of [[upsertNodesStream]]: merge key is the endpoint
-    * pair (the rel table's first two columns by layout contract). */
+    * pair — resolved from the AT-REST table's first two columns (the
+    * layout contract upsertRels merges on), not the batch's: a batch
+    * whose columns arrive in a different order would otherwise be deduped
+    * on the wrong pair and then rejected (or mis-merged) downstream. */
   def upsertRelsStream(batches: DataFrame, root: String, patternKey: String,
       orderCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    upsertStream(batches, checkpointDir, keyColsOf = b => b.columns.take(2).toSeq, orderCol,
+    upsertStream(batches, checkpointDir, keyColsOf = b =>
+      graft.model.PropertyGraphIO.relKeyColsOf(b.sparkSession, root, patternKey), orderCol,
       (b, finalStates) =>
         graft.model.PropertyGraphIO.upsertRels(b.sparkSession, root, patternKey, finalStates))
 
