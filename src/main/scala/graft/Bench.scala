@@ -65,8 +65,13 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     final case class QueryStats(median: Double, min: Double, shuffleBytes: Long, spilledBytes: Long)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
+    // iteration on one hot spot without paying the full suite)
+    val only: Set[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet).getOrElse(Set.empty)
     val results: Seq[(String, QueryStats)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(kv => only.isEmpty || only(kv._1))
+        .sortBy(_._1).map { case (name, fn) =>
         val times = new Array[Double](reps)
         var shuffleBytes = 0L
         var spilledBytes = 0L

@@ -268,7 +268,17 @@ object GraphAnalytics {
     val dampMicro = Micro - resetMicro
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // the degree join is loop-invariant — pay it once, not once per round
+    // The degree join is loop-invariant — pay it once, not once per
+    // round. A dst-repartitioned PERSIST of ed was measured and
+    // REVERTED (round 4): in an isolated plan probe it does make the
+    // per-round aggregation exchange-free (InMemoryRelation keeps the
+    // pinned partitioning where a checkpointed LogicalRDD drops it, and
+    // partial+final HashAggregate fuse), but in the full 10-round loop
+    // the bench regressed ~5% with 2.4× the shuffled bytes — the
+    // broadcast of the rank side stopped engaging against the cached
+    // plan shape, reintroducing wider joins than the exchange it
+    // removed. localCheckpoint + per-round agg exchange stays the
+    // measured optimum at this scale.
     val ed = e.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
