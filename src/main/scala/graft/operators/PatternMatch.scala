@@ -79,6 +79,61 @@ object PatternMatch {
       nodeFilters: Map[String, org.apache.spark.sql.Column]): DataFrame =
     find(g, parse(pattern), nodeFilters)
 
+  /** Variable-length forward paths — the Cypher `-[*min..max]->`
+    * fragment, set-oriented: frontier expansion over the SCHEMA's
+    * relationship patterns (optionally restricted to `relTypes`), one
+    * output row per (start id, end label, end id, path length) with the
+    * number of distinct paths of that length.
+    *
+    * The driver iterates only over the schema-sized pattern list; each
+    * length-k result is k equi-joins that Catalyst plans like any other
+    * (broadcast dims, AQE skew). Frontiers carry path MULTIPLICITY (no
+    * dedup) so `n_paths` counts paths — Cypher semantics, where every
+    * relationship instance extends a distinct path — and `maxHops`
+    * bounds the work on cyclic graphs. Ids surface as strings so
+    * heterogeneous end labels union safely. */
+  def findVarLength(g: PropertyGraph, startLabel: String,
+      minHops: Int, maxHops: Int,
+      relTypes: Option[Set[String]] = None): DataFrame = {
+    require(minHops >= 1 && maxHops >= minHops,
+      s"need 1 <= minHops <= maxHops, got $minHops..$maxHops")
+    val startSchema = g.schema.labels.find(_.label == startLabel)
+      .getOrElse(throw new IllegalArgumentException(s"unknown start label $startLabel"))
+    var frontier: Map[String, DataFrame] = Map(startLabel ->
+      g.nodes(startLabel).select(
+        col(startSchema.identifier).cast("string").as("src_id"),
+        col(startSchema.identifier).cast("string").as("cur_id")))
+    val perLength = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to maxHops).foreach { k =>
+      val next = scala.collection.mutable.Map.empty[String, DataFrame]
+      frontier.foreach { case (label, df) =>
+        g.schema.rels
+          .filter(rs => rs.pattern.srcLabel == label &&
+            relTypes.forall(_.contains(rs.pattern.relType)))
+          .foreach { rs =>
+            val edge = g.rels(rs.pattern).select(
+              col(rs.srcColName).cast("string").as("__s"),
+              col(rs.dstColName).cast("string").as("__d"))
+            val stepped = df.join(edge, df("cur_id") === edge("__s"))
+              .select(col("src_id"), col("__d").as("cur_id"))
+            next.updateWith(rs.pattern.dstLabel)(prev =>
+              Some(prev.map(_.unionAll(stepped)).getOrElse(stepped)))
+          }
+      }
+      frontier = next.toMap
+      if (k >= minHops) frontier.foreach { case (label, df) =>
+        perLength += df.select(col("src_id"), lit(label).as("dst_label"),
+          col("cur_id").as("dst_id"), lit(k).cast("long").as("hops"))
+      }
+    }
+    if (perLength.isEmpty)
+      throw new IllegalArgumentException(
+        s"no pattern expands any path of length >= $minHops from $startLabel")
+    perLength.reduce(_ unionAll _)
+      .groupBy("src_id", "dst_label", "dst_id", "hops")
+      .agg(count(lit(1)).as("n_paths"))
+  }
+
   def find(g: PropertyGraph, p: PathPattern,
       nodeFilters: Map[String, org.apache.spark.sql.Column]): DataFrame = {
     val bindings = p.bindingNames

@@ -478,7 +478,21 @@ object GraphQueries {
     NodeTableBuilder.fromPropertyMap(asMap, "doc_id", "props")
   }
 
+  /** Variable-length path matching (`-[*1..2]->`, any relationship
+    * type) from a filtered Customer anchor: per (customer, end label,
+    * end node, length), how many distinct paths reach it — 1-hop lands
+    * on Nation/Order, 2-hop on Region/Part/Supplier. Path multiplicity
+    * is Cypher's (each relationship instance extends a distinct path:
+    * a part on two line numbers of one order counts twice). */
+  def varPaths(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    val anchored = g.copy(nodes = g.nodes.updated("Customer",
+      g.nodes("Customer").where(col("c_custkey") < 500)))
+    graft.operators.PatternMatch.findVarLength(anchored, "Customer", minHops = 1, maxHops = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_var_paths" -> (varPaths _),
     "g_map_properties" -> (mapProperties _),
     "g_multilabel_nodes" -> (multilabelNodes _),
     "g_pattern_filtered" -> (patternFiltered _),
@@ -507,6 +521,40 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    // variable-length paths as a UNION of fixed-hop join chains; the
+    // null-endpoint filters mirror RelTableBuilder, and counts replay
+    // path multiplicity (lineitem rows, not distinct pairs)
+    "g_var_paths" ->
+      """WITH c AS (SELECT c_custkey FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_custkey < 500),
+        |paths AS (
+        |  SELECT CAST(cu.c_custkey AS VARCHAR) AS src_id, 'Nation' AS dst_label,
+        |    CAST(cu.c_nationkey AS VARCHAR) AS dst_id, 1 AS hops
+        |  FROM customer cu JOIN c ON cu.c_custkey = c.c_custkey
+        |  WHERE cu.c_nationkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(o_custkey AS VARCHAR), 'Order', CAST(o_orderkey AS VARCHAR), 1
+        |  FROM orders JOIN c ON o_custkey = c.c_custkey
+        |  WHERE o_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(cu.c_custkey AS VARCHAR), 'Region', CAST(n.n_regionkey AS VARCHAR), 2
+        |  FROM customer cu JOIN c ON cu.c_custkey = c.c_custkey
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  WHERE cu.c_nationkey IS NOT NULL AND n.n_nationkey IS NOT NULL
+        |    AND n.n_regionkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(o_custkey AS VARCHAR), 'Part', CAST(l_partkey AS VARCHAR), 2
+        |  FROM orders JOIN c ON o_custkey = c.c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(o_custkey AS VARCHAR), 'Supplier', CAST(l_suppkey AS VARCHAR), 2
+        |  FROM orders JOIN c ON o_custkey = c.c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey IS NOT NULL AND l_suppkey IS NOT NULL)
+        |SELECT src_id, dst_label, dst_id, CAST(hops AS BIGINT) AS hops,
+        |  COUNT(*) AS n_paths
+        |FROM paths GROUP BY src_id, dst_label, dst_id, hops""".stripMargin,
     // observed-key union with NULL restval, replayed as per-key presence
     // rules; every key observed somewhere is a column for ALL rows
     "g_map_properties" ->

@@ -79,4 +79,35 @@ class PatternMatchSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException](PatternMatch.find(pathGraph(), "A-[NOPE]->B"))
     assert(e2.getMessage.contains("A_NOPE_B"))
   }
+
+  test("variable-length paths: multiplicity counted, lengths separated") {
+    // a1 reaches c100 via b10 AND b20 → two 2-hop paths, one row n_paths=2
+    val got = PatternMatch.findVarLength(pathGraph(), "A", minHops = 1, maxHops = 2)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("1", "B", "10", 1L, 1L), ("1", "B", "20", 1L, 1L), ("2", "B", "10", 1L, 1L),
+      ("1", "C", "100", 2L, 2L), ("2", "C", "100", 2L, 1L)))
+    // minHops=2 drops the 1-hop rows; relTypes restriction prunes S
+    val only2 = PatternMatch.findVarLength(pathGraph(), "A", 2, 2)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(only2 == Set(("1", "C", "100", 2L, 2L), ("2", "C", "100", 2L, 1L)))
+    val onlyR = PatternMatch.findVarLength(pathGraph(), "A", 1, 2, Some(Set("R")))
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(onlyR == Set(("1", "B", "10", 1L, 1L), ("1", "B", "20", 1L, 1L), ("2", "B", "10", 1L, 1L)))
+  }
+
+  test("variable-length paths: cycles bounded by maxHops, path counts grow") {
+    // self-loop pattern N-[E]->N over a 2-cycle 1<->2 plus edge 1->3
+    val nodes = Seq(1L, 2L, 3L).toDF("nid")
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("N_nid_source", "N_nid_target")
+    val g = PropertyGraph(Map("N" -> nodes), Map(RelPattern("N", "E", "N") -> e),
+      GraphSchema(
+        labels = Seq(LabelSchema("N", "nid", Seq(PropertyMeta("nid", "integer", nullable = false)))),
+        rels = Seq(RelSchema(RelPattern("N", "E", "N"), "nid", "nid", Nil))))
+    val got = PatternMatch.findVarLength(g, "N", 3, 3)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    // exactly the walks of length 3: 1→2→1→{2,3}, 2→1→2→1
+    assert(got == Set(
+      ("1", "N", "2", 3L, 1L), ("1", "N", "3", 3L, 1L), ("2", "N", "1", 3L, 1L)))
+  }
 }
