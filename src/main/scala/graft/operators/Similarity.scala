@@ -189,31 +189,43 @@ object Similarity {
     * nProbe/nCells of the corpus, and the cell assignment join is a plain
     * equi-join on cell id.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, model: IvfModel, nProbe: Int): DataFrame = {
-    val centroids = model.centroids
-
-    // nearest cell(s) as column math against centroid literals — the
-    // assignment never leaves codegen'd expressions
-    def cellDistances(vec: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
+  // nearest cell(s) as column math against centroid literals — the
+  // assignment never leaves codegen'd expressions
+  private def cellDistances(centroids: Array[Array[Double]])(vec: Column): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
       val cCol = array(c.map(lit): _*)
       struct((dot(vec, vec) - lit(2.0) * dot(vec, cCol) + lit(c.map(x => x * x).sum)).as("d2"),
         lit(i).as("cell"))
     }: _*)
-    def nearestCells(vec: Column, n: Int): Column =
-      slice(transform(array_sort(cellDistances(vec)), s => s.getField("cell")), 1, n)
-    // corpus side needs only the argmin cell: array_min over the struct
-    // array (d2 is the leading field) generates a fraction of the code a
-    // full sort does — the corpus scan is the big side, keep it lean
-    def nearestCell(vec: Column): Column = array_min(cellDistances(vec)).getField("cell")
+  private def nearestCells(centroids: Array[Array[Double]], vec: Column, n: Int): Column =
+    slice(transform(array_sort(cellDistances(centroids)(vec)), s => s.getField("cell")), 1, n)
+  // corpus side needs only the argmin cell: array_min over the struct
+  // array (d2 is the leading field) generates a fraction of the code a
+  // full sort does — the corpus scan is the big side, keep it lean
+  private def nearestCell(centroids: Array[Array[Double]], vec: Column): Column =
+    array_min(cellDistances(centroids)(vec)).getField("cell")
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      l2Norm(col(vecCol)).as("c_norm"),
-      nearestCell(col(vecCol)).as("cell"))
+  /** Assign every vector its coarse cell: (vec_id, vec, norm, cell) —
+    * the IVF INDEX row. Run once over a corpus (or per micro-batch in
+    * [[graft.streaming.StreamingAnn]]) and persist partitioned by cell;
+    * queries then read only the cells they probe. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String, model: IvfModel): DataFrame =
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("norm"),
+      nearestCell(model.centroids, col(vecCol)).as("cell"))
+
+  /** IVF top-k over an ALREADY-ASSIGNED corpus (the output shape of
+    * [[assignCells]]) — the at-rest / streaming-index path: cell
+    * assignment is not recomputed, so the per-query cost is the probe
+    * joins alone. */
+  def ivfTopKAssigned(
+      assigned: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: IvfModel, nProbe: Int): DataFrame = {
+    val c = assigned.select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"),
+      col("norm").as("c_norm"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"),
-      explode(nearestCells(col(vecCol), nProbe)).as("cell"))
+      explode(nearestCells(model.centroids, col(vecCol), nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     q.join(c, Seq("cell"))
@@ -225,6 +237,12 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank").cast("long").as("rank"))
   }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: IvfModel, nProbe: Int): DataFrame =
+    ivfTopKAssigned(assignCells(corpus, idCol, vecCol, model),
+      queries, idCol, vecCol, k, model, nProbe)
 
   /** IVF top-k with JOIN-BASED cell assignment — the large-`nCells`
     * scale path. [[ivfTopK]] compiles the centroids into the projection

@@ -28,7 +28,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingDedup {
 
-  private def listBatchDirs(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def listBatchDirs(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, String)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
