@@ -491,7 +491,35 @@ object GraphQueries {
     graft.operators.PatternMatch.findVarLength(anchored, "Customer", minHops = 1, maxHops = 2)
   }
 
+  /** The catalog's constraint/index inventory as rows — the engine-side
+    * `SHOW CONSTRAINTS` / `SHOW INDEXES` surface (reference
+    * neo4j_export.py:83-130,177-227), driver-checked. */
+  def catalogInventory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = TpchGraph.catalog
+    val rows =
+      cat.constraints.map(c =>
+        ("constraint", c.constraintType, c.name, c.labels.mkString(","), c.properties.mkString(","))) ++
+      cat.indexes.map(i =>
+        ("index", i.indexType, i.name, i.labels.mkString(","), i.properties.mkString(",")))
+    rows.toDF("kind", "subtype", "name", "labels", "properties")
+  }
+
+  /** The SQL-registered native text primitives, exercised THROUGH
+    * `spark.sql` (not the Column API) so the driver checks the function
+    * registration + Catalyst builders end to end. */
+  def sqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables(s, dir, "documents").createOrReplaceTempView("g_sqlfn_docs")
+    s.sql("""SELECT doc_id,
+             CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
+             graft_fingerprint_md5(text) AS fp_md5
+             FROM g_sqlfn_docs""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_catalog_inventory" -> (catalogInventory _),
+    "g_sql_functions" -> (sqlFunctions _),
     "g_var_paths" -> (varPaths _),
     "g_map_properties" -> (mapProperties _),
     "g_multilabel_nodes" -> (multilabelNodes _),
@@ -521,6 +549,26 @@ object GraphQueries {
     "g_null_id_filter" -> (nullIdFilter _))
 
   val oracles: Map[String, String] = Map(
+    "g_catalog_inventory" ->
+      """SELECT * FROM (VALUES
+        |  ('constraint', 'uniqueness', 'r_regionkey_Region_uniq',   'Region',   'r_regionkey'),
+        |  ('constraint', 'uniqueness', 'n_nationkey_Nation_uniq',   'Nation',   'n_nationkey'),
+        |  ('constraint', 'uniqueness', 'c_custkey_Customer_uniq',   'Customer', 'c_custkey'),
+        |  ('constraint', 'uniqueness', 's_suppkey_Supplier_uniq',   'Supplier', 's_suppkey'),
+        |  ('constraint', 'uniqueness', 'p_partkey_Part_uniq',       'Part',     'p_partkey'),
+        |  ('constraint', 'uniqueness', 'o_orderkey_Order_uniq',     'Order',    'o_orderkey'),
+        |  ('index',      'default',    'c_mktsegment_Customer_idx', 'Customer', 'c_mktsegment'),
+        |  ('index',      'default',    'o_orderdate_Order_idx',     'Order',    'o_orderdate')
+        |) AS t(kind, subtype, name, labels, properties)""".stripMargin,
+    // the registered SQL functions replay as their defining expressions:
+    // token count over whitespace split with the empty-text guard, md5
+    // fingerprint of lower/trim/whitespace-collapsed content
+    "g_sql_functions" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents""".stripMargin,
     // variable-length paths as a UNION of fixed-hop join chains; the
     // null-endpoint filters mirror RelTableBuilder, and counts replay
     // path multiplicity (lineitem rows, not distinct pairs)
