@@ -299,4 +299,53 @@ object TextAnalysis {
       .join(train, Seq("__fp"), "left_semi")
       .select(col(idCol), col("__fp").as("fingerprint_md5"))
   }
+
+  /** NEAR-DUP train-set contamination — the fuzzy variant of
+    * [[contamination]]: an eval document leaks even when it was lightly
+    * edited (truncated, re-tokenized, suffixed) before entering the
+    * training corpus, which exact fingerprints cannot see.
+    *
+    * MinHash-banded blocking between the splits (the [[Dedup]] md5
+    * family, so an external SQL oracle replays every bucket), bucket-size
+    * cap, then an exact word-shingle Jaccard verify on the candidate
+    * pairs only — the blocking join carries (id, split, band, bucket),
+    * never text. Output: one row per EVAL doc — (id, n_near_dups,
+    * contaminated), clean docs included with 0/false, so the result is
+    * the decontamination worklist. */
+  def contaminationFuzzy(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, trainSplit: String, evalSplit: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      jaccardThreshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val banded = df.select(col(idCol).as("doc_id"), col(splitCol).as("__split"),
+      Dedup.minHashSignature(
+        Dedup.shingleHashesMd5(col(textCol), shingleSize), numHashes).as("__sig"))
+      .select(col("doc_id"), col("__split"),
+        explode(Dedup.lshBandKeysMd5(col("__sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("__split"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val sized = banded.withColumn("__n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("__n") <= maxBucketSize)
+    val evalB = sized.where(col("__split") === evalSplit)
+      .select(col("band"), col("bucket"), col("doc_id").as("eval_id"))
+    val trainB = sized.where(col("__split") === trainSplit)
+      .select(col("band"), col("bucket"), col("doc_id").as("train_id"))
+    val candidates = evalB.join(trainB, Seq("band", "bucket"))
+      .select(col("eval_id"), col("train_id")).dropDuplicates("eval_id", "train_id")
+    // exact verify: distinct word-shingle Jaccard, shingles fetched by id
+    val sh = df.select(col(idCol).as("__sid"),
+      array_distinct(Dedup.wordShingles(col(textCol), shingleSize)).as("__sh"))
+    val verified = candidates
+      .join(sh.select(col("__sid").as("eval_id"), col("__sh").as("sh_e")), Seq("eval_id"))
+      .join(sh.select(col("__sid").as("train_id"), col("__sh").as("sh_t")), Seq("train_id"))
+      .where(round(
+        size(array_intersect(col("sh_e"), col("sh_t"))).cast("double") /
+          size(array_union(col("sh_e"), col("sh_t"))).cast("double"), 6) >= jaccardThreshold)
+    val counts = verified.groupBy(col("eval_id")).agg(count(lit(1)).as("n_near_dups"))
+    df.where(col(splitCol) === evalSplit).select(col(idCol).as("eval_id"))
+      .join(counts, Seq("eval_id"), "left")
+      .select(col("eval_id").as(idCol),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+      .withColumn("contaminated", col("n_near_dups") > 0)
+  }
 }

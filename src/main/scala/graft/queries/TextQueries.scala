@@ -125,6 +125,26 @@ object TextQueries {
       "doc_id", "text", "split", trainSplit = "train", evalSplit = "eval")
   }
 
+  /** NEAR-DUP contamination on a perturbed leak: train = docs 0-399; eval
+    * leaks = docs 0-19 with a 3-token suffix appended (so their exact
+    * fingerprints differ — [[contamination]] cannot see them) plus clean
+    * copies of docs 450-499. MinHash-banded blocking between splits, then
+    * an exact shingle-Jaccard verify at 0.5. The oracle replays shingles,
+    * signatures, band buckets, the split-crossing candidate join AND the
+    * verify in SQL. */
+  def contaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val train = docs.where(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"), lit("train").as("split"))
+    val evalLeaked = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing tokens")).as("text"), lit("eval").as("split"))
+    val evalClean = docs.where(col("doc_id") >= 450)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"), lit("eval").as("split"))
+    TA.contaminationFuzzy(train.unionAll(evalLeaked).unionAll(evalClean),
+      "doc_id", "text", "split", trainSplit = "train", evalSplit = "eval")
+  }
+
   /** Gopher-style repetition quality signals per document (duplicate-token
     * fraction, dominant bigram) — the filter that catches boilerplate and
     * degenerate repetition that length/punctuation signals miss. */
@@ -175,6 +195,7 @@ object TextQueries {
     "tx_pii_redact" -> (piiRedact _),
     "tx_split" -> (split _),
     "tx_contamination" -> (contamination _),
+    "tx_contamination_fuzzy" -> (contaminationFuzzy _),
     "tx_balanced_sample" -> ((s, dir) => balancedSample(s, dir)),
     "tx_token_packing" -> ((s, dir) => tokenPacking(s, dir)),
     "tx_length_histogram" -> (lengthHistogram _),
@@ -217,6 +238,58 @@ object TextQueries {
       |WHERE e.split = 'eval' AND EXISTS (
       |  SELECT 1 FROM fp t WHERE t.split = 'train'
       |    AND t.fingerprint_md5 = e.fingerprint_md5)""".stripMargin
+
+  /** Replays TextAnalysis.contaminationFuzzy end to end on the perturbed
+    * corpus: 3-word shingles, the 64-permutation minhash over md5 shingle
+    * hashes (operator's own (a,b) constants), 16 md5 band buckets, the
+    * split-crossing candidate join, and the exact distinct-shingle
+    * Jaccard verify at 0.5 — then per-eval-doc counts with clean docs at
+    * zero. */
+  private val contaminationFuzzyOracle: String = {
+    val p = graft.operators.Dedup.MinHashPrime
+    val slots = graft.operators.Dedup.minHashParams(64).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 16).map { b =>
+      val joined = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, split, $b AS band, ('0x' || substring(md5($joined), 1, 15))::BIGINT AS bucket FROM sig"
+    }.mkString("\nUNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, 'train' AS split FROM documents WHERE doc_id < 400
+       |  UNION ALL SELECT doc_id + 10000, text || ' extra trailing tokens', 'eval'
+       |    FROM documents WHERE doc_id < 20
+       |  UNION ALL SELECT doc_id + 20000, text, 'eval' FROM documents WHERE doc_id >= 450),
+       |toks AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+       |sh AS MATERIALIZED (SELECT doc_id, split,
+       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |         ELSE list_transform(generate_series(0, len(w) - 3),
+       |                i -> array_to_string(w[i+1:i+3], ' ')) END AS shingles
+       |  FROM toks),
+       |hs AS (SELECT doc_id, split,
+       |    list_transform(list_distinct(shingles),
+       |      s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % $p) AS hs
+       |  FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id, split, [
+       |    $slots] AS sig FROM hs),
+       |bands AS MATERIALIZED ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+       |  FROM bands e JOIN bands t ON e.band = t.band AND e.bucket = t.bucket
+       |  WHERE e.split = 'eval' AND t.split = 'train'),
+       |ver AS (
+       |  SELECT c.eval_id
+       |  FROM cand c
+       |  JOIN sh se ON se.doc_id = c.eval_id
+       |  JOIN sh st ON st.doc_id = c.train_id
+       |  WHERE round(CAST(len(list_intersect(list_distinct(se.shingles), list_distinct(st.shingles))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(list_distinct(se.shingles), list_distinct(st.shingles)))) AS DOUBLE), 6) >= 0.5),
+       |counts AS (SELECT eval_id, COUNT(*) AS n FROM ver GROUP BY eval_id)
+       |SELECT s.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_near_dups,
+       |  COALESCE(c.n, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM corpus WHERE split = 'eval') s
+       |LEFT JOIN counts c ON c.eval_id = s.doc_id""".stripMargin
+  }
 
   private val repetitionOracle: String =
     """WITH toks AS (
@@ -315,6 +388,7 @@ object TextQueries {
     "tx_pii_redact" -> piiOracle,
     "tx_split" -> splitOracle,
     "tx_contamination" -> contaminationOracle,
+    "tx_contamination_fuzzy" -> contaminationFuzzyOracle,
     "tx_balanced_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -83,6 +83,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == Seq(10L))
   }
 
+  test("fuzzy contamination: edited leaks caught, exact check blind to them") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val df = Seq(
+      (1L, base, "train"),
+      (2L, "other train doc about completely different things entirely", "train"),
+      (10L, base + " suffix", "eval"), // edited leak: exact fp differs
+      (11L, "genuinely new eval content nothing like the training corpus at all here", "eval"))
+      .toDF("doc_id", "text", "split")
+    // the exact check misses the edited copy...
+    assert(TextAnalysis.contamination(df, "doc_id", "text", "split", "train", "eval").count() == 0)
+    // ...the fuzzy one flags it, and only it
+    val got = TextAnalysis.contaminationFuzzy(df, "doc_id", "text", "split", "train", "eval")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((10L, 1L, true), (11L, 0L, false)))
+  }
+
   test("quality score ranges and ordering") {
     val good = "the quick brown fox jumps over the lazy dog and it runs through the forest with a friend " * 3
     val bad = "1234 5678 !!!! ???? 9999"
