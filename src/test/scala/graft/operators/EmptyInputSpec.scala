@@ -50,6 +50,23 @@ class EmptyInputSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("g", "item"), "g", "item").count() == 0)
   }
 
+  test("round-4 operators on empty inputs") {
+    // map-typed ingest: no observed keys → id-only projection
+    val noMaps = Seq.empty[(Long, Map[String, String])].toDF("id", "props")
+    val mapped = NodeTableBuilder.fromPropertyMap(noMaps, "id", "props")
+    assert(mapped.columns.toSeq == Seq("id") && mapped.count() == 0)
+    // fuzzy contamination: empty corpus → empty worklist
+    val cont = TextAnalysis.contaminationFuzzy(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "split"),
+      "doc_id", "text", "split", "train", "eval")
+    assert(cont.count() == 0)
+    // codec dispatch on an empty payload → generic featurizer, all zeros
+    assert(Multimodal.decode(Array.emptyByteArray, 4).forall(_ == 0.0))
+    // capped dedup paths on empty corpora
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text", maxBucketSize = 1).count() == 0)
+    assert(Dedup.simHashPairs(noDocs, "doc_id", "text", maxBucketSize = 1).count() == 0)
+  }
+
   test("top-k and as-of on empty inputs") {
     val noOrders = Seq.empty[(Long, Double, Long)].toDF("k", "ord", "id")
     assert(TopK.perKey(noOrders, "k", "ord", 3, tieBreak = Seq("id")).count() == 0)
