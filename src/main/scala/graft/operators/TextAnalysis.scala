@@ -300,6 +300,39 @@ object TextAnalysis {
       .select(col(idCol), col("__fp").as("fingerprint_md5"))
   }
 
+  /** Span-level exact-substring duplication — the signal behind
+    * exact-substring deduplication (duplicated passages inside otherwise
+    * distinct documents: boilerplate headers, licenses, quoted blocks —
+    * which document-level dedup cannot see).
+    *
+    * Every `windowTokens`-token sliding window is hashed (engine-portable
+    * md5 form); a window is DUPLICATED when the same hash occurs in at
+    * least one OTHER document. The shuffle carries (hash, doc_id) pairs
+    * only — never text — and the duplicate-hash set is computed with one
+    * map-side-combined aggregation, so the operator is corpus-scale. Output
+    * per doc: (id, n_windows, n_dup_windows, dup_fraction). Documents
+    * shorter than one window count one whole-text window. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 10): DataFrame = {
+    // shingleHashesMd5 is DISTINCT per doc by construction, so windows
+    // are (doc, distinct window) rows: a hash occurring in >= 2 rows
+    // occurs in >= 2 docs, and n_windows counts distinct windows (self-
+    // repetition inside one doc is repetitionStats' signal, not this one)
+    val windows = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingleHashesMd5(col(textCol), windowTokens)).as("h"))
+    val dupHashes = windows
+      .groupBy("h").agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= 2).select(col("h"))
+    val perDoc = windows
+      .join(dupHashes.withColumn("__dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_windows"))
+    perDoc.select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+      round(col("n_dup_windows").cast("double") / col("n_windows").cast("double"), 6)
+        .as("dup_fraction"))
+  }
+
   /** NEAR-DUP train-set contamination — the fuzzy variant of
     * [[contamination]]: an eval document leaks even when it was lightly
     * edited (truncated, re-tokenized, suffixed) before entering the

@@ -145,6 +145,20 @@ object TextQueries {
       "doc_id", "text", "split", trainSplit = "train", evalSplit = "eval")
   }
 
+  /** Span-level exact-substring duplication over a corpus with
+    * constructed shared boilerplate: docs 0-99 get a fixed 12-token
+    * header prepended (the license/banner shape), so their 10-token
+    * windows overlap cross-doc; the operator must flag exactly those
+    * spans. Natural near-dups in the corpus add real signal on top. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val boiler = "this document is provided as is without any warranty of any kind whatsoever"
+    val withBoiler = docs.select(col("doc_id"),
+      when(col("doc_id") < 100, concat(lit(boiler + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    TA.duplicatedSpans(withBoiler, "doc_id", "text", windowTokens = 10)
+  }
+
   /** Gopher-style repetition quality signals per document (duplicate-token
     * fraction, dominant bigram) — the filter that catches boilerplate and
     * degenerate repetition that length/punctuation signals miss. */
@@ -196,6 +210,7 @@ object TextQueries {
     "tx_split" -> (split _),
     "tx_contamination" -> (contamination _),
     "tx_contamination_fuzzy" -> (contaminationFuzzy _),
+    "tx_dup_spans" -> (dupSpans _),
     "tx_balanced_sample" -> ((s, dir) => balancedSample(s, dir)),
     "tx_token_packing" -> ((s, dir) => tokenPacking(s, dir)),
     "tx_length_histogram" -> (lengthHistogram _),
@@ -290,6 +305,32 @@ object TextQueries {
        |FROM (SELECT doc_id FROM corpus WHERE split = 'eval') s
        |LEFT JOIN counts c ON c.eval_id = s.doc_id""".stripMargin
   }
+
+  /** Replays duplicatedSpans: per-doc DISTINCT 10-token windows, 60-bit
+    * md5 window hashes, the >=2-docs duplicate-hash set, per-doc counts.
+    * The boilerplate injection is replayed in the corpus CTE. */
+  private val dupSpansOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, CASE WHEN doc_id < 100
+      |    THEN 'this document is provided as is without any warranty of any kind whatsoever ' || text
+      |    ELSE text END AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+      |sh AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) < 10 THEN [array_to_string(w, ' ')]
+      |         ELSE list_transform(generate_series(0, len(w) - 10),
+      |                i -> array_to_string(w[i+1:i+10], ' ')) END) AS shingles
+      |  FROM toks),
+      |win AS (SELECT doc_id,
+      |    ('0x' || substring(md5(unnest(shingles)), 1, 15))::BIGINT AS h
+      |  FROM sh),
+      |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2)
+      |SELECT w.doc_id,
+      |  COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+      |  round(CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
+      |FROM win w LEFT JOIN dup d ON d.h = w.h
+      |GROUP BY w.doc_id""".stripMargin
 
   private val repetitionOracle: String =
     """WITH toks AS (
@@ -389,6 +430,7 @@ object TextQueries {
     "tx_split" -> splitOracle,
     "tx_contamination" -> contaminationOracle,
     "tx_contamination_fuzzy" -> contaminationFuzzyOracle,
+    "tx_dup_spans" -> dupSpansOracle,
     "tx_balanced_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

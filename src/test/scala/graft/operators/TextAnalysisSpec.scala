@@ -99,6 +99,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == Set((10L, 1L, true), (11L, 0L, false)))
   }
 
+  test("duplicated spans: shared boilerplate flagged, unique text not") {
+    val header = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    val df = Seq(
+      (1L, header + " unique tail one here today"),
+      (2L, header + " different ending entirely now"),
+      (3L, "completely unrelated words with no shared spans at all in this document"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(df, "doc_id", "text", windowTokens = 10)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // docs 1/2: 15/14 tokens → 6/5 distinct windows; only the pure-header
+    // window (offset 0) is shared — later windows differ by their tails
+    assert(got(1L)._2 == 6 && got(1L)._3 == 1)
+    assert(got(2L)._2 == 5 && got(2L)._3 == 1)
+    assert(got(3L)._3 == 0 && got(3L)._4 == 0.0)
+    assert(math.abs(got(1L)._4 - 1.0 / 6.0) < 1e-6)
+  }
+
   test("quality score ranges and ordering") {
     val good = "the quick brown fox jumps over the lazy dog and it runs through the forest with a friend " * 3
     val bad = "1234 5678 !!!! ???? 9999"
