@@ -293,6 +293,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the metric nProbe/numTables/numBits are tuned with. Both inputs are
+    * (query_id, neighbor_id, …) top-k frames (the output shape of every
+    * topK operator here); recall for a query = |approx ∩ exact| / |exact|
+    * over that query's rows. Queries the approximate pass missed entirely
+    * score 0. One aggregation per side + a per-query join — runs at any
+    * corpus scale the underlying top-k runs at. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("__truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / col("__truth"), 6).as("recall"))
+  }
+
   /** Convenience overload that trains the quantizer from a corpus sample
     * in-line — for exploration and tests. Production pipelines call
     * [[trainIvf]] once and reuse the model across queries. */

@@ -101,4 +101,24 @@ class SimilaritySpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("recall@k: hand-computed on constructed approx/exact frames") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    // q1: 2 of 3 found; q2: both; q3: missed entirely (no approx rows)
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 21L), (2L, 20L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 2.0 / 3.0) < 1e-6)
+    assert(got(2L) == 1.0 && got(3L) == 0.0)
+    // and live: IVF probing ALL cells recovers brute-force exactly
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 3)
+    val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 4)
+    val recall = Similarity.recallAtK(ivf, bf).agg(avg($"recall")).as[Double].head()
+    assert(recall == 1.0, s"full-probe IVF must have recall 1.0, got $recall")
+  }
 }
