@@ -64,7 +64,8 @@ object Bench {
     // run first — query timings then measure the query, not the session
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    final case class QueryStats(median: Double, min: Double, shuffleBytes: Long, spilledBytes: Long)
+    final case class QueryStats(median: Double, min: Double, shuffleBytes: Long,
+      spilledBytes: Long, errors: Int)
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
     // iteration on one hot spot without paying the full suite)
     val only: Set[String] =
@@ -75,10 +76,18 @@ object Bench {
         val times = new Array[Double](reps)
         var shuffleBytes = 0L
         var spilledBytes = 0L
+        var errors = 0
         (0 until reps).foreach { r =>
           val before = metrics.settled
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          // a failing rep still records its elapsed time, but the failure
+          // is counted and surfaced — a query that starts throwing must
+          // not masquerade as a (often faster) clean run
+          try { fn(spark, sfDir).count() } catch {
+            case t: Throwable =>
+              errors += 1
+              System.err.println(s"[bench] $name rep $r FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          }
           times(r) = (System.nanoTime() - t0) / 1e9
           if (r == reps - 1) { // steady-state bytes from the last rep
             val after = metrics.settled
@@ -87,12 +96,12 @@ object Bench {
           }
         }
         val sorted = times.sorted
-        name -> QueryStats(sorted(reps / 2), sorted.head, shuffleBytes, spilledBytes)
+        name -> QueryStats(sorted(reps / 2), sorted.head, shuffleBytes, spilledBytes, errors)
       }
 
     val qs = results.map { case (k, s) => s""""$k":${s.median}""" }.mkString("{", ",", "}")
     val detail = results.map { case (k, s) =>
-      s""""$k":{"median":${s.median},"min":${s.min},"shuffle_bytes":${s.shuffleBytes},"spilled_bytes":${s.spilledBytes}}"""
+      s""""$k":{"median":${s.median},"min":${s.min},"shuffle_bytes":${s.shuffleBytes},"spilled_bytes":${s.spilledBytes},"errors":${s.errors}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.median).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"sf":"$sfDir"}""")

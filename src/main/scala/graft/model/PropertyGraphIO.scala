@@ -55,11 +55,18 @@ object PropertyGraphIO {
       partitionKey: String, bucketsPerTable: Int): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val lock = Paths.get(tableRoot, s".$CurrentPtr.lock")
-    try Files.createFile(lock)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException => throw new IllegalStateException(
-        s"concurrent generation write on $tableRoot ($lock exists); " +
-          "retry after the holder finishes, or delete a stale lock left by a crash")
+    // the lock records holder pid + wall-clock so a lock left by a
+    // crashed JVM is identifiable (and reclaimable) instead of opaque
+    val holder = s"pid=${ProcessHandle.current.pid} epochMs=${System.currentTimeMillis}"
+    try {
+      Files.createFile(lock)
+      Files.writeString(lock, holder + "\n")
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val info = try Files.readString(lock).trim catch { case _: Exception => "unreadable" }
+        throw new IllegalStateException(
+          s"concurrent generation write on $tableRoot ($lock exists, holder: $info); " +
+            "retry after the holder finishes, or delete a stale lock left by a crash")
     }
     try {
       val ptr = Paths.get(tableRoot, CurrentPtr)
@@ -73,7 +80,10 @@ object PropertyGraphIO {
       val tmp = Paths.get(tableRoot, s".$CurrentPtr.tmp")
       Files.writeString(tmp, next + "\n")
       Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    } finally Files.delete(lock)
+    // deleteIfExists: if an operator removed a presumed-stale lock while
+    // this write was in flight, a NoSuchFileException here must not mask
+    // the original (more informative) write exception
+    } finally Files.deleteIfExists(lock)
   }
 
   def save(g: PropertyGraph, root: String, bucketsPerTable: Int = 0): Unit = {

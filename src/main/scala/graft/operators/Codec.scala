@@ -68,20 +68,31 @@ object Codec {
     out
   }
 
-  /** Parse a 24-bpp uncompressed BMP; throws on other BMP variants. */
+  /** Parse a 24-bpp uncompressed BMP; throws on other BMP variants or a
+    * malformed/truncated header. Negative height (top-down row order) is
+    * supported; every field that indexes into `bytes` is bounds-checked
+    * first so hostile headers fail with a `require`, never an AIOOBE. */
   def decodeBmp(bytes: Array[Byte]): Bmp = {
     require(detectFormat(bytes).contains("image/bmp"), "not a BMP payload")
+    require(bytes.length >= 54, s"BMP header truncated (${bytes.length} bytes)")
     val offset = i32(bytes, 10)
     val width = i32(bytes, 18)
-    val height = i32(bytes, 22)
+    val rawHeight = i32(bytes, 22)
     val bpp = u16(bytes, 28)
     val compression = i32(bytes, 30)
     require(bpp == 24 && compression == 0, s"only 24-bpp uncompressed BMP (got bpp=$bpp comp=$compression)")
+    require(width > 0 && rawHeight != 0, s"invalid BMP dimensions ${width}x$rawHeight")
+    val topDown = rawHeight < 0 // negative height = rows stored top-down
+    val height = math.abs(rawHeight)
+    require(width.toLong * height * 3 <= Int.MaxValue, s"BMP too large (${width}x$height)")
     val rowSize = ((width * 3 + 3) / 4) * 4
+    require(offset >= 54 && offset.toLong + rowSize.toLong * height <= bytes.length,
+      s"BMP pixel data out of bounds (offset=$offset rows=$height rowSize=$rowSize of ${bytes.length} bytes)")
     val pixels = new Array[Byte](3 * width * height)
     var y = 0
     while (y < height) {
-      val srcRow = offset + (height - 1 - y) * rowSize // stored bottom-up
+      val storedRow = if (topDown) y else height - 1 - y // default storage is bottom-up
+      val srcRow = offset + storedRow * rowSize
       System.arraycopy(bytes, srcRow, pixels, y * width * 3, width * 3)
       y += 1
     }
@@ -162,33 +173,44 @@ object Codec {
     out
   }
 
-  /** Parse a PCM-16 WAV by walking RIFF chunks ("fmt " then "data" in any
-    * order, unknown chunks skipped — real-world WAVs carry LIST/INFO). */
+  /** Parse a PCM-16 WAV by walking RIFF chunks ("fmt " and "data" in any
+    * order, unknown chunks skipped — real-world WAVs carry LIST/INFO).
+    * The data chunk's POSITION is buffered during the walk and decoded
+    * only after it completes, so fmt validation sees the fmt chunk even
+    * when data precedes it; chunk sizes are bounds-checked so truncated
+    * or hostile containers fail with a `require`, never an AIOOBE. */
   def decodeWav(bytes: Array[Byte]): Wav = {
     require(detectFormat(bytes).contains("audio/wav"), "not a WAV payload")
     var pos = 12
     var sampleRate = 0; var channels = 0; var bits = 0; var fmt = 0
-    var samples: Array[Short] = null
+    var haveFmt = false
+    var dataPos = -1; var dataSize = 0
     while (pos + 8 <= bytes.length) {
-      val id = new String(bytes.slice(pos, pos + 4), "US-ASCII")
+      val id = new String(bytes, pos, 4, "US-ASCII")
       val size = i32(bytes, pos + 4)
+      require(size >= 0 && pos + 8 + size.toLong <= bytes.length,
+        s"malformed WAV chunk '$id' at $pos (size=$size of ${bytes.length} bytes)")
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too small ($size bytes)")
           fmt = u16(bytes, pos + 8)
           channels = u16(bytes, pos + 10)
           sampleRate = i32(bytes, pos + 12)
           bits = u16(bytes, pos + 22)
+          haveFmt = true
         case "data" =>
-          require(fmt == 1 && bits == 16, s"only PCM-16 WAV (got fmt=$fmt bits=$bits)")
-          val n = size / 2
-          samples = new Array[Short](n)
-          var k = 0
-          while (k < n) { samples(k) = u16(bytes, pos + 8 + 2 * k).toShort; k += 1 }
+          dataPos = pos + 8; dataSize = size
         case _ => // skip unknown chunk
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
-    require(samples != null, "WAV has no data chunk")
+    require(haveFmt, "WAV has no fmt chunk")
+    require(fmt == 1 && bits == 16, s"only PCM-16 WAV (got fmt=$fmt bits=$bits)")
+    require(dataPos >= 0, "WAV has no data chunk")
+    val n = dataSize / 2
+    val samples = new Array[Short](n)
+    var k = 0
+    while (k < n) { samples(k) = u16(bytes, dataPos + 2 * k).toShort; k += 1 }
     Wav(sampleRate, channels, samples)
   }
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.util.Try
+
 /** Multimodal-column plumbing (SURVEY §2.9): image/audio/video payloads as
   * opaque `binary` columns with a typed metadata struct, plus the
   * decode/feature-extract operator shape a training-data pipeline needs.
@@ -56,11 +58,16 @@ object Multimodal {
   /** Magic-byte codec dispatch: BMP → image features, WAV → audio
     * features (both real parses, [[Codec]]); anything else → the generic
     * byte-sum featurizer at `featureDim`. BMP/WAV feature vectors are
-    * 8-wide by contract (Codec scaladoc). */
+    * 8-wide by contract (Codec scaladoc).
+    *
+    * Magic bytes are a sniff, not a guarantee — a text payload starting
+    * "BM" or a non-PCM RIFF container matches the dispatch but fails the
+    * parse. Any codec exception degrades to the generic featurizer so one
+    * hostile/truncated blob can't fail the whole job. */
   def decode(bytes: Array[Byte], featureDim: Int): Array[Double] =
     Codec.detectFormat(bytes) match {
-      case Some("image/bmp") => Codec.bmpFeatures(bytes)
-      case Some("audio/wav") => Codec.wavFeatures(bytes)
+      case Some("image/bmp") => Try(Codec.bmpFeatures(bytes)).getOrElse(stubDecode(bytes, featureDim))
+      case Some("audio/wav") => Try(Codec.wavFeatures(bytes)).getOrElse(stubDecode(bytes, featureDim))
       case _ => stubDecode(bytes, featureDim)
     }
 
@@ -99,12 +106,17 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        val generic = (id, stubResizeBytes(bytes, factor), "resized", None: Option[Int], None: Option[Int])
         Codec.detectFormat(bytes) match {
           case Some("image/bmp") =>
-            val out = Codec.resizeBmp(bytes, factor)
-            val img = Codec.decodeBmp(out)
-            (id, out, "image/bmp", Some(img.width), Some(img.height))
-          case _ => (id, stubResizeBytes(bytes, factor), "resized", None: Option[Int], None: Option[Int])
+            // parse failure (false-positive magic, unsupported variant,
+            // truncated header) degrades to byte decimation, as above
+            Try {
+              val out = Codec.resizeBmp(bytes, factor)
+              val img = Codec.decodeBmp(out)
+              (id, out, "image/bmp", Some(img.width): Option[Int], Some(img.height): Option[Int])
+            }.getOrElse(generic)
+          case _ => generic
         }
       })
       .toDF("id", "content", "format", "width", "height")

@@ -35,8 +35,15 @@ object RelationalQueries {
   // restarted session in the same JVM re-stages instead of resolving
   // names that no longer exist. The CSV stage is just a path (no catalog
   // entry): per-dir is correct across sessions.
+  // WeakHashMap keyed on the SparkSession OBJECT: object identity cannot
+  // collide (identityHashCode of sessionState can — two live sessions in
+  // one JVM would share staging and the second would resolve catalog
+  // names registered only in the first), and a stopped session's entry
+  // is GC-reclaimed with the session itself.
   private val bucketStages =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, (String, String)]]())
   private val csvStages =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -209,8 +216,15 @@ object RelationalQueries {
     * BucketedTablesSpec) and aggregated per market segment. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.BucketedTables
-    val (to, tc) = bucketStages.getOrElseUpdate(
-      (System.identityHashCode(s.sessionState), dir), {
+    val perSession = bucketStages.synchronized {
+      var m = bucketStages.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+        bucketStages.put(s, m)
+      }
+      m
+    }
+    val (to, tc) = perSession.getOrElseUpdate(dir, {
       val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
       val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val (ordersTbl, custTbl) = (s"g_bkt_orders_$suffix", s"g_bkt_customer_$suffix")

@@ -106,4 +106,54 @@ class MultimodalSpec extends SparkTestBase {
     val txt = "ab".getBytes("UTF-8")
     assert(Multimodal.decode(txt, 8).toSeq == Multimodal.stubDecode(txt, 8).toSeq)
   }
+
+  test("false-positive magic match degrades to the generic featurizer, not a task failure") {
+    // a text payload starting "BM" matches the BMP sniff but is no BMP
+    val fakeBmp = "BMW is a carmaker, not a bitmap header".getBytes("UTF-8")
+    assert(Multimodal.decode(fakeBmp, 8).toSeq == Multimodal.stubDecode(fakeBmp, 8).toSeq)
+    // a RIFF/WAVE container that is not PCM-16 (fmt=85 = MP3-in-WAV)
+    val nonPcm = Codec.encodeWavPcm16(8000, 1, Array[Short](1, 2))
+    nonPcm(20) = 85 // overwrite the fmt tag
+    assert(Multimodal.decode(nonPcm, 8).toSeq == Multimodal.stubDecode(nonPcm, 8).toSeq)
+    // truncated WAV: header claims more data than the payload carries
+    val wav = Codec.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3, 4))
+    val truncated = wav.take(wav.length - 4)
+    assert(Multimodal.decode(truncated, 8).toSeq == Multimodal.stubDecode(truncated, 8).toSeq)
+    // end-to-end: one hostile blob among good ones must not fail the job
+    val df = Seq((1L, fakeBmp), (2L, Codec.encodeBmp(1, 1, Array[Byte](9, 9, 9))))
+      .toDF("doc_id", "content")
+    assert(Multimodal.decodeFeatures(df, "doc_id").count() == 2)
+    // resize likewise degrades instead of throwing
+    assert(Multimodal.resize(Seq((1L, fakeBmp)).toDF("doc_id", "content"), "doc_id", 2)
+      .select(col("meta.format")).head().getString(0) == "resized")
+  }
+
+  test("WAV chunk walk: data chunk before fmt still validates and decodes") {
+    val samples = Array[Short](5, -5, 100)
+    val wav = Codec.encodeWavPcm16(4000, 1, samples)
+    // rebuild with the data chunk first: RIFF header, data, then fmt
+    val fmtChunk = wav.slice(12, 36)
+    val dataChunk = wav.slice(36, wav.length)
+    val reordered = wav.slice(0, 12) ++ dataChunk ++ fmtChunk
+    val got = Codec.decodeWav(reordered)
+    assert(got.sampleRate == 4000 && got.samples.toSeq == samples.toSeq)
+  }
+
+  test("BMP: top-down (negative height) variant decodes; hostile headers fail loudly") {
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60) // 1x2 image, rows (10,20,30) then (40,50,60)
+    val bmp = Codec.encodeBmp(1, 2, pixels)
+    // flip to top-down: height = -2, rows stored in display order
+    val topDown = bmp.clone()
+    topDown(22) = (-2 & 0xFF).toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    // bottom-up storage of (r0, r1) is (r1, r0); reinterpreted top-down it reads reversed
+    val img = Codec.decodeBmp(topDown)
+    assert(img.height == 2 && img.pixels.toSeq == Seq[Byte](40, 50, 60, 10, 20, 30))
+    // width=0 and out-of-bounds offset are rejected with require, not AIOOBE
+    val zeroW = bmp.clone(); zeroW(18) = 0; zeroW(19) = 0; zeroW(20) = 0; zeroW(21) = 0
+    intercept[IllegalArgumentException](Codec.decodeBmp(zeroW))
+    val badOff = bmp.clone(); badOff(10) = 0x7F; badOff(11) = 0x7F
+    intercept[IllegalArgumentException](Codec.decodeBmp(badOff))
+    intercept[IllegalArgumentException](Codec.decodeBmp("BM".getBytes("UTF-8")))
+  }
 }
