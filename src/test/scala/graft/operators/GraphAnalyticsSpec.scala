@@ -93,6 +93,17 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(sep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("label propagation: broadcast and shuffle physical paths agree") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.tabulate(400)(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("src", "dst")
+    val bc = GraphAnalytics.labelPropagationDF(edges, numIter = 4, broadcastLabels = true)
+      .as[(Long, Long)].collect().toSet
+    val sh = GraphAnalytics.labelPropagationDF(edges, numIter = 4, broadcastLabels = false)
+      .as[(Long, Long)].collect().toSet
+    assert(bc == sh)
+  }
+
   test("triangle counts: one triangle, hand-computed") {
     // single-label triangle 1-2-3 plus pendant 4
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("nid")
