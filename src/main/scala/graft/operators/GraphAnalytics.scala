@@ -349,6 +349,74 @@ object GraphAnalytics {
         (coalesce(col("rank_micro"), lit(resetMicro)).cast("double") / 1000000.0).as("rank"))
   }
 
+  /** Multi-source BFS hop distances: the minimum number of hops from any
+    * source vertex, computed as `maxHops` rounds of unit-weight
+    * Bellman-Ford relaxation — round i sets d(v) = min(d(v), min over
+    * edges u→v of d(u)+1). The relaxation form (rather than an explicit
+    * frontier) is chosen because a round at the fixpoint is the
+    * identity, so the FIXED round count replays verbatim as chained
+    * CTEs in a SQL oracle, exactly like the star-CC and LPA loops.
+    * Per round: one equi-join of the edge list against the
+    * vertex-sized distance table + one min-combine groupBy — shuffles
+    * carry (vid, dist) pairs only, map-side combine collapses
+    * multi-edge contributions before the wire. Unreached vertices are
+    * absent from the output (no sentinel). At extreme scale a
+    * frontier-delta variant (join only vertices whose distance changed
+    * last round) cuts re-propagation of settled vertices; the
+    * relaxation form keeps every round's input vertex-bounded, which
+    * is already the right complexity class.
+    *
+    * `sources` is a single-column DataFrame of vertex ids. */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      undirected: Boolean = true): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))) else e0)
+      .distinct().localCheckpoint(true)
+    var dist = sources.select(col(sources.columns.head).as("vid")).distinct()
+      .withColumn("dist", lit(0L))
+    (1 to maxHops).foreach { i =>
+      val relaxed = e.join(dist, e("u") === dist("vid"))
+        .select(col("v").as("vid"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionAll(relaxed).groupBy("vid").agg(min(col("dist")).as("dist"))
+      if (i % 2 == 0 || i == maxHops) dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** k-core decomposition by synchronous peeling: each round computes
+    * every remaining vertex's degree in the remaining subgraph and
+    * removes ALL vertices with degree < k at once (both endpoints
+    * filtered against the same round-start degree table —
+    * deterministic, order-free, and therefore replayable round by
+    * round in SQL). The k-core is the fixpoint; a peeling round at the
+    * fixpoint is the identity, so a generous FIXED `rounds` count ≥
+    * the convergence point yields it exactly — same oracle recipe as
+    * connected components' star rounds. Per round: one degree
+    * aggregation (map-side combined) + two semi-joins of the edge list
+    * against the vertex-sized survivor set — edges shuffle once at
+    * build, then only (vertex) keys move. Output: surviving vertices
+    * with their within-core degree. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    var e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    (1 to rounds).foreach { i =>
+      val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("u").as("kv"))
+      val ekeptU = e.join(keep, e("u") === keep("kv"), "left_semi")
+      e = ekeptU.join(keep, ekeptU("v") === keep("kv"), "left_semi")
+      if (i % 2 == 0 || i == rounds) e = e.localCheckpoint(true)
+    }
+    e.groupBy("u").agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("vid"), col("core_degree"))
+  }
+
   /** Degree distribution of the unified graph: how many vertices have each
     * (in+out) degree — the classic first look at any 100 TB graph. */
   def degreeDistribution(g: PropertyGraph): DataFrame = {

@@ -74,12 +74,48 @@ object AnalyticsQueries {
   def degreeDistribution(s: SparkSession, dir: String): DataFrame =
     GraphAnalytics.degreeDistribution(TpchGraph.load(s, dir))
 
+  /** Multi-source BFS over the undirected unified graph from all Region
+    * vertices: hop distance to every reachable vertex. The unified
+    * graph's diameter from the region side is 4 (region → nation →
+    * customer/supplier → order → part), so maxHops = 5 converges with a
+    * verification round to spare; the fixed rounds replay as chained
+    * CTEs (a relaxation round at the fixpoint is the identity). */
+  def bfsDistances(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val regionIdx = labels.indexOf("Region").toLong
+    val sources = edges.select(col("src").as("vid"))
+      .unionAll(edges.select(col("dst").as("vid")))
+      .where(shiftright(col("vid"), 44) === regionIdx)
+    GraphAnalytics.decode(
+      GraphAnalytics.bfsDistances(edges, sources, maxHops = BfsHops), "vid", labels)
+      .select(col("label"), col("node_id"), col("dist"))
+  }
+
+  private val BfsHops = 5
+
+  /** 3-core of the part co-occurrence graph (the triangle projection):
+    * parts that survive iterative peeling of degree-<3 vertices — the
+    * dense-neighborhood subgraph basket analyses mine. Synchronous
+    * peeling rounds replay as chained CTEs; 8 rounds is well past the
+    * measured convergence of the sf graphs. */
+  def kCore(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(s, dir, "lineitem")
+    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    GraphAnalytics.kCore(edges, k = KCoreK, rounds = KCoreRounds, "item_a", "item_b")
+      .select(lit("Part").as("label"), col("vid").as("node_id"), col("core_degree"))
+  }
+
+  private val KCoreK = 3
+  private val KCoreRounds = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pagerank" -> (pagerank _),
     "g_connected_components" -> (connectedComponents _),
     "g_triangles" -> (triangles _),
     "g_label_propagation" -> (labelPropagation _),
-    "g_degree_distribution" -> (degreeDistribution _))
+    "g_degree_distribution" -> (degreeDistribution _),
+    "g_bfs_distances" -> (bfsDistances _),
+    "g_kcore" -> (kCore _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
@@ -205,10 +241,65 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** BFS oracle: replay the unit-weight relaxation rounds — round i's
+    * distance table is the min-combine of round i−1's and every
+    * neighbor's distance + 1. All integers; a round at the fixpoint is
+    * the identity, so the fixed count is exact. */
+  private def bfsOracleSql(maxHops: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n),\n"
+    sb ++= """und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+             |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+             |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+             |d0 AS (SELECT DISTINCT u AS vid, CAST(0 AS BIGINT) AS dist FROM und
+             |  WHERE u // 17592186044416 = 4)""".stripMargin
+    (1 to maxHops).foreach { i =>
+      sb ++= s""",
+                |d$i AS MATERIALIZED (SELECT vid, MIN(dist) AS dist FROM (
+                |  SELECT vid, dist FROM d${i - 1}
+                |  UNION ALL SELECT und.v AS vid, d.dist + 1 AS dist
+                |    FROM und JOIN d${i - 1} d ON und.u = d.vid) GROUP BY vid)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  vid % 17592186044416 AS node_id, dist
+              |FROM d$maxHops""".stripMargin
+    sb.toString
+  }
+
+  /** k-core oracle: replay the synchronous peeling rounds — round i
+    * keeps the edges whose BOTH endpoints had degree ≥ k in round
+    * i−1's subgraph. A peeling round at the fixpoint is the identity,
+    * so the generous fixed count yields the exact core. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+              |sized AS (SELECT g, item FROM (
+              |  SELECT g, item, count(*) OVER (PARTITION BY g) AS n FROM li) WHERE n <= 10),
+              |co AS (SELECT DISTINCT a.item AS u, b.item AS v
+              |  FROM sized a JOIN sized b ON a.g = b.g AND a.item < b.item),
+              |e0 AS MATERIALIZED (SELECT u, v FROM co WHERE u <> v
+              |  UNION ALL SELECT v AS u, u AS v FROM co WHERE u <> v)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |k$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= $k),
+                |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+                |  JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT 'Part' AS label, u AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+              |FROM e$rounds GROUP BY u""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> pagerankOracleSql(PrRounds, PrReset),
     "g_connected_components" -> ccOracleSql(16),
     "g_label_propagation" -> lpaOracleSql(LpaRounds),
+    "g_bfs_distances" -> bfsOracleSql(BfsHops),
+    "g_kcore" -> kcoreOracleSql(KCoreK, KCoreRounds),
     "g_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
         |sized AS (SELECT g, item FROM (

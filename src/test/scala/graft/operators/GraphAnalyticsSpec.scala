@@ -93,6 +93,35 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(sep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("BFS distances: hand-computed hops, unreached vertices absent") {
+    // path 1-2-3-4-5 plus disconnected pair 10-11; 3 hops from {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("src", "dst")
+    val sources = Seq(1L).toDF("vid")
+    val got = GraphAnalytics.bfsDistances(edges, sources, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // directed: edges only relax forward
+    val dgot = GraphAnalytics.bfsDistances(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"),
+      Seq(2L).toDF("vid"), maxHops = 2, undirected = false)
+      .as[(Long, Long)].collect().toMap
+    assert(dgot == Map(2L -> 0L, 3L -> 1L, 1L -> 2L))
+    // multi-source: nearer source wins
+    val mgot = GraphAnalytics.bfsDistances(edges, Seq(1L, 5L).toDF("vid"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(mgot == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 0L, 4L -> 1L))
+  }
+
+  test("k-core: peeling removes the tail, keeps the triangle") {
+    // triangle {1,2,3} + tail 3-4-5: the 2-core is exactly the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphAnalytics.kCore(edges, k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max core empties the graph
+    assert(GraphAnalytics.kCore(edges, k = 3, rounds = 5).count() == 0)
+  }
+
   test("label propagation: broadcast and shuffle physical paths agree") {
     val rnd = new scala.util.Random(23)
     val edges = Seq.tabulate(400)(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
