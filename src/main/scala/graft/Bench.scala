@@ -99,12 +99,34 @@ object Bench {
         name -> QueryStats(sorted(reps / 2), sorted.head, shuffleBytes, spilledBytes, errors)
       }
 
-    val qs = results.map { case (k, s) => s""""$k":${s.median}""" }.mkString("{", ",", "}")
     val detail = results.map { case (k, s) =>
       s""""$k":{"median":${s.median},"min":${s.min},"shuffle_bytes":${s.shuffleBytes},"spilled_bytes":${s.spilledBytes},"errors":${s.errors}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.median).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"sf":"$sfDir"}""")
+    val totalErrors = results.map(_._2.errors).sum
+    def fmt(d: Double): String = f"$d%.3f"
+    // Full per-query detail goes to a FILE — the harness that collects this
+    // run keeps only a short tail of stdout, so the one stdout JSON line
+    // must stay small enough to land intact inside that tail. Rounds 1-5
+    // printed the full ~4 KB detail map inline and the collected artifact
+    // ended up with a clipped, unparseable line every time.
+    val detailFile = "BENCH_DETAIL.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_detail":$detail,"reps":$reps,"errors":$totalErrors,"sf":"$sfDir"}""")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // Compact line: slowest queries first, greedily packed into a byte
+    // budget that fits the tail with room for the runner's trailing lines.
+    val budget = 1500
+    val packed = new StringBuilder
+    var omitted = 0
+    results.sortBy { case (_, s) => -s.median }.foreach { case (k, s) =>
+      val entry = s""""$k":${fmt(s.median)}"""
+      if (packed.length + entry.length + 1 <= budget) {
+        if (packed.nonEmpty) packed.append(',')
+        packed.append(entry)
+      } else omitted += 1
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$packed},"n_queries":${results.size},"queries_omitted":$omitted,"errors":$totalErrors,"reps":$reps,"detail_file":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

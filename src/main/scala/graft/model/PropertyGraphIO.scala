@@ -60,7 +60,14 @@ object PropertyGraphIO {
     val holder = s"pid=${ProcessHandle.current.pid} epochMs=${System.currentTimeMillis}"
     try {
       Files.createFile(lock)
-      Files.writeString(lock, holder + "\n")
+      // if recording the holder fails (disk full, permissions), the lock
+      // must not leak — it would wedge every later write on this table
+      // until someone deletes it by hand
+      try Files.writeString(lock, holder + "\n")
+      catch { case e: Throwable =>
+        try Files.deleteIfExists(lock) catch { case _: Exception => () }
+        throw e
+      }
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val info = try Files.readString(lock).trim catch { case _: Exception => "unreadable" }

@@ -81,13 +81,21 @@ object Codec {
     val bpp = u16(bytes, 28)
     val compression = i32(bytes, 30)
     require(bpp == 24 && compression == 0, s"only 24-bpp uncompressed BMP (got bpp=$bpp comp=$compression)")
-    require(width > 0 && rawHeight != 0, s"invalid BMP dimensions ${width}x$rawHeight")
+    // abs(Int.MinValue) is Int.MinValue — height must be checked POSITIVE
+    // after the abs, or a hostile rawHeight slips through every bound and
+    // blows up at the pixel allocation
+    require(width > 0 && rawHeight != 0 && rawHeight != Int.MinValue,
+      s"invalid BMP dimensions ${width}x$rawHeight")
     val topDown = rawHeight < 0 // negative height = rows stored top-down
     val height = math.abs(rawHeight)
     require(width.toLong * height * 3 <= Int.MaxValue, s"BMP too large (${width}x$height)")
-    val rowSize = ((width * 3 + 3) / 4) * 4
-    require(offset >= 54 && offset.toLong + rowSize.toLong * height <= bytes.length,
-      s"BMP pixel data out of bounds (offset=$offset rows=$height rowSize=$rowSize of ${bytes.length} bytes)")
+    // row-size arithmetic in Long: width*3+3 overflows Int for width near
+    // 715,827,883, producing a negative rowSize that passes the offset
+    // bound check below
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    require(offset >= 54 && offset.toLong + rowSizeL * height <= bytes.length,
+      s"BMP pixel data out of bounds (offset=$offset rows=$height rowSize=$rowSizeL of ${bytes.length} bytes)")
+    val rowSize = rowSizeL.toInt // ≤ bytes.length after the bound check
     val pixels = new Array[Byte](3 * width * height)
     var y = 0
     while (y < height) {

@@ -18,6 +18,17 @@ object GraphAnalytics {
 
   private val LabelShift = 44
 
+  /** Vertex-count ceiling for the broadcast plan shapes in
+    * [[labelPropagationDF]] and [[pageRankQuantizedDF]]. An explicit
+    * `broadcast()` hint BYPASSES `autoBroadcastJoinThreshold`, and Spark
+    * hard-fails any broadcast relation over 8 GiB (and needs the whole
+    * table + hash-relation overhead in driver memory first). 50M
+    * (vid, value) rows ≈ 2-3 GiB as a broadcast relation — comfortably
+    * under the cap; past the ceiling both operators fall back to the
+    * shuffle plan automatically instead of inheriting a hard job
+    * failure at scale. */
+  val MaxBroadcastVertices: Long = 50L * 1000 * 1000
+
   /** Unified edge list of a PropertyGraph: one DataFrame of encoded
     * (src, dst) global vertex ids. Labels are indexed in sorted order for
     * determinism. */
@@ -215,15 +226,26 @@ object GraphAnalytics {
     * unpinned, the label join shuffles label-table-sized data per round
     * and the (u, community) groupBy's map-side partial combine defends
     * the wire against hot-vertex skew. Identical results either way
-    * (spec-checked) — this switches plan shape, not semantics. */
+    * (spec-checked) — this switches plan shape, not semantics.
+    * `true` is a REQUEST, not a command: past [[MaxBroadcastVertices]]
+    * the explicit hint would bypass autoBroadcastJoinThreshold straight
+    * into Spark's 8 GiB broadcast hard cap, so the operator counts
+    * vertices (one cheap agg, amortized over the rounds) and falls back
+    * to the shuffle plan on its own. */
   def labelPropagationDF(edges: DataFrame, numIter: Int = 5,
       srcCol: String = "src", dstCol: String = "dst",
       broadcastLabels: Boolean = true): DataFrame = {
     require(numIter >= 1, "numIter must be >= 1")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    val undRaw = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
+    // symmetric-distinct edge list is computed exactly once; both plan
+    // shapes below build on the checkpointed form
+    val undCp = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    // vertex table triples as round-0 labels, the final-shape anchor, and
+    // the broadcast-feasibility guard (see MaxBroadcastVertices)
+    val verts = undCp.select(col("u").as("vid")).distinct().localCheckpoint(true)
+    val useBroadcast = broadcastLabels && verts.count() <= MaxBroadcastVertices
     // The broadcast path pins the aggregation-friendly layout with
     // persist, NOT localCheckpoint: a checkpointed LogicalRDD drops its
     // outputPartitioning (measured, round 4), while InMemoryRelation
@@ -231,12 +253,11 @@ object GraphAnalytics {
     // from ever degrading to a shuffle against the cached shape (the
     // failure mode of the round-4 PageRank persist experiment).
     val und =
-      if (broadcastLabels)
-        undRaw.repartition(col("u"))
+      if (useBroadcast)
+        undCp.repartition(col("u"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else undRaw.localCheckpoint(true)
-    var labels = und.select(col("u").as("vid")).distinct()
-      .withColumn("community", col("vid"))
+      else undCp
+    var labels = verts.withColumn("community", col("vid"))
     (1 to numIter).foreach { i =>
       // Fusing both aggregations onto one bare repartition(u) exchange
       // was measured (12.7 -> 9.6 s at sf0.1) and REVERTED in the
@@ -244,7 +265,7 @@ object GraphAnalytics {
       // combine that both collapses converging neighbor communities
       // before the wire and defends against hot-vertex skew. The
       // broadcast path makes that trade moot — there is no wire.
-      val lbl = if (broadcastLabels) broadcast(labels) else labels
+      val lbl = if (useBroadcast) broadcast(labels) else labels
       val next = und.join(lbl, und("v") === lbl("vid"))
         .groupBy(und("u"), col("community")).agg(count(lit(1)).as("n"))
         .groupBy(col("u"))
@@ -257,7 +278,7 @@ object GraphAnalytics {
     }
     // the final round's labels are eagerly checkpointed above, so the
     // pinned edge cache can be released immediately
-    if (broadcastLabels) und.unpersist(blocking = false)
+    if (useBroadcast) und.unpersist(blocking = false)
     labels
   }
 
@@ -292,7 +313,12 @@ object GraphAnalytics {
     * cached shape; the hint closes that hole. `false`: ranks have
     * outgrown broadcast — unpinned edges, per-round agg exchange,
     * map-side combine defends the wire. Identical integers either way
-    * (fixed-point arithmetic is partitioning-independent). */
+    * (fixed-point arithmetic is partitioning-independent).
+    * As in [[labelPropagationDF]], `true` is overridden past
+    * [[MaxBroadcastVertices]] vertices: the explicit hint ignores
+    * autoBroadcastJoinThreshold and Spark hard-fails 8 GiB+ broadcasts,
+    * so the operator counts the (already-checkpointed) vertex table and
+    * routes to the shuffle plan itself. */
   def pageRankQuantizedDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,
       srcCol: String = "src", dstCol: String = "dst",
       broadcastRanks: Boolean = true): DataFrame = {
@@ -303,13 +329,14 @@ object GraphAnalytics {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // the degree join is loop-invariant — pay it once, not once per round
     val edUnpinned = e.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+    val verts = e.select(col("src").as("vid"))
+      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
+    val useBroadcast = broadcastRanks && verts.count() <= MaxBroadcastVertices
     val ed =
-      if (broadcastRanks)
+      if (useBroadcast)
         edUnpinned.repartition(col("dst"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else edUnpinned.localCheckpoint(true)
-    val verts = e.select(col("src").as("vid"))
-      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
 
     // SPARSE loop: ranks are kept only for vertices that RECEIVE edges —
     // any vertex absent from the in-sums has rank exactly resetMicro
@@ -330,7 +357,7 @@ object GraphAnalytics {
       .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
     (2 to numIter).foreach { i =>
       val rBase = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
-      val r = if (broadcastRanks) broadcast(rBase) else rBase
+      val r = if (useBroadcast) broadcast(rBase) else rBase
       inSums = ed.join(r, ed("src") === r("vid"), "left")
         .select(col("dst").as("vid"),
           expr(s"coalesce(rank_micro, ${resetMicro}L) div deg").as("c"))
@@ -338,7 +365,7 @@ object GraphAnalytics {
     }
     // materialize before releasing the pinned edge cache — the final
     // projection below must not silently recompute the whole loop
-    if (broadcastRanks) {
+    if (useBroadcast) {
       inSums = inSums.localCheckpoint(true)
       ed.unpersist(blocking = false)
     }

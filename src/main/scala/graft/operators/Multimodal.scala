@@ -106,7 +106,9 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val generic = (id, stubResizeBytes(bytes, factor), "resized", None: Option[Int], None: Option[Int])
+        // lazy: the O(payload) decimation fallback must not run (and be
+        // discarded) on the happy path where the BMP resize succeeds
+        lazy val generic = (id, stubResizeBytes(bytes, factor), "resized", None: Option[Int], None: Option[Int])
         Codec.detectFormat(bytes) match {
           case Some("image/bmp") =>
             // parse failure (false-positive magic, unsupported variant,
