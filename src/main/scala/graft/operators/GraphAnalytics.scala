@@ -33,6 +33,16 @@ object GraphAnalytics {
     * (src, dst) global vertex ids. Labels are indexed in sorted order for
     * determinism. */
   def unifiedEdges(g: PropertyGraph): (DataFrame, Seq[String]) = {
+    val (e, labels) = unifiedEdgesWeighted(g, _ => 1L)
+    (e.select(col("src"), col("dst")), labels)
+  }
+
+  /** [[unifiedEdges]] with a per-pattern integral edge weight —
+    * (src, dst, w) — for weighted algorithms ([[ssspDistances]]). The
+    * weight is constant per relationship TYPE (the per-edge-property
+    * case just selects the property column instead). */
+  def unifiedEdgesWeighted(g: PropertyGraph,
+      weightOf: graft.model.RelPattern => Long): (DataFrame, Seq[String]) = {
     val labels = g.nodes.keys.toSeq.sorted
     val index = labels.zipWithIndex.toMap
     val parts = g.rels.toSeq.sortBy(_._1.key).map { case (pattern, df) =>
@@ -60,7 +70,8 @@ object GraphAnalytics {
       }
       df.select(
         encoded(srcCol, pattern.srcLabel).as("src"),
-        encoded(dstCol, pattern.dstLabel).as("dst"))
+        encoded(dstCol, pattern.dstLabel).as("dst"),
+        lit(weightOf(pattern)).as("w"))
     }
     (parts.reduce(_.unionAll(_)), labels)
   }
@@ -409,6 +420,43 @@ object GraphAnalytics {
         .select(col("v").as("vid"), (col("dist") + lit(1L)).as("dist"))
       dist = dist.unionAll(relaxed).groupBy("vid").agg(min(col("dist")).as("dist"))
       if (i % 2 == 0 || i == maxHops) dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Single/multi-source WEIGHTED shortest paths — Bellman-Ford
+    * relaxation over integral edge weights: round i sets
+    * d(v) = min(d(v), min over edges u→v of d(u) + w(u,v)). The same
+    * fixed-round relaxation shape as [[bfsDistances]] (one edge⋈distance
+    * join + one min-combine groupBy per round, (vid, dist) pairs on the
+    * wire, map-side combine), with two differences: edges carry a weight
+    * column, and `rounds` must cover the maximum EDGE COUNT of any
+    * shortest path — a weighted shortest path may take more hops than
+    * the hop-shortest one when a longer detour is cheaper, so callers
+    * give a generous count and the oracle's convergence sentinel
+    * (round N ≡ round N−1) reports under-provisioning instead of
+    * letting a wrong fixpoint slip through. Weights must be
+    * non-negative integers (BIGINT math is engine-exact; negative
+    * cycles would make the problem ill-posed here). Undirected mode
+    * relaxes both directions with the same weight. */
+  def ssspDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
+      undirected: Boolean = true): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+      col(weightCol).cast("long").as("w"))
+      .where(col("u") =!= col("v"))
+    // parallel edges collapse to their min weight up front — fewer rows
+    // in every round's join, identical distances
+    val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0)
+      .groupBy("u", "v").agg(min(col("w")).as("w")).localCheckpoint(true)
+    var dist = sources.select(col(sources.columns.head).as("vid")).distinct()
+      .withColumn("dist", lit(0L))
+    (1 to rounds).foreach { i =>
+      val relaxed = e.join(dist, e("u") === dist("vid"))
+        .select(col("v").as("vid"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed).groupBy("vid").agg(min(col("dist")).as("dist"))
+      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint(true)
     }
     dist
   }

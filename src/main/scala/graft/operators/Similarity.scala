@@ -349,6 +349,39 @@ object Similarity {
     bruteForceTopK(codesAsDouble(corpus), codesAsDouble(queries), idCol, vecCol, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * pruning via k-means clusters. Every vector is assigned its nearest
+    * centroid ([[assignCells]] — the same trained coarse quantizer IVF
+    * uses); within each cluster, pairs above the cosine threshold are
+    * semantic duplicates and only the LOWEST id of each pair survives
+    * (deterministic stand-in for the paper's arbitrary keep-one). Cross-
+    * cluster near-dups are missed by construction — that is the trade
+    * the paper makes to avoid the all-pairs join.
+    *
+    * Scale shape: the pairing is a self-equi-join on cell id, so per-cell
+    * work is (n/k)² — production picks nCells to bound cells (SemDeDup
+    * used 50k clusters for LAION), and the assignment itself is one
+    * codegen'd scan. The cluster index (vec_id, cell) is the thing a
+    * pipeline persists and maintains incrementally (StreamingAnn shape).
+    *
+    * Output: (vec_id, cell, kept) for EVERY corpus vector. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel, threshold: Double): DataFrame = {
+    // materialize the assignment once — both join sides and the final
+    // projection read it (the embedCosinePairs index pattern)
+    val a = assignCells(corpus, idCol, vecCol, model).localCheckpoint(true)
+    val l = a.select(col("cell"), col("vec_id").as("id_a"), col("vec").as("v_a"), col("norm").as("n_a"))
+    val r = a.select(col("cell"), col("vec_id").as("id_b"), col("vec").as("v_b"), col("norm").as("n_b"))
+    val dropped = l.join(r, Seq("cell")).where(col("id_a") < col("id_b"))
+      .where(when(col("n_a") * col("n_b") === 0.0, lit(0.0))
+        .otherwise(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    a.join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("__drop"), lit(false)).unary_!.as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates with
     * exact cosine verification above `threshold` (SURVEY §2.6 #30). */
   def embedCosinePairs(

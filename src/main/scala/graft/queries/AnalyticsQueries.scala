@@ -108,6 +108,35 @@ object AnalyticsQueries {
   private val KCoreK = 3
   private val KCoreRounds = 8
 
+  /** Weighted shortest paths from every Region vertex over the unified
+    * graph, Bellman-Ford relaxation with per-relationship-TYPE costs
+    * (distinct small integers, so alternative route classes — e.g.
+    * reaching a Part through the customer side vs the supplier side —
+    * produce genuinely different path sums and the min is discriminating;
+    * a weighted shortest path may take MORE hops than the hop-shortest
+    * one). 12 rounds is ~2.5× the hop diameter; the oracle's convergence
+    * sentinel turns under-provisioning into a visible extra row. */
+  def sssp(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdgesWeighted(
+      TpchGraph.load(s, dir), p => SsspWeights(p.key))
+    val regionIdx = labels.indexOf("Region").toLong
+    val sources = edges.select(col("src").as("vid"))
+      .unionAll(edges.select(col("dst").as("vid")))
+      .where(shiftright(col("vid"), 44) === regionIdx)
+    GraphAnalytics.decode(
+      GraphAnalytics.ssspDistances(edges, sources, rounds = SsspRounds), "vid", labels)
+      .select(col("label"), col("node_id"), col("dist"))
+  }
+
+  private val SsspWeights: Map[String, Long] = Map(
+    "Nation_IN_REGION_Region" -> 2L,
+    "Customer_IN_NATION_Nation" -> 3L,
+    "Supplier_LOCATED_IN_Nation" -> 4L,
+    "Customer_PLACED_Order" -> 5L,
+    "Order_CONTAINS_Part" -> 7L,
+    "Order_SUPPLIED_BY_Supplier" -> 6L)
+  private val SsspRounds = 12
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pagerank" -> (pagerank _),
     "g_connected_components" -> (connectedComponents _),
@@ -115,7 +144,8 @@ object AnalyticsQueries {
     "g_label_propagation" -> (labelPropagation _),
     "g_degree_distribution" -> (degreeDistribution _),
     "g_bfs_distances" -> (bfsDistances _),
-    "g_kcore" -> (kCore _))
+    "g_kcore" -> (kCore _),
+    "g_sssp" -> (sssp _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
@@ -294,7 +324,54 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** SSSP oracle: the weighted relaxation rounds replay verbatim (all
+    * BIGINT); parallel edges collapse to min weight up front exactly as
+    * the operator does, and the convergence sentinel (round N ≠ round
+    * N−1 → extra diagnosable row) guards the fixed round count, as in
+    * the CC oracle. */
+  private def ssspOracleSql(rounds: Int): String = {
+    val weightedEdgesSql =
+      """  SELECT n_nationkey + 1*17592186044416 AS src, n_regionkey + 4*17592186044416 AS dst, 2 AS w
+        |    FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
+        |  UNION ALL SELECT c_custkey, c_nationkey + 1*17592186044416, 3
+        |    FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+        |  UNION ALL SELECT s_suppkey + 5*17592186044416, s_nationkey + 1*17592186044416, 4
+        |    FROM supplier WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
+        |  UNION ALL SELECT o_custkey, o_orderkey + 2*17592186044416, 5
+        |    FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+        |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_partkey + 3*17592186044416, 7
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_suppkey + 5*17592186044416, 6
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$weightedEdgesSql\n),\n"
+    sb ++= """und AS MATERIALIZED (SELECT u, v, CAST(MIN(w) AS BIGINT) AS w FROM (
+             |  SELECT src AS u, dst AS v, w FROM e WHERE src <> dst
+             |  UNION ALL SELECT dst AS u, src AS v, w FROM e WHERE src <> dst) GROUP BY u, v),
+             |d0 AS (SELECT DISTINCT u AS vid, CAST(0 AS BIGINT) AS dist FROM und
+             |  WHERE u // 17592186044416 = 4)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |d$i AS MATERIALIZED (SELECT vid, MIN(dist) AS dist FROM (
+                |  SELECT vid, dist FROM d${i - 1}
+                |  UNION ALL SELECT und.v AS vid, d.dist + und.w AS dist
+                |    FROM und JOIN d${i - 1} d ON und.u = d.vid) GROUP BY vid)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  vid % 17592186044416 AS node_id, dist
+              |FROM d$rounds
+              |UNION ALL
+              |SELECT 'ORACLE_UNDERCONVERGED', -1, -1
+              |WHERE EXISTS (
+              |  SELECT vid, dist FROM d$rounds EXCEPT SELECT vid, dist FROM d${rounds - 1})""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_sssp" -> ssspOracleSql(SsspRounds),
     "g_pagerank" -> pagerankOracleSql(PrRounds, PrReset),
     "g_connected_components" -> ccOracleSql(16),
     "g_label_propagation" -> lpaOracleSql(LpaRounds),

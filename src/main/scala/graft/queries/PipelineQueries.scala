@@ -22,6 +22,26 @@ object PipelineQueries {
   private val ivfModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfModel]
 
+  /** SemDeDup cluster models, trained separately (own seed/cell count)
+    * so the dedup clustering and the ANN quantizer stay independently
+    * tunable, exactly as in a real pipeline. */
+  private val sdModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfModel]
+
+  private val SdCells = 16
+  private val SdThreshold = 0.3
+
+  /** SemDeDup semantic dedup over the embeddings corpus: k-means cluster
+    * assignment + within-cluster cosine pruning (keep the lowest id of
+    * every duplicate pair). Oracle: trained-centroid literals, the
+    * ss_ivf_topk technique — emitted after training. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = sdModels.getOrElseUpdate(dir,
+      Similarity.trainIvf(e, "embedding", nCells = SdCells, seed = 13L, sampleRows = 4096))
+    Similarity.semanticDedup(e, "vec_id", "embedding", model, threshold = SdThreshold)
+  }
+
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -158,6 +178,7 @@ object PipelineQueries {
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, model, nProbe = 4)
     }),
+    "dd_semantic" -> (semanticDedup _),
     "dd_embed_cosine" -> (embedCosinePairs _),
     "tx_langid" -> (langId _),
     "tx_fingerprint" -> (fingerprint _),
@@ -464,16 +485,53 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** SemDeDup replay against the trained cluster centroids (same literal-
+    * embedding technique as [[ivfOracle]]): argmin cell assignment (ties
+    * to the lower cell — row_number ORDER BY d2, cell ≡ Spark's
+    * array_min over struct(d2, cell)), then the within-cell pairwise
+    * cosine prune keeping each pair's lower id. */
+  private def semanticDedupOracle(model: Similarity.IvfModel, threshold: Double): String = {
+    val cellSelects = model.centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ",", "]")
+      val c2 = c.map(x => x * x).sum
+      s"SELECT vec_id, v, nrm, $i AS cell, list_dot_product(v, v) - 2.0 * list_dot_product(v, $arr) + $c2 AS d2 FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cd AS MATERIALIZED (
+       |$cellSelects
+       |),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |    ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= $threshold)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin
+  }
+
   /** Static oracles plus — once a quantizer has been trained for exactly
-    * one corpus this session (the Verify shape) — the ss_ivf_topk replay
-    * against that model's centroids. With zero models the key is simply
-    * absent (driver falls back to its rows-only check); with models for
-    * SEVERAL corpora the right one is ambiguous, so the key is withheld
-    * rather than risk replaying the wrong centroids. */
-  def oracles: Map[String, String] =
-    if (ivfModels.size == 1)
-      staticOracles + ("ss_ivf_topk" -> ivfOracle(ivfModels.values.head, nProbe = 4, k = 5))
-    else staticOracles
+    * one corpus this session (the Verify shape) — the ss_ivf_topk and
+    * dd_semantic replays against their trained models' centroids. With
+    * zero models the key is simply absent (driver falls back to its
+    * rows-only check); with models for SEVERAL corpora the right one is
+    * ambiguous, so the key is withheld rather than risk replaying the
+    * wrong centroids. */
+  def oracles: Map[String, String] = {
+    val withIvf =
+      if (ivfModels.size == 1)
+        staticOracles + ("ss_ivf_topk" -> ivfOracle(ivfModels.values.head, nProbe = 4, k = 5))
+      else staticOracles
+    if (sdModels.size == 1)
+      withIvf + ("dd_semantic" -> semanticDedupOracle(sdModels.values.head, SdThreshold))
+    else withIvf
+  }
 
   private val staticOracles: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracle,

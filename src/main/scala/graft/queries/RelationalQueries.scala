@@ -285,7 +285,41 @@ object RelationalQueries {
         count_distinct(col("o_orderstatus")).as("n_statuses"))
   }
 
+  /** HyperLogLog distinct-count of three lineitem key columns (each a
+    * different cardinality regime: suppkey ~10²·sf exercises the linear-
+    * counting branch, partkey/orderkey the raw-estimate branch), next to
+    * the exact COUNT(DISTINCT) so the error is visible. The sketch is
+    * built on the portable md5 hash, so the DuckDB oracle replays
+    * registers AND estimate bit for bit — an approximate algorithm inside
+    * an exact correctness gate. At scale the win is the shuffle: ≤256
+    * (bucket, register) rows per column vs every distinct value. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+      graft.operators.Sketches.hllDistinct(li, col(c))
+        .crossJoin(li.agg(count_distinct(col(c)).as("exact_distinct")))
+        .select(lit(c).as("column_name"), col("approx_distinct"), col("exact_distinct"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Count-min frequency estimates for every distinct l_partkey (2000·sf
+    * keys through 4×1024 counters — real collisions, so the one-sided
+    * overestimate property is actually exercised), joined to the true
+    * counts. All-integer → hash-exact in the oracle. The sketch is the
+    * fixed-size object a 100 TB pipeline keeps per slice and SUM-merges;
+    * estimates are a broadcast join against ≤4096 counter rows. */
+  def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val cms = graft.operators.Sketches.cmsTable(li, col("l_partkey"))
+    val est = graft.operators.Sketches.cmsLookup(
+      cms, li.select(col("l_partkey")).distinct(), "l_partkey")
+    est.join(li.groupBy("l_partkey").agg(count(lit(1)).as("true_count")), Seq("l_partkey"))
+      .select(col("l_partkey"), col("est_count"), col("true_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_distinct" -> (hllDistinct _),
+    "q_cms_heavy" -> (cmsHeavy _),
     "g_csv_typed" -> (csvTyped _),
     "q_topk_orders" -> (topkOrders _),
     "q_skew_agg" -> (skewAgg _),
@@ -305,7 +339,51 @@ object RelationalQueries {
 
   private val rev = """SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))))"""
 
+  /** One HLL estimate branch per column: registers from the portable
+    * md5 hash (bucket = low 8 bits, ρ via exact binary-string length —
+    * floating log2 misrounds at powers of two), scaled harmonic sum in
+    * HUGEINT (≡ Spark's DECIMAL(38,0) — exact, order-free), the α·m²·2^60
+    * constant embedded as the identical double literal, and the same
+    * small-range linear-counting branch; round(,6) absorbs the ln ulp. */
+  private def hllColumnSql(c: String): String = {
+    val numer = graft.operators.Sketches.hllNumer(8)
+    s"""SELECT '$c' AS column_name,
+       |  (SELECT round(CASE WHEN v > 0 AND $numer / CAST(s_total AS DOUBLE) <= 640.0
+       |       THEN 256.0 * ln(256.0 / v)
+       |       ELSE $numer / CAST(s_total AS DOUBLE) END, 6)
+       |   FROM (SELECT COALESCE(SUM(1::BIGINT << (60 - register)), 0)
+       |             + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 60) AS s_total,
+       |           256 - COUNT(*) AS v
+       |     FROM (SELECT h % 256 AS bucket,
+       |             MAX(CASE WHEN h >> 8 = 0 THEN 53
+       |                 ELSE 53 - length(ltrim(bin(h >> 8), '0')) END) AS register
+       |       FROM (SELECT ('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS h
+       |         FROM lineitem)
+       |       GROUP BY bucket))) AS approx_distinct,
+       |  (SELECT COUNT(DISTINCT $c) FROM lineitem) AS exact_distinct""".stripMargin
+  }
+
+  private val cmsHeavyOracle: String =
+    """WITH h AS (
+      |  SELECT l_partkey, r,
+      |    ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS cell
+      |  FROM lineitem, (SELECT unnest([0,1,2,3]) AS r)),
+      |cms AS MATERIALIZED (SELECT r, cell, COUNT(*) AS cnt FROM h GROUP BY r, cell),
+      |items AS (SELECT DISTINCT l_partkey FROM lineitem),
+      |ih AS (
+      |  SELECT l_partkey, r,
+      |    ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS cell
+      |  FROM items, (SELECT unnest([0,1,2,3]) AS r)),
+      |est AS (SELECT l_partkey, MIN(cnt) AS est_count
+      |  FROM ih JOIN cms USING (r, cell) GROUP BY l_partkey)
+      |SELECT e.l_partkey, e.est_count, t.true_count
+      |FROM est e JOIN (SELECT l_partkey, COUNT(*) AS true_count
+      |  FROM lineitem GROUP BY l_partkey) t USING (l_partkey)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(hllColumnSql).mkString("\nUNION ALL\n"),
+    "q_cms_heavy" -> cmsHeavyOracle,
     "q_quantiles" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
