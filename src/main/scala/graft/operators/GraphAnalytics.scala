@@ -461,6 +461,47 @@ object GraphAnalytics {
     dist
   }
 
+  /** Random-walk corpus generation (DeepWalk, Perozzi et al. 2014 —
+    * the walk-sampling half; the walks feed a skip-gram trainer):
+    * `walksPerVertex` unbiased walks of `steps` hops from every start
+    * vertex. "Random" is DERANDOMIZED: at step t, walk w moves to the
+    * neighbor v minimizing md5(walk_id:t:v) — per-walk-per-step
+    * pseudo-random, independent across walks, yet a pure function of
+    * the graph, so runs reproduce exactly and a SQL oracle replays
+    * every choice (row_number ORDER BY hash ≡ min(struct(hash, v))).
+    * Per step: one frontier⋈edges join + one per-walk argmin — frontier
+    * is walk-count-sized, never graph-sized; walks that hit a vertex
+    * with no out-neighbors simply end (no self-loop padding). Output:
+    * (walk_id, vid, step) rows — the corpus a downstream embedding
+    * trainer consumes. */
+  def randomWalks(edges: DataFrame, starts: DataFrame, walksPerVertex: Int, steps: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      undirected: Boolean = true): DataFrame = {
+    require(walksPerVertex >= 1 && steps >= 0, "walksPerVertex >= 1, steps >= 0")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))) else e0)
+      .distinct().localCheckpoint(true)
+    val w0 = starts.select(col(starts.columns.head).as("start")).distinct()
+      .select(col("start"), explode(array((0 until walksPerVertex).map(i => lit(i.toLong)): _*)).as("w"))
+      .select((col("start") * walksPerVertex + col("w")).as("walk_id"), col("start").as("vid"))
+      .localCheckpoint(true)
+    var frontier = w0
+    var out = w0.withColumn("step", lit(0L))
+    (1 to steps).foreach { t =>
+      val nxt = e.join(frontier, e("u") === frontier("vid"))
+        .select(frontier("walk_id"),
+          e("v"),
+          Dedup.md5Long(concat(frontier("walk_id").cast("string"), lit(s":$t:"),
+            e("v").cast("string"))).as("h"))
+        .groupBy("walk_id").agg(min(struct(col("h"), col("v"))).as("m"))
+        .select(col("walk_id"), col("m.v").as("vid"))
+      frontier = if (t % 2 == 0 || t == steps) nxt.localCheckpoint(true) else nxt
+      out = out.unionAll(frontier.withColumn("step", lit(t.toLong)))
+    }
+    out
+  }
+
   /** k-core decomposition by synchronous peeling: each round computes
     * every remaining vertex's degree in the remaining subgraph and
     * removes ALL vertices with degree < k at once (both endpoints

@@ -15,6 +15,32 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Corpus TF-IDF: per document, the top-k terms by tf · ln((1+N)/(1+df))
+    * (add-one smoothed idf — no div-by-zero, no negative weights for
+    * corpus-universal terms beyond −ln overshoot). Ranking compares the
+    * 6dp-ROUNDED score (then term asc): unrounded doubles differ by a ulp
+    * across engines and would flip near-ties, rounded ones cannot.
+    *
+    * Scale shape: explode → (doc, term) count (map-side combined), the
+    * document-frequency table derives from the tf table (already one row
+    * per (doc, term) — no second corpus scan), and the idf join is a
+    * vocabulary-sized equi-join on term. The per-doc top-k is a window
+    * over the doc's own terms. Nothing document-sized shuffles twice. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))), 6))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Tokens of a BPE-ish segmentation: runs of word chars, runs of digits,
     * or single non-space punctuation — a cheap proxy for subword token
     * pressure. */

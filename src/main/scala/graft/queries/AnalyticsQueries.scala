@@ -128,6 +128,27 @@ object AnalyticsQueries {
       .select(col("label"), col("node_id"), col("dist"))
   }
 
+  /** DeepWalk-style walk corpus: 4 derandomized walks of 8 hops from
+    * every Nation vertex over the undirected unified graph. Each hop's
+    * "random" neighbor choice is argmin of md5(walk_id:step:neighbor) —
+    * reproducible, independent across walks, and exactly replayable in
+    * SQL. Output size is start-count-bounded (25 nations × 4 × 9 steps),
+    * not graph-bounded. */
+  def randomWalks(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val nationIdx = labels.indexOf("Nation").toLong
+    val starts = edges.select(col("src").as("vid"))
+      .unionAll(edges.select(col("dst").as("vid")))
+      .where(shiftright(col("vid"), 44) === nationIdx)
+    GraphAnalytics.decode(
+      GraphAnalytics.randomWalks(edges, starts, walksPerVertex = WalkCount, steps = WalkSteps),
+      "vid", labels)
+      .select(col("walk_id"), col("step"), col("label"), col("node_id"))
+  }
+
+  private val WalkCount = 4
+  private val WalkSteps = 8
+
   private val SsspWeights: Map[String, Long] = Map(
     "Nation_IN_REGION_Region" -> 2L,
     "Customer_IN_NATION_Nation" -> 3L,
@@ -145,7 +166,8 @@ object AnalyticsQueries {
     "g_degree_distribution" -> (degreeDistribution _),
     "g_bfs_distances" -> (bfsDistances _),
     "g_kcore" -> (kCore _),
-    "g_sssp" -> (sssp _))
+    "g_sssp" -> (sssp _),
+    "g_random_walks" -> (randomWalks _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
@@ -370,7 +392,43 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** Random-walk oracle: replay every derandomized hop — step t's CTE
+    * picks, per walk, the neighbor with the smallest md5(walk_id:t:v)
+    * (row_number ORDER BY h, v ≡ Spark's min(struct(h, v))); the output
+    * is the union of all step frontiers. */
+  private def walkOracleSql(walksPerVertex: Int, steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n),\n"
+    sb ++= s"""und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+             |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+             |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+             |starts AS (SELECT DISTINCT u AS vid FROM und WHERE u // 17592186044416 = 1),
+             |s0 AS (SELECT vid * $walksPerVertex + w AS walk_id, vid
+             |  FROM starts, (SELECT unnest(generate_series(0, ${walksPerVertex - 1})) AS w))""".stripMargin
+    (1 to steps).foreach { t =>
+      sb ++= s""",
+                |s$t AS MATERIALIZED (SELECT walk_id, v AS vid FROM (
+                |  SELECT f.walk_id, und.v,
+                |    row_number() OVER (PARTITION BY f.walk_id ORDER BY
+                |      ('0x' || substring(md5(CAST(f.walk_id AS VARCHAR) || ':$t:' || CAST(und.v AS VARCHAR)), 1, 15))::BIGINT,
+                |      und.v) AS rn
+                |  FROM s${t - 1} f JOIN und ON und.u = f.vid) WHERE rn = 1)""".stripMargin
+    }
+    val unions = (0 to steps).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, vid FROM s$t").mkString("\nUNION ALL ")
+    sb ++= s"""
+              |SELECT walk_id, step,
+              |  CASE vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  vid % 17592186044416 AS node_id
+              |FROM (
+              |$unions)""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_random_walks" -> walkOracleSql(WalkCount, WalkSteps),
     "g_sssp" -> ssspOracleSql(SsspRounds),
     "g_pagerank" -> pagerankOracleSql(PrRounds, PrReset),
     "g_connected_components" -> ccOracleSql(16),

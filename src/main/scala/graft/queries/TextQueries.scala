@@ -15,6 +15,11 @@ object TextQueries {
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(s, dir, "documents"), "doc_id", "text")
 
+  /** Top-3 TF-IDF terms per document (smoothed idf, 6dp-rounded score
+    * ranking — see TextAnalysis.tfIdf for why rounding precedes rank). */
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    TA.tfIdf(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+
   def tokenCount(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
     d.select(col("doc_id"),
@@ -202,6 +207,7 @@ object TextQueries {
     TA.temperatureSample(Tables(s, dir, "documents"), "doc_id", "lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_tfidf" -> (tfidf _),
     "tx_chunk" -> (chunk _),
     "tx_unigram_logprob" -> (unigramLogprob _),
     "tx_temperature_sample" -> (temperatureSample _),
@@ -422,6 +428,23 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "tx_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln((1.0 + n_docs) / (1.0 + df)), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "tx_chunk" -> chunkOracle,
     "tx_unigram_logprob" -> unigramLogprobOracle,
     "tx_temperature_sample" -> temperatureOracle,

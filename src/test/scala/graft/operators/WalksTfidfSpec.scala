@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WalksTfidfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+
+  test("randomWalks is reproducible and every hop follows an edge") {
+    val starts = Seq(1L).toDF("vid")
+    val a = GraphAnalytics.randomWalks(diamond, starts, walksPerVertex = 4, steps = 6)
+      .orderBy("walk_id", "step").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = GraphAnalytics.randomWalks(diamond, starts, walksPerVertex = 4, steps = 6)
+      .orderBy("walk_id", "step").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b), "derandomized walks must reproduce exactly")
+    // 4 walks × 7 positions, nobody dies (the diamond is connected, undirected)
+    assert(a.length == 28)
+    val und = Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).flatMap { case (u, v) => Set((u, v), (v, u)) }
+    val byWalk = a.groupBy(_._1).values
+    byWalk.foreach { w =>
+      val path = w.sortBy(_._3).map(_._2)
+      path.sliding(2).foreach { case Array(u, v) =>
+        assert(und((u, v)), s"hop $u->$v is not an edge")
+      }
+    }
+  }
+
+  test("randomWalks diversify across walk ids") {
+    // from vertex 1 of the diamond, 8 walks of 1 hop choose between 2 and
+    // 3 by per-walk hash — both neighbors must appear (p(all same) = 2^-7)
+    val first = GraphAnalytics.randomWalks(diamond, Seq(1L).toDF("vid"), 8, 1)
+      .where(col("step") === 1).select("vid").collect().map(_.getLong(0)).toSet
+    assert(first == Set(2L, 3L))
+  }
+
+  test("walks end at dead ends in directed mode") {
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphAnalytics.randomWalks(chain, Seq(1L).toDF("vid"), 1, 5, undirected = false)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // walk reaches 3 at step 2 and stops — no rows past it
+    assert(out.map(_._2).max == 2L)
+    assert(out.toSet == Set((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("tfIdf ranks corpus-specific terms above shared ones") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian durian")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdf(docs, "doc_id", "text", k = 3)
+      .where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "apple")  // tf 2 × idf ln(4/2) beats banana's ln(4/3)
+    assert(top(3L) == "durian")
+    // shared 'banana'/'cherry' never outrank doc-specific terms
+    val d1 = TextAnalysis.tfIdf(docs, "doc_id", "text", k = 3)
+      .where(col("doc_id") === 1).orderBy("rank").collect()
+    assert(d1.map(_.getString(1)).toSeq == Seq("apple", "banana"))
+    // score is 6dp-rounded: tf=2, idf=ln(2) → 1.386294
+    assert(d1(0).getDouble(2) == 1.386294)
+  }
+}
