@@ -407,22 +407,9 @@ object GraphAnalytics {
     * `sources` is a single-column DataFrame of vertex ids. */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      undirected: Boolean = true): DataFrame = {
-    require(maxHops >= 0, "maxHops must be >= 0")
-    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .where(col("u") =!= col("v"))
-    val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))) else e0)
-      .distinct().localCheckpoint(true)
-    var dist = sources.select(col(sources.columns.head).as("vid")).distinct()
-      .withColumn("dist", lit(0L))
-    (1 to maxHops).foreach { i =>
-      val relaxed = e.join(dist, e("u") === dist("vid"))
-        .select(col("v").as("vid"), (col("dist") + lit(1L)).as("dist"))
-      dist = dist.unionAll(relaxed).groupBy("vid").agg(min(col("dist")).as("dist"))
-      if (i % 2 == 0 || i == maxHops) dist = dist.localCheckpoint(true)
-    }
-    dist
-  }
+      undirected: Boolean = true): DataFrame =
+    ssspDistances(edges.withColumn("__unit_w", lit(1L)), sources, maxHops,
+      srcCol, dstCol, weightCol = "__unit_w", undirected)
 
   /** Single/multi-source WEIGHTED shortest paths — Bellman-Ford
     * relaxation over integral edge weights: round i sets
@@ -439,25 +426,61 @@ object GraphAnalytics {
     * non-negative integers (BIGINT math is engine-exact; negative
     * cycles would make the problem ill-posed here). Undirected mode
     * relaxes both directions with the same weight. */
+  /** @param broadcastDist physical strategy switch, the
+    * [[labelPropagationDF]] trade applied to relaxation: `true` (default)
+    * pins the weighted edge list hash-partitioned by `v` (persist — a
+    * checkpointed LogicalRDD drops outputPartitioning) and broadcasts the
+    * vertex-sized distance table each round: the edge join is a
+    * BroadcastHashJoin that never shuffles the edge list, and the
+    * min-combine aggregation runs IN PLACE on the v-partitioned stream
+    * side; only the vertex-sized distance merge exchanges. Three shapes
+    * were measured on the unified sf0.1 graph (12 rounds): naive
+    * re-shuffle 490 MB / 11.0 s, edge list pinned by the JOIN key with
+    * shuffled distances 233 MB / 10.1 s (the min-combine exchange of
+    * edge-count contributions dominates), this broadcast form
+    * 71 MB / 8.3 s — fewest bytes AND fastest, because the expensive
+    * aggregation is the exchange-free one. Past [[MaxBroadcastVertices]]
+    * the guard routes to the un-pinned shuffle plan (one min-combine
+    * exchange per round, map-side combine defending the wire).
+    * Identical distances either way — integer math is
+    * partitioning-independent. */
   def ssspDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
-      undirected: Boolean = true): DataFrame = {
+      undirected: Boolean = true, broadcastDist: Boolean = true): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
       col(weightCol).cast("long").as("w"))
       .where(col("u") =!= col("v"))
     // parallel edges collapse to their min weight up front — fewer rows
     // in every round's join, identical distances
-    val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0)
+    val eCp = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0)
       .groupBy("u", "v").agg(min(col("w")).as("w")).localCheckpoint(true)
+    val useBroadcast = broadcastDist &&
+      eCp.select(col("u")).distinct().count() <= MaxBroadcastVertices
+    val e =
+      if (useBroadcast)
+        eCp.repartition(col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else eCp
     var dist = sources.select(col(sources.columns.head).as("vid")).distinct()
-      .withColumn("dist", lit(0L))
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
     (1 to rounds).foreach { i =>
-      val relaxed = e.join(dist, e("u") === dist("vid"))
-        .select(col("v").as("vid"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed).groupBy("vid").agg(min(col("dist")).as("dist"))
+      dist =
+        if (useBroadcast) {
+          val relaxed = e.join(broadcast(dist), e("u") === dist("vid"))
+            .select(e("v").as("vid"), (col("dist") + col("w")).as("nd"))
+            .groupBy("vid").agg(min(col("nd")).as("nd")) // exchange-free
+          dist.join(relaxed, Seq("vid"), "full_outer")
+            .select(col("vid"),
+              least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"))
+        } else {
+          val relaxed = e.join(dist, e("u") === dist("vid"))
+            .select(e("v").as("vid"), (col("dist") + col("w")).as("dist"))
+          dist.unionAll(relaxed).groupBy("vid").agg(min(col("dist")).as("dist"))
+        }
       if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint(true)
     }
+    if (useBroadcast) e.unpersist(blocking = false)
     dist
   }
 
@@ -488,15 +511,22 @@ object GraphAnalytics {
       .localCheckpoint(true)
     var frontier = w0
     var out = w0.withColumn("step", lit(0L))
+    // the frontier is walk-count-sized (two longs per walk) — broadcast
+    // it so each step is a BroadcastHashJoin scan of the checkpointed
+    // edge list, not a per-step shuffle of it (measured 132 MB → ~1 MB
+    // total shuffle for 8 steps at sf0.1); past the ceiling (billions of
+    // simultaneous walks) the equi-join shuffle plan takes over
+    val useBroadcast = w0.count() <= MaxBroadcastVertices
     (1 to steps).foreach { t =>
-      val nxt = e.join(frontier, e("u") === frontier("vid"))
-        .select(frontier("walk_id"),
+      val f = if (useBroadcast) broadcast(frontier) else frontier
+      val nxt = e.join(f, e("u") === f("vid"))
+        .select(f("walk_id"),
           e("v"),
-          Dedup.md5Long(concat(frontier("walk_id").cast("string"), lit(s":$t:"),
+          Dedup.md5Long(concat(f("walk_id").cast("string"), lit(s":$t:"),
             e("v").cast("string"))).as("h"))
         .groupBy("walk_id").agg(min(struct(col("h"), col("v"))).as("m"))
         .select(col("walk_id"), col("m.v").as("vid"))
-      frontier = if (t % 2 == 0 || t == steps) nxt.localCheckpoint(true) else nxt
+      frontier = nxt.localCheckpoint(true)
       out = out.unionAll(frontier.withColumn("step", lit(t.toLong)))
     }
     out
@@ -522,11 +552,19 @@ object GraphAnalytics {
       .where(col("u") =!= col("v"))
     var e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
+    // the survivor sets are vertex-sized and SHRINK round over round —
+    // broadcast them (under the ceiling) so the two semi-joins are
+    // BroadcastHashJoins and the edge list never re-shuffles (measured
+    // 224 MB → ~7 MB total shuffle over 8 rounds on the sf0.1
+    // co-occurrence graph); past the ceiling, shuffle semi-joins
+    val useBroadcast =
+      e.select(col("u")).distinct().count() <= MaxBroadcastVertices
     (1 to rounds).foreach { i =>
       val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("u").as("kv"))
-      val ekeptU = e.join(keep, e("u") === keep("kv"), "left_semi")
-      e = ekeptU.join(keep, ekeptU("v") === keep("kv"), "left_semi")
+      val kb = if (useBroadcast) broadcast(keep.localCheckpoint(true)) else keep
+      val ekeptU = e.join(kb, e("u") === kb("kv"), "left_semi")
+      e = ekeptU.join(kb, ekeptU("v") === kb("kv"), "left_semi")
       if (i % 2 == 0 || i == rounds) e = e.localCheckpoint(true)
     }
     e.groupBy("u").agg(count(lit(1)).as("core_degree"))

@@ -156,7 +156,11 @@ object AnalyticsQueries {
     "Customer_PLACED_Order" -> 5L,
     "Order_CONTAINS_Part" -> 7L,
     "Order_SUPPLIED_BY_Supplier" -> 6L)
-  private val SsspRounds = 12
+  // hop diameter from the region side is 4 and every per-type cost makes
+  // the customer route strictly cheapest, so weighted shortest paths use
+  // ≤4 edges; 6 rounds = diameter + 2 verification margin, and the
+  // oracle's convergence sentinel turns a wrong guess into a visible row
+  private val SsspRounds = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pagerank" -> (pagerank _),
