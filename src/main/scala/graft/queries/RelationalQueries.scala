@@ -311,9 +311,12 @@ object RelationalQueries {
   def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
     val cms = graft.operators.Sketches.cmsTable(li, col("l_partkey"))
-    val est = graft.operators.Sketches.cmsLookup(
-      cms, li.select(col("l_partkey")).distinct(), "l_partkey")
-    est.join(li.groupBy("l_partkey").agg(count(lit(1)).as("true_count")), Seq("l_partkey"))
+    // the truth table doubles as the item list — one lineitem scan, not
+    // a separate distinct pass
+    val truth = li.groupBy("l_partkey").agg(count(lit(1)).as("true_count"))
+      .localCheckpoint(true)
+    graft.operators.Sketches.cmsLookup(cms, truth.select(col("l_partkey")), "l_partkey")
+      .join(truth, Seq("l_partkey"))
       .select(col("l_partkey"), col("est_count"), col("true_count"))
   }
 

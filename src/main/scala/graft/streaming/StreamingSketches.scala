@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.operators.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental sketch maintenance (SURVEY §2.11): the streaming twin of
+  * [[graft.operators.Sketches]]. Sketches are the state a pipeline keeps
+  * PRECISELY because they merge: HLL registers max-merge and count-min
+  * counters sum-merge, so per-batch partial sketches written to
+  * batch-id-named subdirectories (the StreamingDedup idempotence recipe —
+  * a retried batch overwrites its own output) fold into the corpus-level
+  * sketch at READ time with one ≤(2^b + d·w)-row aggregation. Nothing is
+  * ever rewritten in place; there is no read-modify-write race; and the
+  * same fold works over any subset of batches (per-day sketches, per-
+  * source sketches) — the property exact distinct counts fundamentally
+  * lack.
+  *
+  * Batch ≡ streaming agreement is spec-checked (StreamingSketchesSpec):
+  * the folded streaming registers equal the one-shot batch registers on
+  * the same data, row for row.
+  */
+object StreamingSketches {
+
+  /** Maintain per-batch HLL register tables for `value` under
+    * `sketchDir/batch_<id>`. */
+  def hllRegistersStream(
+      rows: DataFrame, valueCol: String, sketchDir: String, checkpointDir: String,
+      b: Int = Sketches.HllBits): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.hllRegisters(batch, col(valueCol), b)
+          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+      }
+      .start()
+
+  /** Fold all per-batch register tables into the corpus registers. */
+  def mergedHllRegisters(spark: SparkSession, sketchDir: String): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, sketchDir).map(_._2)
+    require(dirs.nonEmpty, s"no sketch batches under $sketchDir")
+    spark.read.parquet(dirs: _*)
+      .groupBy("bucket").agg(max(col("register")).cast("int").as("register"))
+  }
+
+  /** Corpus-so-far distinct estimate from the folded registers. */
+  def hllEstimate(spark: SparkSession, sketchDir: String,
+      b: Int = Sketches.HllBits): DataFrame =
+    Sketches.hllEstimate(mergedHllRegisters(spark, sketchDir), b)
+
+  /** Maintain per-batch count-min tables for `value` under
+    * `sketchDir/batch_<id>`. */
+  def cmsTableStream(
+      rows: DataFrame, valueCol: String, sketchDir: String, checkpointDir: String,
+      depth: Int = Sketches.CmsDepth, width: Int = Sketches.CmsWidth): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.cmsTable(batch, col(valueCol), depth, width)
+          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+      }
+      .start()
+
+  /** Fold all per-batch count-min tables into the corpus sketch. */
+  def mergedCmsTable(spark: SparkSession, sketchDir: String): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, sketchDir).map(_._2)
+    require(dirs.nonEmpty, s"no sketch batches under $sketchDir")
+    spark.read.parquet(dirs: _*)
+      .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkTestBase
+import graft.operators.Sketches
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming HLL registers fold to EXACTLY the one-shot batch registers") {
+    val dir = Files.createTempDirectory("ss-hll").toString
+    val ckpt = Files.createTempDirectory("ss-hll-ckpt").toString
+    val ms = MemoryStream[String](spark)
+    val q = StreamingSketches.hllRegistersStream(ms.toDF().toDF("v"), "v", dir, ckpt)
+    try {
+      ms.addData((1 to 4000).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      ms.addData((3000 to 7000).map(i => s"u$i"): _*) // overlap with batch 0
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val whole = (1 to 7000).map(i => s"u$i").toDF("v")
+    val batchRegs = Sketches.hllRegisters(whole, col("v"))
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    val streamRegs = StreamingSketches.mergedHllRegisters(spark, dir)
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    assert(streamRegs == batchRegs)
+
+    val est = StreamingSketches.hllEstimate(spark, dir).collect()(0).getDouble(0)
+    assert(math.abs(est - 7000) / 7000.0 < 0.3, s"estimate $est for 7000")
+  }
+
+  test("streaming CMS counters fold to EXACTLY the one-shot batch table") {
+    val dir = Files.createTempDirectory("ss-cms").toString
+    val ckpt = Files.createTempDirectory("ss-cms-ckpt").toString
+    val ms = MemoryStream[String](spark)
+    val q = StreamingSketches.cmsTableStream(ms.toDF().toDF("v"), "v", dir, ckpt)
+    try {
+      ms.addData((1 to 500).map(i => s"k${i % 40}"): _*)
+      q.processAllAvailable()
+      ms.addData((1 to 300).map(i => s"k${i % 25}"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val whole = ((1 to 500).map(i => s"k${i % 40}") ++ (1 to 300).map(i => s"k${i % 25}")).toDF("v")
+    val batchCms = Sketches.cmsTable(whole, col("v"))
+      .orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq
+    val streamCms = StreamingSketches.mergedCmsTable(spark, dir)
+      .orderBy("row", "cell").as[(Int, Long, Long)].collect().toSeq
+    assert(streamCms == batchCms)
+
+    // estimates off the merged sketch still never undershoot
+    val items = whole.distinct()
+    val est = Sketches.cmsLookup(StreamingSketches.mergedCmsTable(spark, dir), items, "v")
+      .join(whole.groupBy("v").agg(count(lit(1)).as("t")), Seq("v"))
+      .as[(String, Long, Long)].collect()
+    est.foreach { case (k, e, t) => assert(e >= t, s"undershoot for $k") }
+  }
+}
