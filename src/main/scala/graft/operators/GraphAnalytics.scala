@@ -387,6 +387,66 @@ object GraphAnalytics {
         (coalesce(col("rank_micro"), lit(resetMicro)).cast("double") / 1000000.0).as("rank"))
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive, Haveliwala 2002): teleport
+    * mass returns only to the `sources` set instead of every vertex —
+    * ranks measure proximity/importance RELATIVE to the sources, the
+    * recommendation/feature form of PageRank. Same fixed-point integer
+    * arithmetic as [[pageRankQuantizedDF]] (micro-unit BIGINT ranks,
+    * DECIMAL(38,0) in-sums, integral damping — bit-reproducible, chained-
+    * CTE-oracleable) with two differences: the initial mass is 10⁶
+    * micro-units PER SOURCE (unnormalized — relative ranks are identical
+    * to the 1/|S| form and stay integer-exact), and the per-round rank
+    * table is SPARSE over vertices reached from the sources: absent
+    * vertices have rank exactly 0, so the loop's size is reach-bounded,
+    * not graph-bounded (the whole point of PPR at 100 TB). Rank rows
+    * with value 0 (damped-to-zero trickle) are retained — dropping them
+    * would change nothing downstream but cost a filter; the OUTPUT keeps
+    * only reached vertices (absent = 0), mirroring [[bfsDistances]].
+    * Broadcast machinery and ceiling as in [[pageRankQuantizedDF]]. */
+  def personalizedPageRankDF(edges: DataFrame, sources: DataFrame,
+      numIter: Int = 10, resetProb: Double = 0.15,
+      srcCol: String = "src", dstCol: String = "dst",
+      broadcastRanks: Boolean = true): DataFrame = {
+    val Micro = 1000000L
+    val resetMicro = math.round(resetProb * Micro)
+    val dampMicro = Micro - resetMicro
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edUnpinned = e.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+    val verts = e.select(col("src").as("vid"))
+      .unionAll(e.select(col("dst").as("vid"))).distinct()
+    val useBroadcast = broadcastRanks && verts.count() <= MaxBroadcastVertices
+    val ed =
+      if (useBroadcast)
+        edUnpinned.repartition(col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else edUnpinned.localCheckpoint(true)
+    val s = sources.select(col(sources.columns.head).as("vid")).distinct()
+      .localCheckpoint(true)
+
+    // r_i = resetMicro·1[v ∈ S] + damp · in_sum(v), kept sparse via a
+    // source ∪ in-sum full-outer merge (rows exist only where either side
+    // contributes)
+    def ranksOf(inSums: DataFrame): DataFrame =
+      s.withColumn("__s", lit(true))
+        .join(inSums, Seq("vid"), "full_outer")
+        .select(col("vid"),
+          (when(col("__s"), lit(resetMicro)).otherwise(lit(0L)) +
+            expr(s"CAST(coalesce(in_sum, 0) * ${dampMicro} div ${Micro} AS BIGINT)"))
+            .as("rank_micro"))
+    var ranks = s.withColumn("rank_micro", lit(Micro)).localCheckpoint(true)
+    (1 until numIter).foreach { i =>
+      val r = if (useBroadcast) broadcast(ranks) else ranks
+      val inSums = ed.join(r, ed("src") === r("vid"))
+        .select(col("dst").as("vid"), expr("rank_micro div deg").as("c"))
+        .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
+      ranks = ranksOf(inSums)
+      if (i % 3 == 0 || i == numIter - 1) ranks = ranks.localCheckpoint(true)
+    }
+    if (useBroadcast) ed.unpersist(blocking = false)
+    ranks.select(col("vid"), (col("rank_micro").cast("double") / 1000000.0).as("ppr"))
+  }
+
   /** Multi-source BFS hop distances: the minimum number of hops from any
     * source vertex, computed as `maxHops` rounds of unit-weight
     * Bellman-Ford relaxation — round i sets d(v) = min(d(v), min over

@@ -128,6 +128,28 @@ object AnalyticsQueries {
       .select(col("label"), col("node_id"), col("dist"))
   }
 
+  /** Personalized PageRank from the BUILDING-segment customers: teleport
+    * returns only to that cohort, so ranks measure importance RELATIVE to
+    * it (which orders/parts/suppliers matter to these customers — the
+    * recommendation-feature form). Customers are sources with real
+    * out-paths (→ nation → region, → order → part/supplier), so mass
+    * genuinely propagates; Region sources would be rank sinks (no
+    * out-edges). Same fixed-point integer arithmetic as g_pagerank; the
+    * sparse rank table covers only vertices reached from the cohort. */
+  def ppr(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val customerIdx = labels.indexOf("Customer").toLong
+    val sources = graft.Tables(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING" && col("c_custkey").isNotNull)
+      .select((col("c_custkey").cast("long") + lit(customerIdx << 44)).as("vid"))
+    GraphAnalytics.decode(
+      GraphAnalytics.personalizedPageRankDF(edges, sources, numIter = PprRounds, resetProb = PrReset),
+      "vid", labels)
+      .select(col("label"), col("node_id"), col("ppr"))
+  }
+
+  private val PprRounds = 10
+
   /** DeepWalk-style walk corpus: 4 derandomized walks of 8 hops from
     * every Nation vertex over the undirected unified graph. Each hop's
     * "random" neighbor choice is argmin of md5(walk_id:step:neighbor) —
@@ -171,7 +193,8 @@ object AnalyticsQueries {
     "g_bfs_distances" -> (bfsDistances _),
     "g_kcore" -> (kCore _),
     "g_sssp" -> (sssp _),
-    "g_random_walks" -> (randomWalks _))
+    "g_random_walks" -> (randomWalks _),
+    "g_ppr" -> (ppr _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
@@ -431,7 +454,42 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** PPR oracle: replay the source-teleport fixed-point rounds — r0 is
+    * 10⁶ micro-units per source; round i full-outer-merges the source
+    * set with the damped in-sums. HUGEINT `//` ≡ Spark's DECIMAL div;
+    * every intermediate is an exact integer. */
+  private def pprOracleSql(rounds: Int, resetProb: Double): String = {
+    val micro = 1000000L
+    val resetMicro = math.round(resetProb * micro)
+    val dampMicro = micro - resetMicro
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n),\n"
+    sb ++= s"""deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+              |s AS (SELECT DISTINCT c_custkey AS vid FROM customer
+              |  WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL),
+              |r0 AS (SELECT vid, CAST($micro AS BIGINT) AS rank_micro FROM s)""".stripMargin
+    (1 until rounds).foreach { i =>
+      sb ++= s""",
+                |c$i AS (SELECT e.dst AS vid, SUM(r.rank_micro // d.deg) AS in_sum
+                |  FROM e JOIN r${i - 1} r ON e.src = r.vid JOIN deg d ON d.src = e.src
+                |  GROUP BY e.dst),
+                |r$i AS (SELECT COALESCE(s.vid, c.vid) AS vid,
+                |  CAST((CASE WHEN s.vid IS NOT NULL THEN $resetMicro ELSE 0 END)
+                |    + COALESCE(c.in_sum, 0) * $dampMicro // $micro AS BIGINT) AS rank_micro
+                |  FROM s FULL OUTER JOIN c$i c ON s.vid = c.vid)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  vid % 17592186044416 AS node_id,
+              |  CAST(rank_micro AS DOUBLE) / 1000000.0 AS ppr
+              |FROM r${rounds - 1}""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_ppr" -> pprOracleSql(PprRounds, PrReset),
     "g_random_walks" -> walkOracleSql(WalkCount, WalkSteps),
     "g_sssp" -> ssspOracleSql(SsspRounds),
     "g_pagerank" -> pagerankOracleSql(PrRounds, PrReset),

@@ -37,6 +37,20 @@ class SsspSemDedupSpec extends SparkTestBase {
     assert(d(2L) == 3L)
   }
 
+  test("personalized PageRank keeps mass relative to the source set") {
+    // 1 → 2 → 3, plus 4 → 1: with S = {1}, vertex 4 gets NO rank (nothing
+    // flows to it, it is not a source) while 2 and 3 accumulate damped mass
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val out = GraphAnalytics.personalizedPageRankDF(edges, Seq(1L).toDF("vid"), numIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(4L), s"unreached vertex ranked: $out")
+    // 1 receives nothing (its only in-neighbor 4 has rank 0) → pure teleport
+    assert(out(1L) == 0.15)
+    // one hop: r1(2) = damp·r(1); converges to 0.85·0.15 = 0.1275
+    assert(out(2L) == 0.1275, s"got ${out(2L)}")
+    assert(out(3L) > 0.0 && out(3L) < out(2L))
+  }
+
   test("semanticDedup keeps the lowest id of each within-cluster duplicate pair") {
     val model = Similarity.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
     val vecs = Seq(
