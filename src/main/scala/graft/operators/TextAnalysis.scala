@@ -221,6 +221,30 @@ object TextAnalysis {
     * so the largest rate is 1) give expected composition ∝ q_l without
     * any rand(): the same documents survive on every run, reshard, and
     * engine. Returns per-language (n_in, accept_threshold, n_sampled). */
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * A-Res): item i gets key ln(u_i)/w_i where u_i ∈ (0, 1] is a
+    * DERANDOMIZED uniform from the portable md5 hash of (seed, id); the
+    * global top-n by key is exactly a w-weighted sample without
+    * replacement, reproducible across runs, reshards, and engines. Keys
+    * are 6dp-ROUNDED before ranking (ties → id asc), so the selected SET
+    * replays bit-for-bit in SQL despite the libm ln. Items with
+    * non-positive weight are excluded (their inclusion probability is 0).
+    * Plans as TakeOrderedAndProject — per-partition top-n + merge, never
+    * a full sort: the 100 TB shape of "sample n docs ∝ quality". */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, n: Int,
+      seed: Long = 42L): DataFrame = {
+    val h = Dedup.md5Long(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    // (h+1)/2^60 ∈ (0, 1]: the +1 avoids ln(0); division by a power of
+    // two is exact scaling of the (identically) rounded double
+    val u = (h + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    val key = round(log(u) / weight, 6)
+    val w = Window.orderBy(col("sample_key").desc, col(idCol))
+    df.where(weight > 0)
+      .withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(idCol)).limit(n)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def temperatureSample(df: DataFrame, idCol: String, langCol: String,
       alpha: Double = 0.3): DataFrame = {
     val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("n_in"))

@@ -20,6 +20,12 @@ object TextQueries {
   def tfidf(s: SparkSession, dir: String): DataFrame =
     TA.tfIdf(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
 
+  /** 50 documents sampled without replacement ∝ length (A-Res keys over
+    * derandomized uniforms — reproducible, engine-exact). */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    TA.weightedSample(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars")), "doc_id", col("n_chars"), n = 50)
+
   def tokenCount(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
     d.select(col("doc_id"),
@@ -208,6 +214,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tfidf" -> (tfidf _),
+    "tx_weighted_sample" -> (weightedSample _),
     "tx_chunk" -> (chunk _),
     "tx_unigram_logprob" -> (unigramLogprob _),
     "tx_temperature_sample" -> (temperatureSample _),
@@ -428,6 +435,18 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "tx_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    round(ln((('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+        |        / 1152921504606846976.0) / n_chars, 6) AS sample_key
+        |  FROM documents WHERE n_chars > 0),
+        |ranked AS (
+        |  SELECT doc_id, n_chars, sample_key,
+        |    row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+        |  FROM keyed)
+        |SELECT doc_id, n_chars, sample_key, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 50""".stripMargin,
     "tx_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -44,6 +44,26 @@ class WalksTfidfSpec extends SparkTestBase {
     assert(out.toSet == Set((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("weightedSample is reproducible, without replacement, weight-sensitive, and skips w <= 0") {
+    val items = ((1L to 100L).map(i => (i, 1000L)) ++ (101L to 200L).map(i => (i, 1L)) ++
+      Seq((201L, 0L), (202L, -5L))).toDF("doc_id", "w")
+    val s1 = TextAnalysis.weightedSample(items, "doc_id", col("w"), n = 50)
+      .collect().map(_.getLong(0))
+    val s2 = TextAnalysis.weightedSample(items, "doc_id", col("w"), n = 50)
+      .collect().map(_.getLong(0))
+    assert(s1.sameElements(s2), "derandomized sample must reproduce")
+    assert(s1.length == 50 && s1.distinct.length == 50, "without replacement")
+    assert(!s1.contains(201L) && !s1.contains(202L), "non-positive weights excluded")
+    // 1000x weight ⇒ heavy items dominate the sample (each light item's
+    // inclusion odds are tiny; a majority-light draw has ~zero probability)
+    val heavy = s1.count(_ <= 100L)
+    assert(heavy > 40, s"only $heavy/50 heavy items sampled")
+    // a different seed draws a different sample
+    val s3 = TextAnalysis.weightedSample(items, "doc_id", col("w"), n = 50, seed = 7L)
+      .collect().map(_.getLong(0))
+    assert(!s3.sameElements(s1))
+  }
+
   test("tfIdf ranks corpus-specific terms above shared ones") {
     val docs = Seq(
       (1L, "apple apple banana"),
