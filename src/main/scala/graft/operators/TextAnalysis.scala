@@ -237,7 +237,10 @@ object TextAnalysis {
     // (h+1)/2^60 ∈ (0, 1]: the +1 avoids ln(0); division by a power of
     // two is exact scaling of the (identically) rounded double
     val u = (h + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
-    val key = round(log(u) / weight, 6)
+    // + 0.0 normalizes IEEE negative zero: a key that rounds to -0.0
+    // hash-compares differently from 0.0 across engines (caught at sf0.1,
+    // where long docs push ln(u)/w inside the 6dp rounding radius of 0)
+    val key = round(log(u) / weight, 6) + lit(0.0)
     val w = Window.orderBy(col("sample_key").desc, col(idCol))
     df.where(weight > 0)
       .withColumn("sample_key", key)

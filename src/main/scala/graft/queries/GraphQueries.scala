@@ -136,6 +136,11 @@ object GraphQueries {
   def schemaCustomer(s: SparkSession, dir: String): DataFrame = schemaOf(s, dir, "customer")
   def schemaLineitem(s: SparkSession, dir: String): DataFrame = schemaOf(s, dir, "lineitem")
 
+  /** ANALYZE-style profile of orders: nulls, exact distinct, min/max per
+    * column from ONE scan ([[SchemaInference.profile]]). */
+  def profileOrders(s: SparkSession, dir: String): DataFrame =
+    SchemaInference.profile(Tables(s, dir, "orders"))
+
   private def schemaOf(s: SparkSession, dir: String, table: String): DataFrame = {
     val stats = SchemaInference.columnStats(Tables(s, dir, table))
     val rows = stats.map(cs => Row(cs.name, cs.typeToken, cs.total, cs.nonNull))
@@ -541,6 +546,7 @@ object GraphQueries {
     "g_degree_in_nation" -> (degreeInNation _),
     "g_schema_customer" -> (schemaCustomer _),
     "g_schema_lineitem" -> (schemaLineitem _),
+    "g_profile_orders" -> (profileOrders _),
     "g_graph_node_count" -> (graphNodeCount _),
     "g_graph_edge_count" -> (graphEdgeCount _),
     "g_identifier_stats" -> (identifierStats _),
@@ -548,7 +554,21 @@ object GraphQueries {
     "g_type_infer" -> (typeInfer _),
     "g_null_id_filter" -> (nullIdFilter _))
 
+  private val profileOrdersOracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_profile_orders" -> profileOrdersOracle,
     "g_catalog_inventory" ->
       """SELECT * FROM (VALUES
         |  ('constraint', 'uniqueness', 'r_regionkey_Region_uniq',   'Region',   'r_regionkey'),

@@ -439,7 +439,7 @@ object TextQueries {
       """WITH keyed AS (
         |  SELECT doc_id, n_chars,
         |    round(ln((('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
-        |        / 1152921504606846976.0) / n_chars, 6) AS sample_key
+        |        / 1152921504606846976.0) / n_chars, 6) + 0.0 AS sample_key
         |  FROM documents WHERE n_chars > 0),
         |ranked AS (
         |  SELECT doc_id, n_chars, sample_key,

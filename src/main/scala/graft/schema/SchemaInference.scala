@@ -35,4 +35,32 @@ object SchemaInference {
   /** Property metadata for one label's node table: name → {type, nullable}.
     * Ordering follows the DataFrame schema. */
   def inferProperties(df: DataFrame): Seq[PropertyMeta] = columnStats(df).map(_.meta)
+
+  /** ANALYZE-style column profile: per column, null count, exact distinct
+    * count, and min/max (rendered as strings so one schema carries every
+    * column type). ONE aggregation pass over the table computes all 4·N
+    * statistics simultaneously (the reference scans per property;
+    * neo4j_export.py:58-81 walks sampled rows) — the single-row result is
+    * checkpointed and fanned out to one row per column, so the table is
+    * scanned once no matter how many columns it has. At 100 TB swap the
+    * exact distinct for approx_count_distinct (HLL, see
+    * operators.Sketches) — exact kept here because exactness is what the
+    * cross-engine oracle can check. */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    cols.map { c =>
+      row.select(lit(c).as("column_name"),
+        (col("__total") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }.reduce(_.unionAll(_))
+  }
 }
