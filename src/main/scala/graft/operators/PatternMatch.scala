@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object PatternMatch {
 
-  final case class Hop(relType: String, dstLabel: String)
+  /** One pattern hop. `optional` = Cypher's OPTIONAL MATCH fragment
+    * (left-outer: unmatched base rows survive with a NULL binding);
+    * `negated` = the `WHERE NOT (..)-[:REL]->(..)` fragment (anti-join
+    * FILTER — keeps base rows with no such edge, binds nothing). */
+  final case class Hop(relType: String, dstLabel: String,
+      optional: Boolean = false, negated: Boolean = false)
   final case class PathPattern(startLabel: String, hops: Seq[Hop]) {
     /** Binding column name per path position: lowercased label + "_id",
-      * suffixed with the position index when a label repeats. */
+      * suffixed with the position index when a label repeats. Negated
+      * hops get a name too (so nodeFilters can target them) but bind no
+      * output column. */
     def bindingNames: Seq[String] = {
       val labels = startLabel +: hops.map(_.dstLabel)
       val counts = labels.groupBy(identity).view.mapValues(_.size).toMap
@@ -45,19 +52,27 @@ object PatternMatch {
     }
   }
 
-  private val HopRe = """-\[(\w+)\]->(\w+)""".r
+  private val HopRe = """-\[(!?)(\w+)(\??)\]->(\w+)""".r
 
-  /** Parse `"Label-[REL]->Label-[REL]->Label"`. */
+  /** Parse `"Label-[REL]->Label-[REL?]->Label-[!REL]->Label"`:
+    * `REL?` marks an OPTIONAL hop, `!REL` a NEGATED (anti) hop. */
   def parse(pattern: String): PathPattern = {
     val trimmed = pattern.trim
     val firstHop = trimmed.indexOf("-[")
     require(firstHop > 0, s"pattern must start with a label: '$pattern'")
     val start = trimmed.substring(0, firstHop)
     val rest = trimmed.substring(firstHop)
-    val hops = HopRe.findAllMatchIn(rest).map(m => Hop(m.group(1), m.group(2))).toSeq
+    val hops = HopRe.findAllMatchIn(rest).map { m =>
+      require(!(m.group(1) == "!" && m.group(3) == "?"),
+        s"a hop cannot be both negated and optional: '$pattern'")
+      Hop(m.group(2), m.group(4),
+        optional = m.group(3) == "?", negated = m.group(1) == "!")
+    }.toSeq
     val consumed = HopRe.findAllIn(rest).mkString
     require(hops.nonEmpty && consumed == rest,
       s"cannot parse pattern '$pattern' — expected Label-[REL]->Label-[REL]->...")
+    require(hops.dropRight(1).forall(!_.negated),
+      s"a negated hop must be the final hop (it binds nothing): '$pattern'")
     PathPattern(start, hops)
   }
 
@@ -155,17 +170,37 @@ object PatternMatch {
       val rs = g.schema.rels.find(_.pattern == relPattern)
         .getOrElse(throw new IllegalArgumentException(
           s"no relationship ${relPattern.key}; graph has ${g.schema.rels.map(_.pattern.key).mkString(", ")}"))
-      val edge = g.rels(relPattern)
+      val edgeRaw = g.rels(relPattern)
         .select(col(rs.srcColName).as("__hop_src"), col(rs.dstColName).as("__hop_dst"))
-      frontier = frontier
-        .join(edge, frontier(bindings(i)) === edge("__hop_src"))
-        .drop("__hop_src")
-        .withColumnRenamed("__hop_dst", bindings(i + 1))
-      nodeFilters.get(bindings(i + 1)).foreach { pred =>
+      // optional/negated hops take their dst filter INSIDE the hop
+      // (Cypher: a predicate inside OPTIONAL MATCH / NOT restricts what
+      // counts as a match; the base row always survives)
+      def preFiltered: DataFrame = nodeFilters.get(bindings(i + 1)).fold(edgeRaw) { pred =>
         val dstId = labelSchema(hop.dstLabel).identifier
         val ids = g.nodes(hop.dstLabel).where(pred).select(col(dstId).as("__filter_id"))
-        frontier = frontier.join(ids,
-          frontier(bindings(i + 1)) === ids("__filter_id"), "left_semi")
+        edgeRaw.join(ids, edgeRaw("__hop_dst") === ids("__filter_id"), "left_semi")
+      }
+      if (hop.negated) {
+        // anti FILTER: keep frontier rows with NO matching edge; binds
+        // nothing and (enforced by parse) ends the pattern
+        frontier = frontier.join(preFiltered,
+          frontier(bindings(i)) === col("__hop_src"), "left_anti")
+      } else if (hop.optional) {
+        frontier = frontier
+          .join(preFiltered, frontier(bindings(i)) === col("__hop_src"), "left_outer")
+          .drop("__hop_src")
+          .withColumnRenamed("__hop_dst", bindings(i + 1))
+      } else {
+        frontier = frontier
+          .join(edgeRaw, frontier(bindings(i)) === edgeRaw("__hop_src"))
+          .drop("__hop_src")
+          .withColumnRenamed("__hop_dst", bindings(i + 1))
+        nodeFilters.get(bindings(i + 1)).foreach { pred =>
+          val dstId = labelSchema(hop.dstLabel).identifier
+          val ids = g.nodes(hop.dstLabel).where(pred).select(col(dstId).as("__filter_id"))
+          frontier = frontier.join(ids,
+            frontier(bindings(i + 1)) === ids("__filter_id"), "left_semi")
+        }
       }
       curLabel = hop.dstLabel
     }

@@ -447,6 +447,35 @@ object GraphQueries {
         count_distinct(col("part_id")).as("n_parts"))
   }
 
+  /** OPTIONAL MATCH fragment: every customer, left-joined to its
+    * >400k-value orders — customers with none survive with a NULL order
+    * binding (the predicate lives INSIDE the optional hop, Cypher
+    * semantics). Output is per-customer: total customers preserved,
+    * matched order count, and null-binding count — non-vacuous at every
+    * SF (most customers have no 400k order). */
+  def optionalMatch(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    graft.operators.PatternMatch
+      .find(g, "Customer-[PLACED?]->Order",
+        Map("order_id" -> (col("o_totalprice") > 400000.0)))
+      .agg(count_distinct(col("customer_id")).as("n_customers"),
+        count(col("order_id")).as("n_matched_orders"),
+        sum(when(col("order_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+  }
+
+  /** Negation fragment (`WHERE NOT (o)-[:CONTAINS]->(:Part {p_size>45})`):
+    * BUILDING customers' orders that contain NO large part — the negated
+    * hop compiles to a pre-filtered left_anti join. */
+  def negationMatch(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    graft.operators.PatternMatch
+      .find(g, "Customer-[PLACED]->Order-[!CONTAINS]->Part",
+        Map("customer_id" -> (col("c_mktsegment") === "BUILDING"),
+          "part_id" -> (col("p_size") > 45)))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("customer_id")).as("n_customers"))
+  }
+
   /** Multi-label vertices: a table declared under several labels exports
     * once PER label (the reference's `MATCH (n:label) RETURN n` runs label
     * by label — neo4j_export.py:281-292 — so a :Supplier:Vendor node
@@ -529,6 +558,8 @@ object GraphQueries {
     "g_map_properties" -> (mapProperties _),
     "g_multilabel_nodes" -> (multilabelNodes _),
     "g_pattern_filtered" -> (patternFiltered _),
+    "g_optional_match" -> (optionalMatch _),
+    "g_negation_match" -> (negationMatch _),
     "g_model_versions" -> (modelVersions _),
     "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
     "g_graph_upsert" -> (graphUpsert _),
@@ -568,6 +599,28 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "g_optional_match" ->
+      """WITH big AS (SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_totalprice > 400000.0 AND o_custkey IS NOT NULL AND o_orderkey IS NOT NULL),
+        |j AS (SELECT c.c_custkey, b.o_orderkey
+        |  FROM customer c LEFT JOIN big b ON b.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NOT NULL)
+        |SELECT COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(o_orderkey) AS n_matched_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM j""".stripMargin,
+    "g_negation_match" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, o.o_orderkey
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey IS NOT NULL
+        |    AND o.o_orderkey IS NOT NULL),
+        |has_big AS (
+        |  SELECT DISTINCT l.l_orderkey FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_size > 45 AND l.l_orderkey IS NOT NULL)
+        |SELECT COUNT(*) AS n_orders, COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM co WHERE o_orderkey NOT IN (SELECT l_orderkey FROM has_big)""".stripMargin,
     "g_profile_orders" -> profileOrdersOracle,
     "g_catalog_inventory" ->
       """SELECT * FROM (VALUES

@@ -110,4 +110,34 @@ class PatternMatchSpec extends SparkTestBase {
     assert(got == Set(
       ("1", "N", "2", 3L, 1L), ("1", "N", "3", 3L, 1L), ("2", "N", "1", 3L, 1L)))
   }
+
+  test("optional hop keeps unmatched rows with a NULL binding; filter lives inside the hop") {
+    import org.apache.spark.sql.functions._
+    // b3 (bid 30) has no A-edge; a-side: optional hop to B with bid >= 20
+    val rows = PatternMatch.find(pathGraph(), "A-[R?]->B",
+        Map("b_id" -> (col("bid") >= 20L)))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // a1 matches b20 (b10 filtered out INSIDE the hop); a2's only edge b10
+    // is filtered away -> a2 survives with NULL
+    assert(rows == Set((1L, Some(20L)), (2L, None)))
+  }
+
+  test("negated hop filters to rows with NO matching edge") {
+    import org.apache.spark.sql.functions._
+    // A-[!R]->B: neither a1 nor a2 qualifies (both have R edges)...
+    val none = PatternMatch.find(pathGraph(), "A-[!R]->B").collect()
+    assert(none.isEmpty)
+    // ...but with the dst restricted to bid >= 20, a2 (only edge: b10) passes
+    val some = PatternMatch.find(pathGraph(), "A-[!R]->B",
+        Map("b_id" -> (col("bid") >= 20L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(some == Set(2L))
+    // negated hop binds nothing: only the A binding remains
+    assert(PatternMatch.find(pathGraph(), "A-[!R]->B").columns.toSeq == Seq("a_id"))
+  }
+
+  test("parse rejects negated-and-optional and non-final negation") {
+    intercept[IllegalArgumentException](PatternMatch.parse("A-[!R?]->B"))
+    intercept[IllegalArgumentException](PatternMatch.parse("A-[!R]->B-[S]->C"))
+  }
 }
