@@ -74,4 +74,35 @@ class EmptyInputSpec extends SparkTestBase {
     val noRight = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
     assert(AsOf.joinAsOf(noLeft, noRight, "k", "t", col("v"), "asof").count() == 0)
   }
+
+  test("round-6 operators on empty inputs") {
+    val noVids = Seq.empty[Long].toDF("vid")
+    val noW = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(GraphAnalytics.ssspDistances(noW, noVids, rounds = 3).count() == 0)
+    assert(GraphAnalytics.bfsDistances(noEdges, noVids, maxHops = 3).count() == 0)
+    assert(GraphAnalytics.kCore(noEdges, k = 2).count() == 0)
+    assert(GraphAnalytics.randomWalks(noEdges, noVids, 2, 3).count() == 0)
+    assert(GraphAnalytics.personalizedPageRankDF(noEdges, noVids).count() == 0)
+    // sources over an empty EDGE list but real sources: source rows stand
+    val d = GraphAnalytics.ssspDistances(noW, Seq(7L).toDF("vid"), rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.toSeq == Seq((7L, 0L)))
+
+    assert(Sketches.hllRegisters(noDocs, col("text")).count() == 0)
+    assert(Sketches.hllDistinct(noDocs, col("text")).collect()(0).getDouble(0) == 0.0)
+    assert(Sketches.cmsTable(noDocs, col("text")).count() == 0)
+    assert(Sketches.cmsLookup(Sketches.cmsTable(noDocs, col("text")), noDocs, "text").count() == 0)
+
+    assert(TextAnalysis.tfIdf(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(TextAnalysis.weightedSample(
+      Seq.empty[(Long, Long)].toDF("doc_id", "w"), "doc_id", col("w"), 5).count() == 0)
+
+    val model = Similarity.IvfModel(Array(Array(1.0, 0.0)))
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedup(noVecs, "vec_id", "embedding", model, 0.9).count() == 0)
+
+    assert(graft.schema.SchemaInference.profile(noDocs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("doc_id", 0L, 0L), ("text", 0L, 0L)))
+  }
 }
