@@ -592,6 +592,78 @@ object GraphAnalytics {
     out
   }
 
+  /** Node2vec-BIASED walks (Grover & Leskovec 2016): like
+    * [[randomWalks]], but the neighbor choice is 2nd-order — biased by
+    * where the walk came FROM. Candidate v of walk w at step t (previous
+    * vertex prev) carries bias
+    *   1/returnParam  if v == prev          (going back),
+    *   1              if v is adjacent to prev (staying local / BFS-ish),
+    *   1/inOutParam   otherwise             (moving outward / DFS-ish),
+    * and the choice is DERANDOMIZED weighted sampling: each candidate
+    * draws u = md5(walk:t:v)/2^60 and the walk takes the max A-Res key
+    * ln(u)/bias (6dp-rounded, ties → min v) — selection probability ∝
+    * bias, yet every hop is a pure function of the graph and replays in
+    * SQL (the [[TextAnalysis.weightedSample]] key applied per-step).
+    * Step 1 has no prev → uniform. The adjacency probe (is v a neighbor
+    * of prev?) is an equi-join of the candidate set against the edge
+    * list; candidates are walk-count × degree sized and broadcast under
+    * the ceiling, so the edge list never shuffles. */
+  def biasedRandomWalks(edges: DataFrame, starts: DataFrame,
+      walksPerVertex: Int, steps: Int,
+      returnParam: Double = 1.0, inOutParam: Double = 1.0,
+      srcCol: String = "src", dstCol: String = "dst",
+      undirected: Boolean = true): DataFrame = {
+    require(walksPerVertex >= 1 && steps >= 0, "walksPerVertex >= 1, steps >= 0")
+    require(returnParam > 0 && inOutParam > 0, "p and q must be > 0")
+    val retW = 1.0 / returnParam
+    val outW = 1.0 / inOutParam
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))) else e0)
+      .distinct().localCheckpoint(true)
+    val w0 = starts.select(col(starts.columns.head).as("start")).distinct()
+      .select(col("start"), explode(array((0 until walksPerVertex).map(i => lit(i.toLong)): _*)).as("w"))
+      .select((col("start") * walksPerVertex + col("w")).as("walk_id"), col("start").as("vid"),
+        lit(null).cast("long").as("prev"))
+      .localCheckpoint(true)
+    var frontier = w0
+    var out = w0.select(col("walk_id"), col("vid")).withColumn("step", lit(0L))
+    val useBroadcast = w0.count() <= MaxBroadcastVertices
+    (1 to steps).foreach { t =>
+      val f = if (useBroadcast) broadcast(frontier) else frontier
+      val cand = e.join(f, e("u") === f("vid"))
+        .select(f("walk_id"), f("vid").as("cur"), f("prev"), e("v"))
+      // adjacency probe, broadcast-shaped: INNER join the edge stream
+      // against the broadcast candidate set on (prev, v) — the edge list
+      // never shuffles, at most one match per candidate (e is distinct) —
+      // then flag candidates by a candidate-sized LEFT join
+      val candCp = (if (useBroadcast) cand.localCheckpoint(true) else cand)
+      val candB = if (useBroadcast) broadcast(candCp) else candCp
+      val pe = e.select(col("u").as("__pu"), col("v").as("__pv"))
+      val commonRows = pe.join(candB,
+          candB("prev") === pe("__pu") && candB("v") === pe("__pv"))
+        .select(col("walk_id"), col("v"), lit(true).as("__common"))
+      val commonB = if (useBroadcast) broadcast(commonRows) else commonRows
+      val flagged = candCp.join(commonB, Seq("walk_id", "v"), "left_outer")
+        .select(col("walk_id"), col("cur"), col("prev"), col("v"),
+          coalesce(col("__common"), lit(false)).as("__common"))
+      val bias = when(col("prev").isNull, lit(1.0))
+        .when(col("v") === col("prev"), lit(retW))
+        .when(col("__common"), lit(1.0))
+        .otherwise(lit(outW))
+      val u = (Dedup.md5Long(concat(col("walk_id").cast("string"), lit(s":$t:"),
+        col("v").cast("string"))) + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+      val key = round(log(u) / bias, 6) + lit(0.0)
+      val nxt = flagged.withColumn("__k", key)
+        .groupBy("walk_id")
+        .agg(max(struct(col("__k"), (-col("v")).as("nv"), col("cur"))).as("m"))
+        .select(col("walk_id"), (-col("m.nv")).as("vid"), col("m.cur").as("prev"))
+      frontier = nxt.localCheckpoint(true)
+      out = out.unionAll(frontier.select(col("walk_id"), col("vid")).withColumn("step", lit(t.toLong)))
+    }
+    out
+  }
+
   /** k-core decomposition by synchronous peeling: each round computes
     * every remaining vertex's degree in the remaining subgraph and
     * removes ALL vertices with degree < k at once (both endpoints

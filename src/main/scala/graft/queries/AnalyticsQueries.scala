@@ -171,6 +171,30 @@ object AnalyticsQueries {
   private val WalkCount = 4
   private val WalkSteps = 8
 
+  /** Node2vec-biased walk corpus: 3 walks of 6 hops per Nation vertex
+    * with p=4 (return discouraged ×0.25) and q=0.25 (outward favored ×4 —
+    * DFS-flavored exploration). Every biased choice is derandomized
+    * weighted sampling over per-candidate md5 uniforms — exactly
+    * replayable. */
+  def biasedWalks(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val nationIdx = labels.indexOf("Nation").toLong
+    val starts = edges.select(col("src").as("vid"))
+      .unionAll(edges.select(col("dst").as("vid")))
+      .where(shiftright(col("vid"), 44) === nationIdx)
+    GraphAnalytics.decode(
+      GraphAnalytics.biasedRandomWalks(edges, starts,
+        walksPerVertex = BiasedWalkCount, steps = BiasedWalkSteps,
+        returnParam = BiasedP, inOutParam = BiasedQ),
+      "vid", labels)
+      .select(col("walk_id"), col("step"), col("label"), col("node_id"))
+  }
+
+  private val BiasedWalkCount = 3
+  private val BiasedWalkSteps = 6
+  private val BiasedP = 4.0
+  private val BiasedQ = 0.25
+
   private val SsspWeights: Map[String, Long] = Map(
     "Nation_IN_REGION_Region" -> 2L,
     "Customer_IN_NATION_Nation" -> 3L,
@@ -194,6 +218,7 @@ object AnalyticsQueries {
     "g_kcore" -> (kCore _),
     "g_sssp" -> (sssp _),
     "g_random_walks" -> (randomWalks _),
+    "g_biased_walks" -> (biasedWalks _),
     "g_ppr" -> (ppr _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
@@ -488,7 +513,55 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** Biased-walk oracle: per step, every candidate's A-Res key
+    * round(ln(u)/bias, 6) + 0.0 is recomputed from the same md5 uniform
+    * and bias class (NULL prev → uniform; v = prev → 1/p; (prev, v) an
+    * edge → 1; else → 1/q), and the walk takes row_number() == 1 over
+    * (key DESC, v ASC) ≡ Spark's max(struct(key, -v)). */
+  private def biasedWalkOracleSql(walksPerVertex: Int, steps: Int,
+      p: Double, q: Double): String = {
+    val retW = 1.0 / p
+    val outW = 1.0 / q
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n),\n"
+    sb ++= s"""und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+             |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+             |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+             |starts AS (SELECT DISTINCT u AS vid FROM und WHERE u // 17592186044416 = 1),
+             |s0 AS (SELECT vid * $walksPerVertex + w AS walk_id, vid, CAST(NULL AS BIGINT) AS prev
+             |  FROM starts, (SELECT unnest(generate_series(0, ${walksPerVertex - 1})) AS w))""".stripMargin
+    (1 to steps).foreach { t =>
+      sb ++= s""",
+                |s$t AS MATERIALIZED (SELECT walk_id, vid, prev FROM (
+                |  SELECT f.walk_id, und.v AS vid, f.vid AS prev,
+                |    row_number() OVER (PARTITION BY f.walk_id ORDER BY
+                |      round(ln((('0x' || substring(md5(CAST(f.walk_id AS VARCHAR) || ':$t:' || CAST(und.v AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+                |          / 1152921504606846976.0)
+                |        / (CASE WHEN f.prev IS NULL THEN 1.0
+                |                WHEN und.v = f.prev THEN $retW
+                |                WHEN pe.u IS NOT NULL THEN 1.0
+                |                ELSE $outW END), 6) + 0.0 DESC,
+                |      und.v ASC) AS rn
+                |  FROM s${t - 1} f
+                |  JOIN und ON und.u = f.vid
+                |  LEFT JOIN und pe ON pe.u = f.prev AND pe.v = und.v
+                |) WHERE rn = 1)""".stripMargin
+    }
+    val unions = (0 to steps).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, vid FROM s$t").mkString("\nUNION ALL ")
+    sb ++= s"""
+              |SELECT walk_id, step,
+              |  CASE vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  vid % 17592186044416 AS node_id
+              |FROM (
+              |$unions)""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_biased_walks" -> biasedWalkOracleSql(BiasedWalkCount, BiasedWalkSteps, BiasedP, BiasedQ),
     "g_ppr" -> pprOracleSql(PprRounds, PrReset),
     "g_random_walks" -> walkOracleSql(WalkCount, WalkSteps),
     "g_sssp" -> ssspOracleSql(SsspRounds),

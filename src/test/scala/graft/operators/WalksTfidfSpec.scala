@@ -44,6 +44,26 @@ class WalksTfidfSpec extends SparkTestBase {
     assert(out.toSet == Set((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("biasedRandomWalks: p discourages returning, q steers common-vs-outward") {
+    // 0-1-2 chain; at 2 (prev=1): 1 is RETURN, 3 is COMMON (1-3 edge),
+    // 4 is OUTWARD (no 1-4 edge)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L)).toDF("src", "dst")
+    def path(p: Double, q: Double): Seq[Long] =
+      GraphAnalytics.biasedRandomWalks(edges, Seq(0L).toDF("vid"),
+        walksPerVertex = 1, steps = 3, returnParam = p, inOutParam = q)
+        .orderBy("step").collect().map(_.getLong(1)).toSeq
+    // huge p: never backtrack when an alternative exists; tiny q favors
+    // outward — at 1 (prev=0) both 2 and 3 are outward (hash picks 2),
+    // then at 2 (prev=1) the outward 4 beats the common 3 and return 1
+    assert(path(1e6, 1e-6) == Seq(0L, 1L, 2L, 4L))
+    // huge q kills outward: at 1 both non-return candidates are outward
+    // (equal bias, hash picks 3); at 3 (prev=1) vertex 2 is COMMON
+    // (2-1 edge) while 1 is return → the common neighbor wins
+    assert(path(1e6, 1e6) == Seq(0L, 1L, 3L, 2L))
+    // reproducibility
+    assert(path(4.0, 0.25) == path(4.0, 0.25))
+  }
+
   test("weightedSample is reproducible, without replacement, weight-sensitive, and skips w <= 0") {
     val items = ((1L to 100L).map(i => (i, 1000L)) ++ (101L to 200L).map(i => (i, 1L)) ++
       Seq((201L, 0L), (202L, -5L))).toDF("doc_id", "w")
