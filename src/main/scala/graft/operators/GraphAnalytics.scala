@@ -592,6 +592,25 @@ object GraphAnalytics {
     out
   }
 
+  /** Skip-gram training pairs from a walk corpus (the DeepWalk/node2vec
+    * step between walk sampling and the embedding trainer): every
+    * (center, context) vertex pair co-occurring within `window` steps of
+    * the SAME walk, with its corpus frequency. Input is the output shape
+    * of [[randomWalks]]/[[biasedRandomWalks]] — (walk_id, vid, step).
+    * One self-equi-join on walk_id (per-walk row count is steps+1, so
+    * the join is walk-local and never quadratic in the corpus) + one
+    * count aggregation; the pair table is what a negative-sampling
+    * trainer consumes. */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val a = walks.select(col("walk_id"), col("vid").as("center"), col("step").as("__sa"))
+    val b = walks.select(col("walk_id"), col("vid").as("context"), col("step").as("__sb"))
+    a.join(b, Seq("walk_id"))
+      .where(col("__sa") =!= col("__sb") &&
+        abs(col("__sa") - col("__sb")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Node2vec-BIASED walks (Grover & Leskovec 2016): like
     * [[randomWalks]], but the neighbor choice is 2nd-order — biased by
     * where the walk came FROM. Candidate v of walk w at step t (previous

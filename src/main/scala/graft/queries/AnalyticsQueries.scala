@@ -190,6 +190,28 @@ object AnalyticsQueries {
       .select(col("walk_id"), col("step"), col("label"), col("node_id"))
   }
 
+  /** Skip-gram (center, context) pair corpus from the g_random_walks
+    * walks, window 2 — the training-pair table an embedding trainer
+    * consumes. Decoded labels on both sides. */
+  def skipgram(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val nationIdx = labels.indexOf("Nation").toLong
+    val starts = edges.select(col("src").as("vid"))
+      .unionAll(edges.select(col("dst").as("vid")))
+      .where(shiftright(col("vid"), 44) === nationIdx)
+    val walks = GraphAnalytics.randomWalks(edges, starts,
+      walksPerVertex = WalkCount, steps = WalkSteps)
+    val pairs = GraphAnalytics.skipGramPairs(walks, window = SkipgramWindow)
+    val c = GraphAnalytics.decode(pairs, "center", labels)
+      .withColumnRenamed("label", "center_label").withColumnRenamed("node_id", "center_id")
+    GraphAnalytics.decode(c, "context", labels)
+      .withColumnRenamed("label", "context_label").withColumnRenamed("node_id", "context_id")
+      .select(col("center_label"), col("center_id"),
+        col("context_label"), col("context_id"), col("n_pairs"))
+  }
+
+  private val SkipgramWindow = 2
+
   private val BiasedWalkCount = 3
   private val BiasedWalkSteps = 6
   private val BiasedP = 4.0
@@ -219,6 +241,7 @@ object AnalyticsQueries {
     "g_sssp" -> (sssp _),
     "g_random_walks" -> (randomWalks _),
     "g_biased_walks" -> (biasedWalks _),
+    "g_skipgram" -> (skipgram _),
     "g_ppr" -> (ppr _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
@@ -448,7 +471,10 @@ object AnalyticsQueries {
     * picks, per walk, the neighbor with the smallest md5(walk_id:t:v)
     * (row_number ORDER BY h, v ≡ Spark's min(struct(h, v))); the output
     * is the union of all step frontiers. */
-  private def walkOracleSql(walksPerVertex: Int, steps: Int): String = {
+  /** Shared CTE prefix for the walk oracles: unified edges, undirected
+    * distinct edge set, Nation starts, and the s0..sN per-step frontier
+    * CTEs; plus the all-steps union subquery. */
+  private def walkCteSql(walksPerVertex: Int, steps: Int): (String, String) = {
     val sb = new StringBuilder
     sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n),\n"
     sb ++= s"""und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
@@ -468,15 +494,43 @@ object AnalyticsQueries {
     }
     val unions = (0 to steps).map(t =>
       s"SELECT walk_id, CAST($t AS BIGINT) AS step, vid FROM s$t").mkString("\nUNION ALL ")
-    sb ++= s"""
-              |SELECT walk_id, step,
-              |  CASE vid // 17592186044416
-              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
-              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
-              |  vid % 17592186044416 AS node_id
-              |FROM (
-              |$unions)""".stripMargin
-    sb.toString
+    (sb.toString, unions)
+  }
+
+  private def walkOracleSql(walksPerVertex: Int, steps: Int): String = {
+    val (ctes, unions) = walkCteSql(walksPerVertex, steps)
+    s"""$ctes
+       |SELECT walk_id, step,
+       |  CASE vid // 17592186044416
+       |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+       |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+       |  vid % 17592186044416 AS node_id
+       |FROM (
+       |$unions)""".stripMargin
+  }
+
+  /** Skip-gram oracle: replay the walks, then the window self-join and
+    * pair count — all integers. */
+  private def skipgramOracleSql(walksPerVertex: Int, steps: Int, window: Int): String = {
+    val (ctes, unions) = walkCteSql(walksPerVertex, steps)
+    s"""$ctes,
+       |wk AS MATERIALIZED (
+       |$unions),
+       |pairs AS (
+       |  SELECT a.vid AS center, b.vid AS context
+       |  FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+       |    AND a.step <> b.step AND abs(a.step - b.step) <= $window)
+       |SELECT
+       |  CASE center // 17592186044416
+       |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+       |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS center_label,
+       |  center % 17592186044416 AS center_id,
+       |  CASE context // 17592186044416
+       |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+       |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS context_label,
+       |  context % 17592186044416 AS context_id,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs GROUP BY 1, 2, 3, 4""".stripMargin
   }
 
   /** PPR oracle: replay the source-teleport fixed-point rounds — r0 is
@@ -562,6 +616,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "g_biased_walks" -> biasedWalkOracleSql(BiasedWalkCount, BiasedWalkSteps, BiasedP, BiasedQ),
+    "g_skipgram" -> skipgramOracleSql(WalkCount, WalkSteps, SkipgramWindow),
     "g_ppr" -> pprOracleSql(PprRounds, PrReset),
     "g_random_walks" -> walkOracleSql(WalkCount, WalkSteps),
     "g_sssp" -> ssspOracleSql(SsspRounds),

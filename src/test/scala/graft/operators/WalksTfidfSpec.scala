@@ -44,6 +44,21 @@ class WalksTfidfSpec extends SparkTestBase {
     assert(out.toSet == Set((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("skipGramPairs: window-bounded, symmetric, walk-local") {
+    val walks = Seq(
+      (1L, 10L, 0L), (1L, 20L, 1L), (1L, 30L, 2L), (1L, 40L, 3L),
+      (2L, 50L, 0L), (2L, 60L, 1L)).toDF("walk_id", "vid", "step")
+    val pairs = GraphAnalytics.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // window 2 within walk 1: (10,20),(10,30) but NOT (10,40)
+    assert(pairs.contains((10L, 20L)) && pairs.contains((10L, 30L)))
+    assert(!pairs.contains((10L, 40L)))
+    // symmetric counts
+    assert(pairs((10L, 20L)) == pairs((20L, 10L)))
+    // never across walks
+    assert(!pairs.keys.exists { case (a, b) => a <= 40L && b >= 50L })
+  }
+
   test("biasedRandomWalks: p discourages returning, q steers common-vs-outward") {
     // 0-1-2 chain; at 2 (prev=1): 1 is RETURN, 3 is COMMON (1-3 edge),
     // 4 is OUTWARD (no 1-4 edge)
