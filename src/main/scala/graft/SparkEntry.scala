@@ -13,10 +13,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q1(spark, "/root/testdata/sf0.001")
 
-  /** dd_ngram_jaccard is oracle-checked (PipelineQueries.oracles mirrors
-    * its blocking + jaccard in SQL); dd_simhash and dd_minhash_lsh moved
-    * to PipelineQueries with full oracles via their md5-hash variants. */
-  private val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Registered here rather than in a query group for historical reasons;
+    * fully oracle-checked like everything else (PipelineQueries.oracles
+    * replays its blocking + jaccard in SQL). */
+  private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
         Tables(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text",
@@ -25,7 +25,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ PipelineQueries.queries ++ AnalyticsQueries.queries ++ rowsOnly
+      TextQueries.queries ++ PipelineQueries.queries ++ AnalyticsQueries.queries ++ extraQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
