@@ -26,13 +26,20 @@ final case class NodeMapping(label: String, table: String, idProp: Option[String
 }
 
 /** Edge rows come from `table`; `srcFk`/`dstFk` reference the id properties
-  * of the endpoint labels; `props` are the relationship's own columns. */
+  * of the endpoint labels; `props` are the relationship's own columns.
+  * `rowFilter` (SQL expression over the table's columns) lets ONE table
+  * map to SEVERAL relationship types by row predicate — e.g. lineitem →
+  * CONTAINS for every row and RETURNED where l_returnflag = 'R' — the
+  * conditional-edge modeling Neo4j users express with per-row type logic
+  * at import time. The predicate is applied before endpoint resolution,
+  * so it pushes to the table scan. */
 final case class EdgeMapping(
     relType: String,
     table: String,
     srcLabel: String, srcFk: String,
     dstLabel: String, dstFk: String,
-    props: Seq[String] = Nil) {
+    props: Seq[String] = Nil,
+    rowFilter: Option[String] = None) {
   def pattern: RelPattern = RelPattern(srcLabel, relType, dstLabel)
 }
 
@@ -73,7 +80,9 @@ final class TableGraphMapper(
 
     val rels: Seq[(RelPattern, DataFrame, RelSchema)] =
       Await.result(Future.traverse(edgeMappings) { em => Future {
-        val raw = readTable(spark, dir, em.table)
+        val table = readTable(spark, dir, em.table)
+        val raw = em.rowFilter.fold(table)(f =>
+          table.where(org.apache.spark.sql.functions.expr(f)))
         val (srcDf, srcSchema) = nodeTables(em.srcLabel)
         val (dstDf, dstSchema) = nodeTables(em.dstLabel)
         val (df, rs) = RelTableBuilder.build(

@@ -26,12 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object PatternMatch {
 
-  /** One pattern hop. `optional` = Cypher's OPTIONAL MATCH fragment
-    * (left-outer: unmatched base rows survive with a NULL binding);
-    * `negated` = the `WHERE NOT (..)-[:REL]->(..)` fragment (anti-join
-    * FILTER — keeps base rows with no such edge, binds nothing). */
-  final case class Hop(relType: String, dstLabel: String,
-      optional: Boolean = false, negated: Boolean = false)
+  /** One pattern hop. `types` = the relationship types this hop may
+    * traverse (Cypher's `-[:R1|R2]->` multi-type union — each type must
+    * resolve against the schema with this hop's endpoint labels, and the
+    * hop's edge set is their UNION ALL, so path multiplicity counts each
+    * matching relationship instance); `optional` = Cypher's OPTIONAL
+    * MATCH fragment (left-outer: unmatched base rows survive with a NULL
+    * binding); `negated` = the `WHERE NOT (..)-[:REL]->(..)` fragment
+    * (anti-join FILTER — keeps base rows with no such edge, binds
+    * nothing); `undirected` = Cypher's `-[:REL]-` (the hop traverses
+    * matching patterns in EITHER direction — schema patterns
+    * (cur)-[t]->(dst) forward and (dst)-[t]->(cur) reversed). */
+  final case class Hop(types: Seq[String], dstLabel: String,
+      optional: Boolean = false, negated: Boolean = false,
+      undirected: Boolean = false)
+  object Hop {
+    def apply(relType: String, dstLabel: String): Hop = Hop(Seq(relType), dstLabel)
+  }
   final case class PathPattern(startLabel: String, hops: Seq[Hop]) {
     /** Binding column name per path position: lowercased label + "_id",
       * suffixed with the position index when a label repeats. Negated
@@ -52,10 +63,11 @@ object PatternMatch {
     }
   }
 
-  private val HopRe = """-\[(!?)(\w+)(\??)\]->(\w+)""".r
+  private val HopRe = """-\[(!?)(\w+(?:\|\w+)*)(\??)\]-(>?)(\w+)""".r
 
-  /** Parse `"Label-[REL]->Label-[REL?]->Label-[!REL]->Label"`:
-    * `REL?` marks an OPTIONAL hop, `!REL` a NEGATED (anti) hop. */
+  /** Parse `"Label-[REL]->Label-[R1|R2]->Label-[REL]-Label-[!REL]->Label"`:
+    * `REL?` marks an OPTIONAL hop, `!REL` a NEGATED (anti) hop, `R1|R2` a
+    * multi-type union, and a trailing `]-` (no `>`) an UNDIRECTED hop. */
   def parse(pattern: String): PathPattern = {
     val trimmed = pattern.trim
     val firstHop = trimmed.indexOf("-[")
@@ -65,8 +77,9 @@ object PatternMatch {
     val hops = HopRe.findAllMatchIn(rest).map { m =>
       require(!(m.group(1) == "!" && m.group(3) == "?"),
         s"a hop cannot be both negated and optional: '$pattern'")
-      Hop(m.group(2), m.group(4),
-        optional = m.group(3) == "?", negated = m.group(1) == "!")
+      Hop(m.group(2).split('|').toSeq, m.group(5),
+        optional = m.group(3) == "?", negated = m.group(1) == "!",
+        undirected = m.group(4).isEmpty)
     }.toSeq
     val consumed = HopRe.findAllIn(rest).mkString
     require(hops.nonEmpty && consumed == rest,
@@ -165,13 +178,34 @@ object PatternMatch {
     var frontier = startTable.select(col(startSchema.identifier).as(bindings.head))
     var curLabel = p.startLabel
 
+    // One hop's traversable edge set: per listed type, the forward
+    // pattern (cur)-[t]->(dst), plus — for undirected hops — the reverse
+    // pattern (dst)-[t]->(cur) with endpoints swapped. Multi-type hops
+    // UNION ALL their types' edge tables (Catalyst plans the union's
+    // children independently; each side still pushes its scan filters).
+    def hopEdges(cur: String, hop: Hop): DataFrame = {
+      val parts = hop.types.flatMap { t =>
+        val fwd = g.schema.rels.find(_.pattern == RelPattern(cur, t, hop.dstLabel)).map { rs =>
+          g.rels(rs.pattern)
+            .select(col(rs.srcColName).as("__hop_src"), col(rs.dstColName).as("__hop_dst"))
+        }
+        val rev = if (hop.undirected)
+          g.schema.rels.find(_.pattern == RelPattern(hop.dstLabel, t, cur)).map { rs =>
+            g.rels(rs.pattern)
+              .select(col(rs.dstColName).as("__hop_src"), col(rs.srcColName).as("__hop_dst"))
+          }
+        else None
+        val found = fwd.toSeq ++ rev.toSeq
+        require(found.nonEmpty,
+          s"no relationship $cur-[$t]-${if (hop.undirected) "" else ">"}${hop.dstLabel}; " +
+            s"graph has ${g.schema.rels.map(_.pattern.key).mkString(", ")}")
+        found
+      }
+      parts.reduce(_ unionAll _)
+    }
+
     p.hops.zipWithIndex.foreach { case (hop, i) =>
-      val relPattern = RelPattern(curLabel, hop.relType, hop.dstLabel)
-      val rs = g.schema.rels.find(_.pattern == relPattern)
-        .getOrElse(throw new IllegalArgumentException(
-          s"no relationship ${relPattern.key}; graph has ${g.schema.rels.map(_.pattern.key).mkString(", ")}"))
-      val edgeRaw = g.rels(relPattern)
-        .select(col(rs.srcColName).as("__hop_src"), col(rs.dstColName).as("__hop_dst"))
+      val edgeRaw = hopEdges(curLabel, hop)
       // optional/negated hops take their dst filter INSIDE the hop
       // (Cypher: a predicate inside OPTIONAL MATCH / NOT restricts what
       // counts as a match; the base row always survives)

@@ -138,4 +138,92 @@ object Sketches {
       .groupBy(col(itemCol))
       .agg(min(col("cnt")).as("est_count"))
   }
+
+  /** Default Bloom geometry: m = 2^16 bits, h = 3 hashes → ~5% false
+    * positives at n ≈ 10k keys (m/n ≈ 6.5); the set-bit table is at most
+    * m rows of one BIGINT — broadcast-sized at any corpus scale. */
+  val BloomM = 65536
+  val BloomH = 3
+
+  private def bloomPositions(value: Column, m: Int, h: Int): Column =
+    array((0 until h).map { i =>
+      pmod(Dedup.md5Long(concat(lit(s"bf$i:"), value.cast("string"))), lit(m.toLong))
+    }: _*)
+
+  /** Bloom-filter sketch of a key set: the DISTINCT set positions of h
+    * portable md5 hashes per key — ≤ m rows out, built with one map-side-
+    * combined aggregation (shuffle ≤ m rows per task). Deterministic
+    * function of content, so a DuckDB oracle replays every bit — including
+    * which probes come back as FALSE POSITIVES. Sketches of corpus slices
+    * merge by `union.distinct` (bitwise OR). */
+  def bloomBits(df: DataFrame, value: Column, m: Int = BloomM, h: Int = BloomH): DataFrame = {
+    require(m >= 2 && h >= 1, s"bad bloom geometry m=$m h=$h")
+    df.select(explode(bloomPositions(value, m, h)).as("pos")).distinct()
+  }
+
+  /** Probe each item against a Bloom sketch: might_contain = all h of the
+    * item's positions are set (1/0; one-sided — a true member is NEVER
+    * reported absent). The bits side broadcasts; the items side streams.
+    * Output: (item, might_contain). */
+  def bloomMightContain(bits: DataFrame, items: DataFrame, itemCol: String,
+      m: Int = BloomM, h: Int = BloomH): DataFrame =
+    items.select(col(itemCol), explode(bloomPositions(col(itemCol), m, h)).as("pos"))
+      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("pos"), "left_outer")
+      .groupBy(col(itemCol))
+      .agg((count(col("__set")) === h).cast("long").as("might_contain"))
+
+  /** Bloom-pruned semi-join: `big SEMI JOIN keys ON bigKey = keysKey`,
+    * with the big side pre-filtered through a Bloom sketch of the key set
+    * before the exact join. At 100 TB the win is shuffle volume: the
+    * sketch is ≤ m broadcast rows, the pre-filter drops every big-side
+    * row whose key hashes to an unset bit (all true negatives — the
+    * one-sided guarantee means no true match is lost), and only the
+    * surviving ~(match + εN) rows reach the exact semi-join. This is
+    * Spark's own runtime-filter rewrite (`spark.sql.optimizer.runtime.
+    * bloomFilter.enabled`) in explicit, engine-portable form — usable
+    * where the optimizer can't see the key set (e.g. a precomputed sketch
+    * from another job, day, or engine). Result ≡ the plain semi-join
+    * (spec-checked). */
+  def bloomPrunedSemiJoin(big: DataFrame, bigKey: String,
+      keys: DataFrame, keysKey: String,
+      m: Int = BloomM, h: Int = BloomH): DataFrame = {
+    val bits = bloomBits(keys, col(keysKey), m, h)
+    val candidateKeys = bloomMightContain(bits, big.select(col(bigKey)).distinct(), bigKey, m, h)
+      .where(col("might_contain") === 1L).select(col(bigKey))
+    big.join(candidateKeys, Seq(bigKey), "left_semi")
+      .join(keys.select(col(keysKey).as(bigKey)), Seq(bigKey), "left_semi")
+  }
+
+  /** Default quantile-sketch sample size: ε ≈ 1/√k ≈ 3% rank error. */
+  val QuantileSampleK = 1000
+
+  /** Deterministic bottom-k row sample per group — the quantile sketch's
+    * storage object (and a general-purpose uniform sample). Each row's
+    * sampling key is the portable md5 hash of its UNIQUE id ("qs:" || id),
+    * so the selected set is a pure function of content: the same rows
+    * survive across runs, reshards, partitionings, and engines (a DuckDB
+    * oracle replays the selection with `row_number() OVER (ORDER BY h,
+    * id)`). Hash-of-id is uniform, so the sample is uniform-without-
+    * replacement per group — quantiles over it estimate the group's
+    * quantiles with rank error O(1/√k) (Vitter-style sample; cf. the
+    * bottom-k/KMV sketches of Cohen & Kaplan 2007).
+    *
+    * Scale shape: [[TopK.perKey]] prunes with per-partition bounded heaps
+    * before the exact window pass, so each group moves ≤ partitions·k
+    * (group, value, hash) triples — never its full row set. The sketch
+    * MERGES: bottom-k of a union = bottom-k of the per-slice bottom-k
+    * unions, so per-day/per-source samples fold into a corpus sample
+    * without rescanning (spec-checked).
+    *
+    * Output: (groupCol, value). A group with ≤ k rows returns all of them
+    * (its quantiles are then exact). */
+  def quantileSample(df: DataFrame, groupCol: String, id: Column,
+      value: Column, k: Int = QuantileSampleK): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    val keyed = df.select(col(groupCol), value.as("value"),
+      negate(Dedup.md5Long(concat(lit("qs:"), id.cast("string")))).as("__nh"),
+      id.cast("string").as("__id"))
+    TopK.perKey(keyed, groupCol, "__nh", k, tieBreak = Seq("__id"))
+      .select(col(groupCol), col("value"))
+  }
 }

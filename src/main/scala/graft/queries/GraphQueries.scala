@@ -525,6 +525,55 @@ object GraphQueries {
     graft.operators.PatternMatch.findVarLength(anchored, "Customer", minHops = 1, maxHops = 2)
   }
 
+  /** UNDIRECTED hop (`-[REL]-`): same-nation customer pairs across two
+    * market segments. The second IN_NATION hop has no forward schema
+    * pattern Nation→Customer, so the undirected compilation traverses
+    * Customer-[IN_NATION]->Nation REVERSED — and both segment predicates
+    * push into the traversal as semi-joins. The id inequality post-filter
+    * canonicalizes the pair (join semantics have no Cypher relationship-
+    * uniqueness; without it c1 = c2 rows would appear — walk semantics,
+    * as documented on findVarLength). Aggregated per nation so the
+    * output stays dimension-sized at every SF. */
+  def undirectedMatch(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    graft.operators.PatternMatch.find(
+      g, "Customer-[IN_NATION]->Nation-[IN_NATION]-Customer",
+      Map("customer_id_1" -> (col("c_mktsegment") === "BUILDING"),
+        "customer_id_2" -> (col("c_mktsegment") === "MACHINERY")))
+      .where(col("customer_id_1") < col("customer_id_2"))
+      .groupBy(col("nation_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("customer_id_1")).as("n_building"),
+        count_distinct(col("customer_id_2")).as("n_machinery"))
+  }
+
+  /** Multi-type hop (`-[R1|R2]->`): the TPC-H mapping extended with a
+    * row-filtered second edge type between Order and Part — RETURNED
+    * covers the l_returnflag = 'R' lineitems (EdgeMapping.rowFilter, the
+    * conditional-edge import model) — then one pattern traverses the
+    * union. Path multiplicity is Cypher's: a returned lineitem matches
+    * BOTH types and contributes two paths. */
+  def multitypeMatch(s: SparkSession, dir: String): DataFrame = {
+    val g = MultiTypeGraph.load(s, dir)
+    graft.operators.PatternMatch.find(
+      g, "Customer-[PLACED]->Order-[CONTAINS|RETURNED]->Part",
+      Map("customer_id" -> (col("c_mktsegment") === "AUTOMOBILE")))
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_paths"),
+        count_distinct(col("order_id")).as("n_orders"))
+  }
+
+  private object MultiTypeGraph {
+    import graft.model.{EdgeMapping, TableGraphMapper, TpchGraph}
+    private val mapper = new TableGraphMapper(
+      TpchGraph.nodes,
+      TpchGraph.edges :+ EdgeMapping("RETURNED", "lineitem",
+        "Order", "l_orderkey", "Part", "l_partkey",
+        rowFilter = Some("l_returnflag = 'R'")),
+      TpchGraph.catalog)
+    def load(s: SparkSession, dir: String): graft.model.PropertyGraph = mapper.load(s, dir)
+  }
+
   /** The catalog's constraint/index inventory as rows — the engine-side
     * `SHOW CONSTRAINTS` / `SHOW INDEXES` surface (reference
     * neo4j_export.py:83-130,177-227), driver-checked. */
@@ -558,6 +607,8 @@ object GraphQueries {
     "g_map_properties" -> (mapProperties _),
     "g_multilabel_nodes" -> (multilabelNodes _),
     "g_pattern_filtered" -> (patternFiltered _),
+    "g_undirected_match" -> (undirectedMatch _),
+    "g_multitype_match" -> (multitypeMatch _),
     "g_optional_match" -> (optionalMatch _),
     "g_negation_match" -> (negationMatch _),
     "g_model_versions" -> (modelVersions _),
@@ -693,6 +744,36 @@ object GraphQueries {
         |UNION ALL
         |SELECT 'Vendor', s_suppkey, s_name
         |FROM supplier WHERE s_name IS NOT NULL AND s_name <> '' AND s_name <> 'NULL'""".stripMargin,
+    // undirected hop ≡ the IN_NATION edge table joined from both ends
+    // (the second join is the same customer→nation FK, traversed in
+    // reverse); null filters mirror RelTableBuilder's endpoint rules
+    "g_undirected_match" ->
+      """SELECT a.c_nationkey AS nation_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT a.c_custkey) AS n_building,
+        |  COUNT(DISTINCT b.c_custkey) AS n_machinery
+        |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'MACHINERY'
+        |  AND a.c_custkey < b.c_custkey
+        |  AND a.c_custkey IS NOT NULL AND a.c_nationkey IS NOT NULL
+        |  AND b.c_custkey IS NOT NULL
+        |GROUP BY a.c_nationkey""".stripMargin,
+    // multi-type hop ≡ UNION ALL of the two edge selections (RETURNED is
+    // the rowFilter subset, so returned lineitems contribute two paths)
+    "g_multitype_match" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS part_id FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+        |SELECT e.part_id, COUNT(*) AS n_paths,
+        |  COUNT(DISTINCT o.o_orderkey) AS n_orders
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN e ON e.ok = o.o_orderkey
+        |WHERE c.c_mktsegment = 'AUTOMOBILE'
+        |  AND c.c_custkey IS NOT NULL AND o.o_orderkey IS NOT NULL
+        |GROUP BY e.part_id""".stripMargin,
     "g_pattern_filtered" ->
       """SELECT COUNT(*) AS n_paths,
         |  COUNT(DISTINCT o_custkey) AS n_customers,

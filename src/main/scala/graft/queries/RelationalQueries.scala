@@ -320,7 +320,65 @@ object RelationalQueries {
       .select(col("l_partkey"), col("est_count"), col("true_count"))
   }
 
+  /** Bounded-memory quantile SKETCH next to the exact quantiles: a
+    * deterministic bottom-k sample (portable md5 keys — the selected rows
+    * replay in the oracle) per return flag, exact interpolated percentile
+    * over the sample, and the true percentile alongside so the rank error
+    * is visible. This is q_quantiles' 100 TB path made concrete: the
+    * shuffle carries ≤ partitions·k sampled triples per group instead of
+    * every value, the sample MERGES across corpus slices, and — unlike
+    * t-digest — the estimate is still inside the exact cross-engine gate
+    * because the sample membership is content-determined. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val rowId = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+    val samp = graft.operators.Sketches.quantileSample(
+      li, "l_returnflag", rowId, col("l_extendedprice"), k = QsK)
+    def p(src: String, q: Double, name: String) =
+      round(expr(s"percentile($src, $q)"), 6).as(name)
+    val sk = samp.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_sample"),
+      p("value", 0.5, "sketch_p50"), p("value", 0.9, "sketch_p90"))
+    val exact = li.groupBy("l_returnflag").agg(
+      p("l_extendedprice", 0.5, "exact_p50"), p("l_extendedprice", 0.9, "exact_p90"))
+    sk.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_sample"),
+        col("sketch_p50"), col("exact_p50"), col("sketch_p90"), col("exact_p90"))
+  }
+
+  private val QsK = 1000
+
+  /** Bloom-filter membership, driver-checked bit for bit: a sketch of the
+    * custkeys with Q4-1996 orders probed by every customer, next to the
+    * true membership so false positives are VISIBLE (and deterministic —
+    * the portable hash means DuckDB replays exactly which probes lie).
+    * The scale story is [[graft.operators.Sketches.bloomPrunedSemiJoin]]:
+    * ≤ m broadcast rows prune a fact-table shuffle to matches + εN. */
+  def bloomFilter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit("1996-10-01") &&
+        to_date(col("o_orderdate")) < lit("1997-01-01"))
+      .select(col("o_custkey"))
+    // m = 8192 (not the 65536 default) is deliberately tight for the
+    // gate corpora: ~0.4% fp at sf0.01 and ~50% at sf0.1, so BOTH probe
+    // branches — false positives and true negatives — are data the
+    // oracle actually checks at every gate scale factor.
+    val bits = graft.operators.Sketches.bloomBits(o, col("o_custkey"), m = BloomQueryM)
+    val c = Tables(s, dir, "customer")
+    val might = graft.operators.Sketches.bloomMightContain(
+      bits, c.select(col("c_custkey")), "c_custkey", m = BloomQueryM)
+    val actual = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("__ck"), lit(1L).as("__actual"))
+    might.join(actual, might("c_custkey") === col("__ck"), "left_outer")
+      .select(col("c_custkey"), col("might_contain"),
+        coalesce(col("__actual"), lit(0L)).as("actual"))
+  }
+
+  private val BloomQueryM = 8192
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_filter" -> (bloomFilter _),
+    "q_quantile_sketch" -> (quantileSketch _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_cms_heavy" -> (cmsHeavy _),
     "g_csv_typed" -> (csvTyped _),
@@ -383,7 +441,51 @@ object RelationalQueries {
       |FROM est e JOIN (SELECT l_partkey, COUNT(*) AS true_count
       |  FROM lineitem GROUP BY l_partkey) t USING (l_partkey)""".stripMargin
 
+  /** Replays the bottom-k selection (row_number over the portable hash
+    * ≡ TopK.perKey's heap+window) and the interpolated percentiles;
+    * round(,6) absorbs the interpolation ulp exactly as in q_quantiles. */
+  private val quantileSketchOracle: String =
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag, l_extendedprice AS value,
+       |    ('0x' || substring(md5('qs:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS id
+       |  FROM lineitem),
+       |samp AS (SELECT l_returnflag, value FROM (
+       |  SELECT l_returnflag, value,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h, id) AS rn
+       |  FROM keyed) WHERE rn <= $QsK),
+       |sk AS (SELECT l_returnflag, COUNT(*) AS n_sample,
+       |    round(quantile_cont(value, 0.5), 6) AS sketch_p50,
+       |    round(quantile_cont(value, 0.9), 6) AS sketch_p90
+       |  FROM samp GROUP BY l_returnflag),
+       |ex AS (SELECT l_returnflag,
+       |    round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+       |    round(quantile_cont(l_extendedprice, 0.9), 6) AS exact_p90
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT sk.l_returnflag, n_sample, sketch_p50, exact_p50, sketch_p90, exact_p90
+       |FROM sk JOIN ex USING (l_returnflag)""".stripMargin
+
+  /** Replays every Bloom bit: set positions from the window's custkeys,
+    * 3 probe positions per customer, might_contain = all 3 set. */
+  private val bloomFilterOracle: String =
+    """WITH vals AS (SELECT o_custkey AS v FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+      |    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+      |bits AS (SELECT DISTINCT
+      |    ('0x' || substring(md5('bf' || CAST(i AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+      |  FROM vals, (SELECT unnest([0,1,2]) AS i)),
+      |probe AS (SELECT c_custkey,
+      |    ('0x' || substring(md5('bf' || CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+      |  FROM customer, (SELECT unnest([0,1,2]) AS i)),
+      |hits AS (SELECT c_custkey, COUNT(*) AS nhit FROM probe JOIN bits USING (pos) GROUP BY c_custkey)
+      |SELECT c.c_custkey,
+      |  CAST(CASE WHEN COALESCE(h.nhit, 0) = 3 THEN 1 ELSE 0 END AS BIGINT) AS might_contain,
+      |  CAST(CASE WHEN EXISTS (SELECT 1 FROM vals WHERE v = c.c_custkey) THEN 1 ELSE 0 END AS BIGINT) AS actual
+      |FROM customer c LEFT JOIN hits h ON h.c_custkey = c.c_custkey""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_bloom_filter" -> bloomFilterOracle,
+    "q_quantile_sketch" -> quantileSketchOracle,
     "q_hll_distinct" ->
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(hllColumnSql).mkString("\nUNION ALL\n"),
     "q_cms_heavy" -> cmsHeavyOracle,

@@ -34,8 +34,18 @@ class PatternMatchSpec extends SparkTestBase {
     assert(p.hops == Seq(PatternMatch.Hop("PLACED", "Order"), PatternMatch.Hop("CONTAINS", "Part")))
     assert(p.bindingNames == Seq("customer_id", "order_id", "part_id"))
     intercept[IllegalArgumentException](PatternMatch.parse("-[X]->B"))
-    intercept[IllegalArgumentException](PatternMatch.parse("A-[X]-B"))
+    intercept[IllegalArgumentException](PatternMatch.parse("A-[X]>B"))
+    intercept[IllegalArgumentException](PatternMatch.parse("A-(X)->B"))
     intercept[IllegalArgumentException](PatternMatch.parse("A"))
+  }
+
+  test("parse: undirected and multi-type hops") {
+    val und = PatternMatch.parse("A-[R]-B")
+    assert(und.hops == Seq(PatternMatch.Hop(Seq("R"), "B", undirected = true)))
+    val multi = PatternMatch.parse("A-[R|T]->B-[S]-C")
+    assert(multi.hops == Seq(
+      PatternMatch.Hop(Seq("R", "T"), "B"),
+      PatternMatch.Hop(Seq("S"), "C", undirected = true)))
   }
 
   test("binding names disambiguate repeated labels positionally") {
@@ -77,7 +87,7 @@ class PatternMatchSpec extends SparkTestBase {
     val e1 = intercept[IllegalArgumentException](PatternMatch.find(pathGraph(), "Z-[R]->B"))
     assert(e1.getMessage.contains("unknown start label"))
     val e2 = intercept[IllegalArgumentException](PatternMatch.find(pathGraph(), "A-[NOPE]->B"))
-    assert(e2.getMessage.contains("A_NOPE_B"))
+    assert(e2.getMessage.contains("A-[NOPE]->B") && e2.getMessage.contains("A_R_B"))
   }
 
   test("variable-length paths: multiplicity counted, lengths separated") {
@@ -139,5 +149,49 @@ class PatternMatchSpec extends SparkTestBase {
   test("parse rejects negated-and-optional and non-final negation") {
     intercept[IllegalArgumentException](PatternMatch.parse("A-[!R?]->B"))
     intercept[IllegalArgumentException](PatternMatch.parse("A-[!R]->B-[S]->C"))
+  }
+
+  test("undirected hop traverses a forward-only schema pattern in reverse") {
+    // B-[R]-A: no B→A pattern exists, so the hop reverses A-[R]->B
+    val got = PatternMatch.find(pathGraph(), "B-[R]-A")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (20L, 1L)))
+  }
+
+  test("undirected self-label hop unions both directions with multiplicity") {
+    val nodes = Seq(1L, 2L, 3L).toDF("nid")
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("N_nid_source", "N_nid_target")
+    val g = PropertyGraph(Map("N" -> nodes), Map(RelPattern("N", "E", "N") -> e),
+      GraphSchema(
+        labels = Seq(LabelSchema("N", "nid", Seq(PropertyMeta("nid", "integer", nullable = false)))),
+        rels = Seq(RelSchema(RelPattern("N", "E", "N"), "nid", "nid", Nil))))
+    val got = PatternMatch.find(g, "N-[E]-N")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // forward (1,2),(2,1),(1,3) + reversed (2,1),(1,2),(3,1): the 2-cycle
+    // edges each appear twice — walk multiplicity, not a distinct set
+    assert(got == Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("multi-type hop unions its types' edge tables; unknown type fails fast") {
+    val aNodes = Seq(1L, 2L).toDF("aid")
+    val bNodes = Seq(10L, 20L, 30L).toDF("bid")
+    val r = Seq((1L, 10L), (1L, 20L)).toDF("A_aid", "B_bid")
+    val t = Seq((1L, 10L), (2L, 30L)).toDF("A_aid", "B_bid")
+    val g = PropertyGraph(
+      nodes = Map("A" -> aNodes, "B" -> bNodes),
+      rels = Map(RelPattern("A", "R", "B") -> r, RelPattern("A", "T", "B") -> t),
+      schema = GraphSchema(
+        labels = Seq(
+          LabelSchema("A", "aid", Seq(PropertyMeta("aid", "integer", nullable = false))),
+          LabelSchema("B", "bid", Seq(PropertyMeta("bid", "integer", nullable = false)))),
+        rels = Seq(
+          RelSchema(RelPattern("A", "R", "B"), "aid", "bid", Nil),
+          RelSchema(RelPattern("A", "T", "B"), "aid", "bid", Nil))))
+    val got = PatternMatch.find(g, "A-[R|T]->B")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // (1,10) matches through BOTH types → two paths
+    assert(got == Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 30L)))
+    val e = intercept[IllegalArgumentException](PatternMatch.find(g, "A-[R|NOPE]->B"))
+    assert(e.getMessage.contains("NOPE"))
   }
 }
