@@ -330,6 +330,112 @@ object GraphAnalytics {
     * autoBroadcastJoinThreshold and Spark hard-fails 8 GiB+ broadcasts,
     * so the operator counts the (already-checkpointed) vertex table and
     * routes to the shuffle plan itself. */
+  /** HITS hubs-and-authorities (Kleinberg 1999, JACM 46(5)) in the same
+    * bit-reproducible fixed-point integer arithmetic as
+    * [[pageRankQuantizedDF]]: per round, hub(u) = Σ authority(v) over
+    * u→v, then authority(v) = Σ hub(u) over u→v, each half-update
+    * L1-NORMALIZED back to total mass Micro·n via exact integral
+    * division (Kleinberg normalizes by L2; L1 keeps every intermediate
+    * an integer, so the whole loop — normalizers included — replays as
+    * chained CTEs in a SQL oracle; the eigenvector direction is the
+    * same). Scores absent from a side are exactly 0 (no out-edges → no
+    * hub mass; no in-edges → no authority mass) — the inner join IS the
+    * +0 contribution, so the loop stays sparse.
+    *
+    * Shuffle shape per half-update: one key join of the edge list
+    * against the vertex-sized score table + one map-side-combined
+    * groupBy — (vid, score) pairs on the wire, never adjacency. The
+    * normalizer is a one-row aggregate broadcast back over the scores
+    * (BroadcastNestedLoopJoin of 1 row — constant cost at any scale).
+    * Mass accounting: raw sums run in DECIMAL(38,0) (a super-hub can
+    * absorb the whole graph's mass — same headroom argument as
+    * PageRank's in-sums); normalized per-vertex scores are ≤ Micro·n
+    * BIGINT micro-units. */
+  def hitsDF(edges: DataFrame, numIter: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val Micro = 1000000L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    val verts = e.select(col("src").as("vid"))
+      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
+    val scale = Micro * verts.count() // target L1 mass per score vector
+
+    // normalize a raw DECIMAL score column back to total mass `scale`:
+    // each row's quotient truncates identically in Spark's `div` and
+    // DuckDB's `//`, so the normalized integers are engine-exact
+    def normalized(raw: DataFrame, rawCol: String, outCol: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(sum(col(rawCol)).as("__tot"))))
+        .select(col("vid"),
+          expr(s"CAST($rawCol * $scale div __tot AS BIGINT)").as(outCol))
+
+    var auth = verts.select(col("vid"), lit(Micro).as("a"))
+    var hub: DataFrame = null
+    (1 to numIter).foreach { i =>
+      val hRaw = e.join(auth, e("dst") === auth("vid"))
+        .select(col("src").as("hvid"), col("a"))
+        .groupBy(col("hvid").as("vid")).agg(sum(col("a").cast("decimal(38,0)")).as("h_raw"))
+      hub = normalized(hRaw, "h_raw", "h")
+      val aRaw = e.join(hub, e("src") === hub("vid"))
+        .select(col("dst").as("avid"), col("h"))
+        .groupBy(col("avid").as("vid")).agg(sum(col("h").cast("decimal(38,0)")).as("a_raw"))
+      auth = normalized(aRaw, "a_raw", "a")
+      if (i % 2 == 0 || i == numIter) {
+        hub = hub.localCheckpoint(true)
+        auth = auth.localCheckpoint(true)
+      }
+    }
+    verts.join(hub, Seq("vid"), "left").join(auth, Seq("vid"), "left")
+      .select(col("vid"),
+        (coalesce(col("h"), lit(0L)).cast("double") / 1000000.0).as("hub"),
+        (coalesce(col("a"), lit(0L)).cast("double") / 1000000.0).as("authority"))
+  }
+
+  /** Link-prediction feature table (Liben-Nowell & Kleinberg 2003) over
+    * an undirected graph: for each vertex pair within 2 hops, the
+    * classic neighborhood features — common-neighbor count, Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, Adamic-Adar Σ_w 1/ln(deg w) — plus an
+    * `is_edge` label column, which makes the output directly a training
+    * table (positives = existing edges, negatives = 2-hop non-edges).
+    * Top `topPerVertex` candidates per left vertex by (jaccard, id).
+    *
+    * Plan shape: the wedge self-join is keyed on the shared neighbor
+    * (the triangle-count join shape — candidate pairs are 2-hop-bounded,
+    * never all-pairs), features are one map-side-combined aggregation
+    * over wedges, degrees join in vertex-sized, and the per-vertex top-k
+    * runs through [[TopK.perKey]]'s bounded heaps. Cross-engine
+    * exactness: Jaccard is one rounded IEEE division of integers;
+    * Adamic-Adar quantizes each 1/ln(deg) term to 6dp and sums DECIMAL
+    * (order-independent — a raw double Σ would never reproduce), the
+    * [[TextAnalysis.unigramLogprob]] recipe. Ranking compares the
+    * ROUNDED jaccard, ties broken by id — engine-stable. */
+  def linkFeatures(coEdges: DataFrame, aCol: String, bCol: String,
+      topPerVertex: Int = 5, minCommon: Int = 2): DataFrame = {
+    val e = coEdges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val aw = und.select(col("u").as("a"), col("v").as("w"))
+    val bw = und.select(col("u").as("b"), col("v").as("w2"))
+    val wedges = aw.join(bw, col("w") === col("w2") && col("a") < col("b"))
+      .join(deg.select(col("u").as("w"), col("deg").as("deg_w")), Seq("w"))
+    // deg_w >= 2 always: w is a common neighbor of a and b, so ln > 0
+    val pairs = wedges.groupBy("a", "b").agg(
+      count(lit(1)).as("n_common"),
+      sum(round(lit(1.0) / log(col("deg_w").cast("double")), 6)
+        .cast("decimal(18,6)")).as("aa_sum"))
+    val edgeFlag = und.select(col("u").as("a"), col("v").as("b"), lit(1L).as("__ise"))
+    val feat = pairs
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(edgeFlag, Seq("a", "b"), "left_outer")
+      .where(col("n_common") >= minCommon)
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("deg_a") + col("deg_b") - col("n_common")).cast("double"), 6).as("jaccard"),
+        col("aa_sum").cast("double").as("adamic_adar"),
+        coalesce(col("__ise"), lit(0L)).as("is_edge"))
+    TopK.perKey(feat, keyCol = "a", ordCol = "jaccard", k = topPerVertex, tieBreak = Seq("b"))
+  }
+
   def pageRankQuantizedDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,
       srcCol: String = "src", dstCol: String = "dst",
       broadcastRanks: Boolean = true): DataFrame = {

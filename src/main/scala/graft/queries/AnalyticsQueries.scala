@@ -217,6 +217,36 @@ object AnalyticsQueries {
   private val BiasedP = 4.0
   private val BiasedQ = 0.25
 
+  /** HITS hubs/authorities over the unified graph, 5 rounds of L1-
+    * normalized fixed-point half-updates — every intermediate (raw sums,
+    * normalizers, normalized scores) is an exact integer, so the oracle
+    * replays the complete loop as chained CTEs. Orders are the natural
+    * hubs here (they point at parts and suppliers), parts/suppliers the
+    * authorities. */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    GraphAnalytics.decode(GraphAnalytics.hitsDF(edges, numIter = HitsRounds), "vid", labels)
+      .select(col("label"), col("node_id"), col("hub"), col("authority"))
+  }
+
+  private val HitsRounds = 5
+
+  /** Link-prediction features over the part co-occurrence graph (the
+    * triangle projection): top-5 two-hop candidates per part by Jaccard
+    * with common-neighbor/Adamic-Adar/is_edge columns — the training
+    * table a recommender's candidate generator consumes. */
+  def linkFeatures(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(s, dir, "lineitem")
+    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
+      topPerVertex = LinkTopK, minCommon = LinkMinCommon)
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("n_common"), col("jaccard"), col("adamic_adar"), col("is_edge"))
+  }
+
+  private val LinkTopK = 5
+  private val LinkMinCommon = 2
+
   private val SsspWeights: Map[String, Long] = Map(
     "Nation_IN_REGION_Region" -> 2L,
     "Customer_IN_NATION_Nation" -> 3L,
@@ -242,6 +272,8 @@ object AnalyticsQueries {
     "g_random_walks" -> (randomWalks _),
     "g_biased_walks" -> (biasedWalks _),
     "g_skipgram" -> (skipgram _),
+    "g_hits" -> (hits _),
+    "g_link_features" -> (linkFeatures _),
     "g_ppr" -> (ppr _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
@@ -614,7 +646,71 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** HITS oracle: replay the L1-normalized half-updates. SUM over BIGINT
+    * is HUGEINT in DuckDB ≡ Spark's DECIMAL(38,0); `//` ≡ `div`; the
+    * normalizers are scalar subqueries over one-row CTEs. */
+  private def hitsOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED (\n$UnifiedEdgesSql\n),\n"
+    sb ++= """verts AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+             |nv AS (SELECT 1000000::HUGEINT * COUNT(*) AS scale FROM verts),
+             |a0 AS (SELECT vid, 1000000::BIGINT AS a FROM verts)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |hr$i AS (SELECT e.src AS vid, SUM(a) AS raw
+                |  FROM e JOIN a${i - 1} ON e.dst = a${i - 1}.vid GROUP BY e.src),
+                |ht$i AS (SELECT SUM(raw) AS tot FROM hr$i),
+                |h$i AS MATERIALIZED (SELECT vid,
+                |  CAST(raw * (SELECT scale FROM nv) // (SELECT tot FROM ht$i) AS BIGINT) AS h FROM hr$i),
+                |ar$i AS (SELECT e.dst AS vid, SUM(h) AS raw
+                |  FROM e JOIN h$i ON e.src = h$i.vid GROUP BY e.dst),
+                |at$i AS (SELECT SUM(raw) AS tot FROM ar$i),
+                |a$i AS MATERIALIZED (SELECT vid,
+                |  CAST(raw * (SELECT scale FROM nv) // (SELECT tot FROM at$i) AS BIGINT) AS a FROM ar$i)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE v.vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  v.vid % 17592186044416 AS node_id,
+              |  CAST(COALESCE(h.h, 0) AS DOUBLE) / 1000000.0 AS hub,
+              |  CAST(COALESCE(a.a, 0) AS DOUBLE) / 1000000.0 AS authority
+              |FROM verts v
+              |LEFT JOIN h$rounds h ON h.vid = v.vid
+              |LEFT JOIN a$rounds a ON a.vid = v.vid""".stripMargin
+    sb.toString
+  }
+
+  /** Link-features oracle: co-occurrence edges (the kcore/triangle CTE),
+    * wedge join on the shared neighbor, per-term-rounded DECIMAL
+    * Adamic-Adar sum, rounded-Jaccard ranking with id tie-break. */
+  private def linkFeaturesOracleSql(top: Int, minCommon: Int): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+       |sized AS (SELECT g, item FROM (
+       |  SELECT g, item, count(*) OVER (PARTITION BY g) AS n FROM li) WHERE n <= 10),
+       |co AS (SELECT DISTINCT a.item AS u, b.item AS v
+       |  FROM sized a JOIN sized b ON a.g = b.g AND a.item < b.item),
+       |und AS MATERIALIZED (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co),
+       |deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
+       |wedges AS (SELECT x.u AS a, y.u AS b, x.v AS w
+       |  FROM und x JOIN und y ON x.v = y.v AND x.u < y.u),
+       |pairs AS (SELECT a, b, COUNT(*) AS n_common,
+       |    SUM(CAST(round(1.0 / ln(d.deg), 6) AS DECIMAL(18,6))) AS aa
+       |  FROM wedges JOIN deg d ON d.u = wedges.w GROUP BY a, b),
+       |feat AS (SELECT p.a, p.b, p.n_common,
+       |    round(CAST(p.n_common AS DOUBLE) / (da.deg + db.deg - p.n_common), 6) AS jaccard,
+       |    CAST(CAST(p.aa AS VARCHAR) AS DOUBLE) AS adamic_adar,
+       |    CAST(CASE WHEN EXISTS (SELECT 1 FROM und WHERE und.u = p.a AND und.v = p.b)
+       |      THEN 1 ELSE 0 END AS BIGINT) AS is_edge
+       |  FROM pairs p JOIN deg da ON da.u = p.a JOIN deg db ON db.u = p.b
+       |  WHERE p.n_common >= $minCommon)
+       |SELECT a AS item_a, b AS item_b, n_common, jaccard, adamic_adar, is_edge
+       |FROM (SELECT *, row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rn
+       |  FROM feat) WHERE rn <= $top""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "g_hits" -> hitsOracleSql(HitsRounds),
+    "g_link_features" -> linkFeaturesOracleSql(LinkTopK, LinkMinCommon),
     "g_biased_walks" -> biasedWalkOracleSql(BiasedWalkCount, BiasedWalkSteps, BiasedP, BiasedQ),
     "g_skipgram" -> skipgramOracleSql(WalkCount, WalkSteps, SkipgramWindow),
     "g_ppr" -> pprOracleSql(PprRounds, PrReset),

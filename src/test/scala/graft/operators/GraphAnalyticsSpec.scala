@@ -246,4 +246,63 @@ class GraphAnalyticsSpec extends SparkTestBase {
     // degrees: A1=1 A2=1 A3=1 B9=1 (4 vertices deg1), B1=2 (1 vertex deg2)
     assert(got == Map(1L -> 4L, 2L -> 1L))
   }
+
+  test("HITS one iteration, hand-computed fixed-point values") {
+    // 1->3, 2->3, 3->4; n=4, scale=4e6. h_raw = 1e6 each (tot 3e6) ->
+    // h = 1333333 each; a_raw: 3 gets 2666666, 4 gets 1333333
+    // (tot 3999999) -> a(3) = 2666666*4e6//3999999 = 2666666,
+    // a(4) = 1333333*4e6//3999999 = 1333333. Vertices 1,2 have no
+    // in-edges -> authority exactly 0; 4 has no out-edges -> hub 0.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.hitsDF(edges, numIter = 1)
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(
+      1L -> ((1.333333, 0.0)), 2L -> ((1.333333, 0.0)),
+      3L -> ((1.333333, 2.666666)), 4L -> ((0.0, 1.333333))))
+  }
+
+  test("HITS invariants: symmetric hubs tie, L1 mass conserved within truncation") {
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rows = GraphAnalytics.hitsDF(edges, numIter = 5)
+      .as[(Long, Double, Double)].collect()
+    val byVid = rows.map(t => t._1 -> t).toMap
+    // 1 and 2 have identical out-neighborhoods -> identical hub scores
+    assert(byVid(1L)._2 == byVid(2L)._2)
+    // each normalized vector sums to scale = n (in units), minus <1 unit
+    // truncation per vertex
+    val n = rows.length
+    val hubMass = rows.map(_._2).sum
+    val authMass = rows.map(_._3).sum
+    assert(hubMass <= n + 1e-9 && hubMass > n - n * 1e-6 - 1e-3, s"hub mass $hubMass")
+    assert(authMass <= n + 1e-9 && authMass > n - n * 1e-6 - 1e-3, s"auth mass $authMass")
+  }
+
+  test("link features: hand-computed wedge graph") {
+    // edges (1,2),(2,3),(1,3),(3,4): deg 1=2, 2=2, 3=3, 4=1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("item_a", "item_b")
+    val got = GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
+      topPerVertex = 5, minCommon = 1)
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
+    val invLn2 = math.rint(1.0 / math.log(2.0) * 1e6) / 1e6 // 1.442695
+    val invLn3 = math.rint(1.0 / math.log(3.0) * 1e6) / 1e6 // 0.910239
+    assert(got == Set(
+      (1L, 4L, 1L, 0.5, invLn3, 0L),      // via 3; NOT an edge -> negative example
+      (2L, 4L, 1L, 0.5, invLn3, 0L),      // via 3
+      (1L, 2L, 1L, 0.333333, invLn3, 1L), // via 3
+      (1L, 3L, 1L, 0.25, invLn2, 1L),     // via 2
+      (2L, 3L, 1L, 0.25, invLn2, 1L)))    // via 1
+  }
+
+  test("link features: minCommon filters and topPerVertex bounds the output") {
+    // star: 1..6 all connected to hub 0 -> every leaf pair shares only {0}
+    val edges = (1L to 6L).map(i => (0L, i)).toDF("item_a", "item_b")
+    val all = GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
+      topPerVertex = 3, minCommon = 1)
+    // 15 leaf pairs, capped at 3 per left vertex
+    val perA = all.groupBy("a").count().as[(Long, Long)].collect().toMap
+    assert(perA.values.forall(_ <= 3))
+    // minCommon = 2 kills every pair (single shared hub)
+    assert(GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
+      topPerVertex = 3, minCommon = 2).count() == 0)
+  }
 }
