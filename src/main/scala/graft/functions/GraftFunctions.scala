@@ -31,10 +31,18 @@ object GraftFunctions {
       Literal(0),
       Size(StringSplit(StringTrim(text), Literal("\\s+"), Literal(-1))))
 
+  /** Hamming distance between two 64-bit signatures (the simhash
+    * comparison primitive): popcount(a XOR b), a tree of two built-in
+    * codegen expressions. */
+  private def hamming(a: Expression, b: Expression): Expression =
+    BitwiseCount(BitwiseXor(Cast(a, org.apache.spark.sql.types.LongType),
+      Cast(b, org.apache.spark.sql.types.LongType)))
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_norm" -> (es => VecNorm(es.head)),
     "graft_token_count" -> (es => tokenCount(es.head)),
+    "graft_hamming" -> (es => hamming(es(0), es(1))),
     "graft_fingerprint" -> (es => XxHash64(Seq(normalized(es.head)), 42L)),
     "graft_fingerprint_md5" -> (es => Md5(Cast(normalized(es.head), BinaryType))))
 

@@ -596,6 +596,7 @@ object GraphQueries {
     Tables(s, dir, "documents").createOrReplaceTempView("g_sqlfn_docs")
     s.sql("""SELECT doc_id,
              CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
+             CAST(graft_hamming(doc_id, doc_id DIV 2) AS BIGINT) AS ham,
              graft_fingerprint_md5(text) AS fp_md5
              FROM g_sqlfn_docs""")
   }
@@ -685,12 +686,14 @@ object GraphQueries {
         |  ('index',      'default',    'o_orderdate_Order_idx',     'Order',    'o_orderdate')
         |) AS t(kind, subtype, name, labels, properties)""".stripMargin,
     // the registered SQL functions replay as their defining expressions:
-    // token count over whitespace split with the empty-text guard, md5
-    // fingerprint of lower/trim/whitespace-collapsed content
+    // token count over whitespace split with the empty-text guard,
+    // hamming = popcount(xor), md5 fingerprint of lower/trim/whitespace-
+    // collapsed content
     "g_sql_functions" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(bit_count(xor(doc_id, doc_id // 2)) AS BIGINT) AS ham,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents""".stripMargin,
     // variable-length paths as a UNION of fixed-hop join chains; the

@@ -243,6 +243,37 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** GROUPING SETS beyond rollup/cube's fixed lattices: exactly the
+    * per-nation, per-segment and grand-total aggregates in ONE pass
+    * (a single Expand + aggregate — no double-scan unions). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupingSets(Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq()),
+        col("n_name"), col("c_mktsegment"))
+      .agg(sum(dec2("o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** PIVOT: revenue per nation spread across one column per market
+    * segment. The value list is EXPLICIT — at scale the implicit form
+    * costs a distinct-scan job and yields nondeterministic column order;
+    * with literals the pivot is one pass, planned like any other agg. */
+  def pivotRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+      .agg(sum(dec2("o_totalprice")).cast("double"))
+  }
+
   /** Exact distributed quantiles of the price distribution per return
     * flag: Spark's `percentile` (exact, linear interpolation — identical
     * definition to DuckDB's quantile_cont) over ~600k values/group at
@@ -377,6 +408,8 @@ object RelationalQueries {
   private val BloomQueryM = 8192
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (groupingSets _),
+    "q_pivot_revenue" -> (pivotRevenue _),
     "q_bloom_filter" -> (bloomFilter _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_hll_distinct" -> (hllDistinct _),
@@ -484,6 +517,25 @@ object RelationalQueries {
       |FROM customer c LEFT JOIN hits h ON h.c_custkey = c.c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT n_name, c_mktsegment,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin,
+    "q_pivot_revenue" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS VARCHAR) AS DOUBLE) AS "AUTOMOBILE",
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE c_mktsegment = 'BUILDING') AS VARCHAR) AS DOUBLE) AS "BUILDING",
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE c_mktsegment = 'FURNITURE') AS VARCHAR) AS DOUBLE) AS "FURNITURE",
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS VARCHAR) AS DOUBLE) AS "HOUSEHOLD",
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE c_mktsegment = 'MACHINERY') AS VARCHAR) AS DOUBLE) AS "MACHINERY"
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q_bloom_filter" -> bloomFilterOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
     "q_hll_distinct" ->

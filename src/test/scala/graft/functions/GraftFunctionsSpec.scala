@@ -34,4 +34,14 @@ class GraftFunctionsSpec extends SparkTestBase {
       "SELECT graft_fingerprint('a  B') = graft_fingerprint('A b')").as[Boolean].head()
     assert(same)
   }
+
+  test("graft_hamming = popcount(xor), hand-computed") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_hamming(0, 0), graft_hamming(255, 0),
+        |  graft_hamming(CAST(-1 AS BIGINT), 0), graft_hamming(5, 6)
+        |FROM (SELECT 1)""".stripMargin)
+      .as[(Int, Int, Int, Int)].head()
+    assert(got == ((0, 8, 64, 2))) // 5 xor 6 = 0b011
+  }
 }
