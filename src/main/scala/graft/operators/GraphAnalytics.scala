@@ -389,6 +389,54 @@ object GraphAnalytics {
         (coalesce(col("a"), lit(0L)).cast("double") / 1000000.0).as("authority"))
   }
 
+  /** WEIGHTED PageRank in the same bit-reproducible fixed-point integer
+    * arithmetic as [[pageRankQuantizedDF]]: vertex u distributes its rank
+    * proportionally to integral edge weights — the contribution along
+    * u→v is `rank(u) · w(u,v) div Σw(u,·)` (exact integral truncation,
+    * identical in Spark's `div` and DuckDB's `//`), so citation/affinity
+    * strength steers the walk instead of uniform out-degree. Parallel
+    * edges pre-collapse by SUMMING weights (a doubled edge is twice the
+    * affinity — contrast [[ssspDistances]], where parallel edges collapse
+    * to MIN cost). Same sparse in-sum loop, DECIMAL(38,0) accumulators,
+    * coalesce-default for vertices nothing points at. The per-edge
+    * product `rank · w` must fit BIGINT: rank mass concentrates to at
+    * most n·10⁶ micro-units, so integral weights up to ~10⁴ leave
+    * headroom past 10⁸ vertices; the weight table is the caller's
+    * contract (weights are per-relationship-TYPE here, schema-sized). */
+  def pageRankWeightedDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w"): DataFrame = {
+    val Micro = 1000000L
+    val resetMicro = math.round(resetProb * Micro)
+    val dampMicro = Micro - resetMicro
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val ed = e.join(wsum, "src")
+      .select(col("src"), col("dst"), col("w"), col("wsum")).localCheckpoint(true)
+    val verts = e.select(col("src").as("vid"))
+      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
+
+    def ranksOf(inSums: DataFrame): DataFrame =
+      inSums.select(col("vid"),
+        (lit(resetMicro) + expr(
+          s"CAST(in_sum * ${dampMicro} div ${Micro} AS BIGINT)")).as("rank_micro"))
+    var inSums = ed
+      .select(col("dst").as("vid"), expr(s"${Micro}L * w div wsum").as("c"))
+      .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
+    (2 to numIter).foreach { i =>
+      val r = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
+      inSums = ed.join(r, ed("src") === r("vid"), "left")
+        .select(col("dst").as("vid"),
+          expr(s"coalesce(rank_micro, ${resetMicro}L) * w div wsum").as("c"))
+        .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
+    }
+    verts.join(ranksOf(inSums), Seq("vid"), "left")
+      .select(col("vid"),
+        (coalesce(col("rank_micro"), lit(resetMicro)).cast("double") / 1000000.0).as("rank"))
+  }
+
   /** Link-prediction feature table (Liben-Nowell & Kleinberg 2003) over
     * an undirected graph: for each vertex pair within 2 hops, the
     * classic neighborhood features — common-neighbor count, Jaccard

@@ -217,6 +217,21 @@ object AnalyticsQueries {
   private val BiasedP = 4.0
   private val BiasedQ = 0.25
 
+  /** Weighted PageRank over the unified graph with per-relationship-type
+    * affinities (the SSSP cost table reused as weights — distinct small
+    * integers, so rank splits genuinely unevenly at every multi-type
+    * vertex). Same fixed-point arithmetic as g_pagerank; the oracle
+    * replays the weighted contribution rounds verbatim. */
+  def pagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdgesWeighted(
+      TpchGraph.load(s, dir), p => SsspWeights(p.key))
+    GraphAnalytics.decode(
+      GraphAnalytics.pageRankWeightedDF(edges, numIter = PrwRounds), "vid", labels)
+      .select(col("label"), col("node_id"), col("rank").as("wpagerank"))
+  }
+
+  private val PrwRounds = 8
+
   /** HITS hubs/authorities over the unified graph, 5 rounds of L1-
     * normalized fixed-point half-updates — every intermediate (raw sums,
     * normalizers, normalized scores) is an exact integer, so the oracle
@@ -272,6 +287,7 @@ object AnalyticsQueries {
     "g_random_walks" -> (randomWalks _),
     "g_biased_walks" -> (biasedWalks _),
     "g_skipgram" -> (skipgram _),
+    "g_pagerank_weighted" -> (pagerankWeighted _),
     "g_hits" -> (hits _),
     "g_link_features" -> (linkFeatures _),
     "g_ppr" -> (ppr _))
@@ -458,22 +474,25 @@ object AnalyticsQueries {
     * the operator does, and the convergence sentinel (round N ≠ round
     * N−1 → extra diagnosable row) guards the fixed round count, as in
     * the CC oracle. */
+  /** The SsspWeights map rendered over the unified edges — shared by the
+    * SSSP and weighted-PageRank oracles. */
+  private val WeightedEdgesSql =
+    """  SELECT n_nationkey + 1*17592186044416 AS src, n_regionkey + 4*17592186044416 AS dst, 2 AS w
+      |    FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
+      |  UNION ALL SELECT c_custkey, c_nationkey + 1*17592186044416, 3
+      |    FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+      |  UNION ALL SELECT s_suppkey + 5*17592186044416, s_nationkey + 1*17592186044416, 4
+      |    FROM supplier WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
+      |  UNION ALL SELECT o_custkey, o_orderkey + 2*17592186044416, 5
+      |    FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+      |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_partkey + 3*17592186044416, 7
+      |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_suppkey + 5*17592186044416, 6
+      |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL""".stripMargin
+
   private def ssspOracleSql(rounds: Int): String = {
-    val weightedEdgesSql =
-      """  SELECT n_nationkey + 1*17592186044416 AS src, n_regionkey + 4*17592186044416 AS dst, 2 AS w
-        |    FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
-        |  UNION ALL SELECT c_custkey, c_nationkey + 1*17592186044416, 3
-        |    FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
-        |  UNION ALL SELECT s_suppkey + 5*17592186044416, s_nationkey + 1*17592186044416, 4
-        |    FROM supplier WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
-        |  UNION ALL SELECT o_custkey, o_orderkey + 2*17592186044416, 5
-        |    FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
-        |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_partkey + 3*17592186044416, 7
-        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-        |  UNION ALL SELECT l_orderkey + 2*17592186044416, l_suppkey + 5*17592186044416, 6
-        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL""".stripMargin
     val sb = new StringBuilder
-    sb ++= s"WITH e AS (\n$weightedEdgesSql\n),\n"
+    sb ++= s"WITH e AS (\n$WeightedEdgesSql\n),\n"
     sb ++= """und AS MATERIALIZED (SELECT u, v, CAST(MIN(w) AS BIGINT) AS w FROM (
              |  SELECT src AS u, dst AS v, w FROM e WHERE src <> dst
              |  UNION ALL SELECT dst AS u, src AS v, w FROM e WHERE src <> dst) GROUP BY u, v),
@@ -646,6 +665,43 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** Weighted-PageRank oracle: replay the weighted contribution rounds —
+    * parallel edges SUM-collapse, per-edge contribution
+    * `rank · w // wsum` (BIGINT truncation ≡ Spark's `div`), in-sums in
+    * HUGEINT ≡ DECIMAL(38,0). */
+  private def pagerankWeightedOracleSql(rounds: Int, resetProb: Double): String = {
+    val micro = 1000000L
+    val resetMicro = math.round(resetProb * micro)
+    val dampMicro = micro - resetMicro
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$WeightedEdgesSql\n),\n"
+    sb ++= s"""ew AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+              |  FROM e GROUP BY src, dst),
+              |ws AS (SELECT src, SUM(w) AS wsum FROM ew GROUP BY src),
+              |ed AS MATERIALIZED (SELECT ew.src, ew.dst, ew.w, CAST(ws.wsum AS BIGINT) AS wsum
+              |  FROM ew JOIN ws ON ws.src = ew.src),
+              |verts AS (SELECT src AS vid FROM ew UNION SELECT dst FROM ew),
+              |c1 AS (SELECT dst AS vid, SUM($micro * w // wsum) AS in_sum FROM ed GROUP BY dst),
+              |r1 AS (SELECT vid,
+              |  CAST($resetMicro + in_sum * $dampMicro // $micro AS BIGINT) AS rank_micro FROM c1)""".stripMargin
+    (2 to rounds).foreach { i =>
+      sb ++= s""",
+                |c$i AS (SELECT ed.dst AS vid,
+                |  SUM(COALESCE(r.rank_micro, $resetMicro) * ed.w // ed.wsum) AS in_sum
+                |  FROM ed LEFT JOIN r${i - 1} r ON ed.src = r.vid GROUP BY ed.dst),
+                |r$i AS (SELECT vid,
+                |  CAST($resetMicro + in_sum * $dampMicro // $micro AS BIGINT) AS rank_micro FROM c$i)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE v.vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  v.vid % 17592186044416 AS node_id,
+              |  CAST(COALESCE(r.rank_micro, $resetMicro) AS DOUBLE) / 1000000.0 AS wpagerank
+              |FROM verts v LEFT JOIN r$rounds r ON r.vid = v.vid""".stripMargin
+    sb.toString
+  }
+
   /** HITS oracle: replay the L1-normalized half-updates. SUM over BIGINT
     * is HUGEINT in DuckDB ≡ Spark's DECIMAL(38,0); `//` ≡ `div`; the
     * normalizers are scalar subqueries over one-row CTEs. */
@@ -709,6 +765,7 @@ object AnalyticsQueries {
        |  FROM feat) WHERE rn <= $top""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "g_pagerank_weighted" -> pagerankWeightedOracleSql(PrwRounds, PrReset),
     "g_hits" -> hitsOracleSql(HitsRounds),
     "g_link_features" -> linkFeaturesOracleSql(LinkTopK, LinkMinCommon),
     "g_biased_walks" -> biasedWalkOracleSql(BiasedWalkCount, BiasedWalkSteps, BiasedP, BiasedQ),

@@ -243,6 +243,34 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Robust per-group outlier detection — median/MAD, the data-quality
+    * screen that survives the heavy tails that wreck mean/stddev z-scores
+    * (median and MAD have a 50% breakdown point; one corrupt feed can't
+    * move the threshold). Two exact percentile passes (the same
+    * q_quantiles machinery; approx_percentile at 100 TB) + one counting
+    * pass against the 3·MAD fence. Everything after the percentiles is
+    * single-IEEE-op arithmetic on engine-identical values, so even the
+    * outlier COUNTS are oracle-exact. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val j = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    val med = j.groupBy("c_mktsegment")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"))
+    val dev = j.join(broadcast(med), Seq("c_mktsegment"))
+    val stats = dev.groupBy(col("c_mktsegment"), col("median_price"))
+      .agg(round(expr("percentile(abs(o_totalprice - median_price), 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n_orders"))
+    val out = dev.join(broadcast(stats.select(col("c_mktsegment"), col("mad"))),
+        Seq("c_mktsegment"))
+      .where(abs(col("o_totalprice") - col("median_price")) > lit(3.0) * col("mad"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_outliers"))
+    stats.join(out, Seq("c_mktsegment"), "left_outer")
+      .select(col("c_mktsegment"), col("n_orders"), col("median_price"), col("mad"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
+
   /** GROUPING SETS beyond rollup/cube's fixed lattices: exactly the
     * per-nation, per-segment and grand-total aggregates in ONE pass
     * (a single Expand + aggregate — no double-scan unions). */
@@ -408,6 +436,7 @@ object RelationalQueries {
   private val BloomQueryM = 8192
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers" -> (madOutliers _),
     "q_grouping_sets" -> (groupingSets _),
     "q_pivot_revenue" -> (pivotRevenue _),
     "q_bloom_filter" -> (bloomFilter _),
@@ -517,6 +546,25 @@ object RelationalQueries {
       |FROM customer c LEFT JOIN hits h ON h.c_custkey = c.c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_mad_outliers" ->
+      """WITH j AS (SELECT c_mktsegment, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |med AS (SELECT c_mktsegment,
+        |    round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+        |  FROM j GROUP BY 1),
+        |dev AS (SELECT j.c_mktsegment, j.o_totalprice, m.median_price
+        |  FROM j JOIN med m USING (c_mktsegment)),
+        |stats AS (SELECT c_mktsegment, median_price,
+        |    round(quantile_cont(abs(o_totalprice - median_price), 0.5), 6) AS mad,
+        |    COUNT(*) AS n_orders
+        |  FROM dev GROUP BY 1, 2),
+        |outl AS (SELECT d.c_mktsegment, COUNT(*) AS n_outliers
+        |  FROM dev d JOIN stats s USING (c_mktsegment)
+        |  WHERE abs(d.o_totalprice - d.median_price) > 3.0 * s.mad
+        |  GROUP BY 1)
+        |SELECT s.c_mktsegment, s.n_orders, s.median_price, s.mad,
+        |  COALESCE(o.n_outliers, 0) AS n_outliers
+        |FROM stats s LEFT JOIN outl o USING (c_mktsegment)""".stripMargin,
     "q_grouping_sets" ->
       """SELECT n_name, c_mktsegment,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,

@@ -247,6 +247,25 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(got == Map(1L -> 4L, 2L -> 1L))
   }
 
+  test("weighted PageRank: rank splits by weight, hand-computed one round") {
+    // 1 -> 2 (w=1), 1 -> 3 (w=3): vertex 1 sends 1/4 of its rank to 2 and
+    // 3/4 to 3. Round 1: in(2) = 1e6*1 div 4 = 250000, in(3) = 750000;
+    // rank = 150000 + in*850000 div 1e6 -> 2: 362500, 3: 787500; 1 gets
+    // nothing -> resetMicro.
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L)).toDF("src", "dst", "w")
+    val got = GraphAnalytics.pageRankWeightedDF(edges, numIter = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.15, 2L -> 0.3625, 3L -> 0.7875))
+    // parallel edges SUM their weights: (1->2 w=1) twice == (1->2 w=2)
+    val par = GraphAnalytics.pageRankWeightedDF(
+      Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 2L)).toDF("src", "dst", "w"), numIter = 1)
+      .as[(Long, Double)].collect().toMap
+    val merged = GraphAnalytics.pageRankWeightedDF(
+      Seq((1L, 2L, 2L), (1L, 3L, 2L)).toDF("src", "dst", "w"), numIter = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(par == merged)
+  }
+
   test("HITS one iteration, hand-computed fixed-point values") {
     // 1->3, 2->3, 3->4; n=4, scale=4e6. h_raw = 1e6 each (tot 3e6) ->
     // h = 1333333 each; a_raw: 3 gets 2666666, 4 gets 1333333
