@@ -185,6 +185,65 @@ object TextAnalysis {
         md5(col("__t").substr(col("__start"), lit(size))).as("chunk_md5"))
   }
 
+  // ------------------------------------------------- character entropy
+
+  /** Shannon character entropy per document, in nats — the low-cost
+    * gibberish/boilerplate signal (Gopher-family repetition filters'
+    * complement): natural prose lands ~3-4.5 nats, single-character spam
+    * and base64 walls sit far outside. One explode to (id, char) — the
+    * doc itself never shuffles; per-class counts map-side combine — then
+    * −Σ p·ln p with each term quantized to 6dp and summed as DECIMAL
+    * (order-independent, the [[unigramLogprob]] recipe), so the entropy
+    * itself is oracle-exact. Characters surface via position explode +
+    * substring (code-point semantics agree across engines; split-on-
+    * empty-string does not). Empty documents score exactly 0. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).cast("string").as("__t"))
+    val chars = base.where(length(col("__t")) > 0)
+      .select(col(idCol), col("__t"), explode(expr("sequence(1, length(__t))")).as("__i"))
+      .select(col(idCol), expr("substring(__t, __i, 1)").as("ch"))
+    val counts = chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col(idCol)).agg(sum(col("n")).as("len"))
+    val p = col("n").cast("double") / col("len").cast("double")
+    val terms = counts.join(tot, Seq(idCol))
+      .select(col(idCol), round(p * log(p), 6).cast("decimal(18,6)").as("t"))
+    val ent = terms.groupBy(col(idCol))
+      .agg((-sum(col("t"))).cast("double").as("char_entropy"))
+    base.select(col(idCol)).join(ent, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+  }
+
+  // ------------------------------------------------- bigram LM scoring
+
+  /** Corpus-bigram negative log-likelihood per document with add-one
+    * smoothing — the next perplexity proxy above [[unigramLogprob]]:
+    * unigram scoring can't see scrambled word ORDER, a bigram model can.
+    * −ln((c(w₁w₂)+1) / (c(w₁)+V)) per adjacent pair, V = vocabulary
+    * size; three corpus-bounded tables (bigram counts, unigram counts,
+    * one-row V broadcast) joined back to the (id, w₁, w₂) stream —
+    * shuffles carry token pairs, never documents. Terms 6dp-quantized
+    * and DECIMAL-summed as in the unigram op. Documents under two
+    * tokens have no bigrams and are excluded (mirrored in the oracle). */
+  def bigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("a"))
+      .where(size(col("a")) >= 2)
+    val bi = arr.select(col(idCol),
+      explode(expr("transform(sequence(2, size(a)), i -> struct(a[i-2] AS w1, a[i-1] AS w2))")).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val toks = df.select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("n1"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val vocab = toks.agg(count_distinct(col("tok")).as("v"))
+    val scored = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("neg_logp",
+        round(-log((col("n2") + 1).cast("double") / (col("n1") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("neg_logp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
+  }
+
   // ------------------------------------------------- unigram LM scoring
 
   /** Corpus-unigram negative log-likelihood per document — the perplexity

@@ -217,6 +217,28 @@ object AnalyticsQueries {
   private val BiasedP = 4.0
   private val BiasedQ = 0.25
 
+  /** Local clustering coefficient per part over the co-occurrence graph:
+    * 2·triangles(v) / (deg(v)·(deg(v)−1)) — how close each vertex's
+    * neighborhood is to a clique, the standard community-density signal
+    * next to triangle counts. Composes the existing wedge-close triangle
+    * operator with one degree aggregation; the coefficient is a single
+    * rounded IEEE division of engine-identical integers. */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(s, dir, "lineitem")
+    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val tri = GraphAnalytics.triangleCountsDF(edges, "item_a", "item_b")
+    val und = edges.select(col("item_a").as("u"), col("item_b").as("v"))
+      .unionAll(edges.select(col("item_b").as("u"), col("item_a").as("v")))
+    val deg = und.groupBy(col("u").as("vid")).agg(count(lit(1)).as("degree"))
+    tri.join(deg, Seq("vid"))
+      .select(lit("Part").as("label"), col("vid").as("node_id"),
+        col("degree"), col("triangles"),
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          round(col("triangles").cast("double") * 2.0
+            / (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("clustering_coeff"))
+  }
+
   /** Weighted PageRank over the unified graph with per-relationship-type
     * affinities (the SSSP cost table reused as weights — distinct small
     * integers, so rank splits genuinely unevenly at every multi-type
@@ -288,6 +310,7 @@ object AnalyticsQueries {
     "g_biased_walks" -> (biasedWalks _),
     "g_skipgram" -> (skipgram _),
     "g_pagerank_weighted" -> (pagerankWeighted _),
+    "g_clustering_coeff" -> (clusteringCoeff _),
     "g_hits" -> (hits _),
     "g_link_features" -> (linkFeatures _),
     "g_ppr" -> (ppr _))
@@ -765,6 +788,24 @@ object AnalyticsQueries {
        |  FROM feat) WHERE rn <= $top""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "g_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+        |sized AS (SELECT g, item FROM (
+        |  SELECT g, item, count(*) OVER (PARTITION BY g) AS n FROM li) WHERE n <= 10),
+        |e AS MATERIALIZED (SELECT DISTINCT a.item AS u, b.item AS v
+        |  FROM sized a JOIN sized b ON a.g = b.g AND a.item < b.item),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pv AS (SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |tcnt AS (SELECT vid, count(*) AS cnt FROM pv GROUP BY vid),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS vid, COUNT(*) AS degree FROM und GROUP BY u)
+        |SELECT 'Part' AS label, d.vid AS node_id, d.degree,
+        |  CAST(COALESCE(t.cnt, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |    ELSE round(CAST(COALESCE(t.cnt, 0) AS DOUBLE) * 2.0 / (d.degree * (d.degree - 1)), 6)
+        |  END AS clustering_coeff
+        |FROM deg d LEFT JOIN tcnt t ON t.vid = d.vid""".stripMargin,
     "g_pagerank_weighted" -> pagerankWeightedOracleSql(PrwRounds, PrReset),
     "g_hits" -> hitsOracleSql(HitsRounds),
     "g_link_features" -> linkFeaturesOracleSql(LinkTopK, LinkMinCommon),

@@ -207,6 +207,16 @@ object TextQueries {
   def unigramLogprob(s: SparkSession, dir: String): DataFrame =
     TA.unigramLogprob(Tables(s, dir, "documents"), "doc_id", "text")
 
+  /** Corpus-bigram negative log-likelihood (add-one smoothed) — the
+    * word-order-aware perplexity proxy above the unigram one. */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TA.bigramLogprob(Tables(s, dir, "documents"), "doc_id", "text")
+
+  /** Shannon character entropy per document (nats) — the cheap gibberish
+    * and repetition-wall signal. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    TA.charEntropy(Tables(s, dir, "documents"), "doc_id", "text")
+
   /** Temperature resampling (alpha = 0.3, the mT5 exponent) of the
     * language mix via deterministic md5-bucket acceptance. */
   def temperatureSample(s: SparkSession, dir: String): DataFrame =
@@ -217,6 +227,8 @@ object TextQueries {
     "tx_weighted_sample" -> (weightedSample _),
     "tx_chunk" -> (chunk _),
     "tx_unigram_logprob" -> (unigramLogprob _),
+    "tx_bigram_logprob" -> (bigramLogprob _),
+    "tx_char_entropy" -> (charEntropy _),
     "tx_temperature_sample" -> (temperatureSample _),
     "tx_repetition" -> (repetition _),
     "tx_pii_redact" -> (piiRedact _),
@@ -396,6 +408,42 @@ object TextQueries {
       |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 150)) AS s
       |      FROM documents WHERE length(text) > 0)""".stripMargin
 
+  /** Bigram replay: 1-based DuckDB array indexing (a[i-1], a[i]) mirrors
+    * Spark's 0-based (a[i-2], a[i-1]); same tokenizer, same add-one
+    * smoothing, same 6dp-quantized DECIMAL sum. */
+  private val bigramLogprobOracle: String =
+    """WITH arrs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS a FROM documents),
+      |bi AS (SELECT doc_id, a[i-1] AS w1, a[i] AS w2 FROM (
+      |  SELECT doc_id, a, unnest(generate_series(2, len(a))) AS i
+      |  FROM arrs WHERE len(a) >= 2)),
+      |toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |c1 AS (SELECT tok AS w1, COUNT(*) AS n1 FROM toks GROUP BY tok),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bi GROUP BY w1, w2),
+      |vs AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+      |scored AS (SELECT doc_id,
+      |    CAST(round(-ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + vs.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t
+      |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** Character entropy replay: position explode + substring (code-point
+    * semantics agree across engines), per-class 6dp terms, DECIMAL sum. */
+  private val charEntropyOracle: String =
+    """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+      |  FROM documents WHERE length(text) > 0),
+      |counts AS (SELECT doc_id, substring(text, i, 1) AS ch, COUNT(*) AS n
+      |  FROM pos GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, SUM(n) AS len FROM counts GROUP BY 1),
+      |terms AS (SELECT c.doc_id,
+      |    CAST(round((CAST(n AS DOUBLE) / CAST(len AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) / CAST(len AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t
+      |  FROM counts c JOIN tot USING (doc_id)),
+      |ent AS (SELECT doc_id, CAST(CAST(-SUM(t) AS VARCHAR) AS DOUBLE) AS char_entropy
+      |  FROM terms GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(e.char_entropy, 0.0) AS char_entropy
+      |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin
+
   private val unigramLogprobOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
@@ -466,6 +514,8 @@ object TextQueries {
         |FROM ranked WHERE rank <= 3""".stripMargin,
     "tx_chunk" -> chunkOracle,
     "tx_unigram_logprob" -> unigramLogprobOracle,
+    "tx_bigram_logprob" -> bigramLogprobOracle,
+    "tx_char_entropy" -> charEntropyOracle,
     "tx_temperature_sample" -> temperatureOracle,
     "tx_repetition" -> repetitionOracle,
     "tx_pii_redact" -> piiOracle,

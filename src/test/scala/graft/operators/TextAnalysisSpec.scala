@@ -172,6 +172,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("character entropy: hand-computed, uniform text scores 0, empty scores 0") {
+    val df = Seq((1L, "aabb"), (2L, "aaaa"), (3L, ""), (4L, "abcd")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // "aabb": -2*round(0.5*ln(0.5), 6) = 0.693148 (quantized ln 2)
+    assert(got(1L) == 0.693148)
+    assert(got(2L) == 0.0 && got(3L) == 0.0)
+    // "abcd": 4 classes at p=0.25 -> ln 4 quantized
+    assert(math.abs(got(4L) - math.log(4.0)) < 1e-5)
+  }
+
+  test("bigram logprob: smoothed corpus model, order sensitivity, short docs excluded") {
+    // corpus: "a b a" + "a b" + "solo" -> c1(a)=3, c1(b)=2, c1(solo)=1,
+    // V=3; c2(a,b)=2, c2(b,a)=1
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogprob(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc1: -ln((2+1)/(3+3)) + -ln((1+1)/(2+3)) averaged
+    val expected1 = (math.rint(-math.log(3.0 / 6.0) * 1e6) / 1e6 +
+      math.rint(-math.log(2.0 / 5.0) * 1e6) / 1e6) / 2
+    assert(got(1L)._2 == 2L && math.abs(got(1L)._3 - expected1) < 1e-6)
+    assert(got(2L)._2 == 1L)
+    // a seen-bigram doc scores lower (more natural) than doc2 reversed
+    // would; single-token docs have no bigrams and are excluded
+    assert(!got.contains(3L))
+    // order sensitivity: unseen bigram (b,b) scores above seen (a,b)
+    val probe = TextAnalysis.bigramLogprob(
+      Seq((1L, "a b a"), (2L, "a b"), (10L, "b b")).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(probe(10L) > probe(2L))
+  }
+
   test("pii redaction: emails then phones, counts match replacements") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@corp.example.org or call +1 (555) 010-9988 today"),
