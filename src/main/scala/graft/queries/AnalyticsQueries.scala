@@ -217,6 +217,47 @@ object AnalyticsQueries {
   private val BiasedP = 4.0
   private val BiasedQ = 0.25
 
+  /** Degree assortativity (Newman 2002, Phys. Rev. Lett. 89): the Pearson
+    * correlation of endpoint degrees across edge ends — positive =
+    * hubs attach to hubs (social shape), negative = hubs attach to
+    * leaves (star/infrastructure shape). One degree aggregation + one
+    * vertex-sized join per side + a single six-sum pass; every sum is an
+    * exact DECIMAL of integers, and the closed-form r is a handful of
+    * IEEE ops on identically-rounded doubles — so even this global
+    * statistic is hash-checkable. Computed for both graph projections. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    def statsOf(name: String, und: DataFrame): DataFrame = {
+      val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+      val pairs = und
+        .join(deg.select(col("u").as("__a"), col("d").as("dx")), col("u") === col("__a"))
+        .join(deg.select(col("u").as("__b"), col("d").as("dy")), col("v") === col("__b"))
+        .select(col("dx"), col("dy"))
+      val sums = pairs.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("dx").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).cast("double").as("syy"))
+      val denom = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        * (col("n") * col("syy") - col("sy") * col("sy")))
+      sums.select(lit(name).as("graph"), col("n").cast("long").as("n_edge_ends"),
+        when(denom === 0.0, lit(0.0)).otherwise(
+          round((col("n") * col("sxy") - col("sx") * col("sy")) / denom, 6))
+          .as("assortativity"))
+    }
+    val li = graft.Tables(s, dir, "lineitem")
+    val co = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val coUnd = co.select(col("item_a").as("u"), col("item_b").as("v"))
+      .unionAll(co.select(col("item_b").as("u"), col("item_a").as("v")))
+    val (e, _) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val uniUnd = e.where(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.where(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v"))).distinct()
+    statsOf("co_occurrence", coUnd).unionAll(statsOf("unified", uniUnd))
+  }
+
   /** Local clustering coefficient per part over the co-occurrence graph:
     * 2·triangles(v) / (deg(v)·(deg(v)−1)) — how close each vertex's
     * neighborhood is to a clique, the standard community-density signal
@@ -311,6 +352,7 @@ object AnalyticsQueries {
     "g_skipgram" -> (skipgram _),
     "g_pagerank_weighted" -> (pagerankWeighted _),
     "g_clustering_coeff" -> (clusteringCoeff _),
+    "g_assortativity" -> (assortativity _),
     "g_hits" -> (hits _),
     "g_link_features" -> (linkFeatures _),
     "g_ppr" -> (ppr _))
@@ -787,7 +829,44 @@ object AnalyticsQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rn
        |  FROM feat) WHERE rn <= $top""".stripMargin
 
+  /** Assortativity oracle: same six exact sums (HUGEINT ≡ DECIMAL(38,0),
+    * cast to double as the single rounding point), same closed form. */
+  private val assortativityOracle: String = {
+    def statsSql(name: String, undCte: String) =
+      s"""SELECT '$name' AS graph, CAST(n AS BIGINT) AS n_edge_ends,
+         |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0.0
+         |    ELSE round((n * sxy - sx * sy)
+         |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS assortativity
+         |FROM (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+         |    CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+         |    CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+         |    CAST(SUM(dy * dy) AS DOUBLE) AS syy
+         |  FROM (
+         |    SELECT da.d AS dx, db.d AS dy
+         |    FROM $undCte e
+         |    JOIN (SELECT u, COUNT(*) AS d FROM $undCte GROUP BY u) da ON da.u = e.u
+         |    JOIN (SELECT u, COUNT(*) AS d FROM $undCte GROUP BY u) db ON db.u = e.v))""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+       |sized AS (SELECT g, item FROM (
+       |  SELECT g, item, count(*) OVER (PARTITION BY g) AS n FROM li) WHERE n <= 10),
+       |co AS (SELECT DISTINCT a.item AS u, b.item AS v
+       |  FROM sized a JOIN sized b ON a.g = b.g AND a.item < b.item),
+       |co_und AS MATERIALIZED (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co),
+       |ue AS (
+       |$UnifiedEdgesSql
+       |),
+       |uni_und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+       |  SELECT src AS u, dst AS v FROM ue WHERE src <> dst
+       |  UNION ALL SELECT dst AS u, src AS v FROM ue WHERE src <> dst))
+       |${statsSql("co_occurrence", "co_und")}
+       |UNION ALL
+       |${statsSql("unified", "uni_und")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_assortativity" -> assortativityOracle,
     "g_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
         |sized AS (SELECT g, item FROM (

@@ -69,4 +69,63 @@ object StreamingSketches {
     spark.read.parquet(dirs: _*)
       .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
   }
+
+  /** Maintain per-batch Bloom bit tables for `value` under
+    * `sketchDir/batch_<id>`; bits union-distinct-merge (bitwise OR). */
+  def bloomBitsStream(
+      rows: DataFrame, valueCol: String, sketchDir: String, checkpointDir: String,
+      m: Int = Sketches.BloomM, h: Int = Sketches.BloomH): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.bloomBits(batch, col(valueCol), m, h)
+          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+      }
+      .start()
+
+  /** Fold all per-batch Bloom bit tables into the corpus filter. */
+  def mergedBloomBits(spark: SparkSession, sketchDir: String): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, sketchDir).map(_._2)
+    require(dirs.nonEmpty, s"no sketch batches under $sketchDir")
+    spark.read.parquet(dirs: _*).distinct()
+  }
+
+  /** Maintain per-batch bottom-k quantile samples (grouped) under
+    * `sketchDir/batch_<id>`. The per-batch sample must keep its sampling
+    * KEY so batches re-merge: bottom-k of a union = bottom-k over the
+    * per-batch bottom-k union — so this twin stores (group, value, id)
+    * and [[mergedQuantileSample]] re-keys with the same hash. */
+  def quantileSampleStream(
+      rows: DataFrame, groupCol: String, idCol: String, valueCol: String,
+      sketchDir: String, checkpointDir: String,
+      k: Int = Sketches.QuantileSampleK): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the sample row's ID survives next to its value (unlike the
+        // batch operator's (group, value) output): merging re-keys with
+        // the identical "qs:"||id hash, so bottom-k of the batch-sample
+        // union IS the whole-stream bottom-k
+        val keyed = batch.select(col(groupCol),
+          col(idCol).cast("string").as("sample_id"), col(valueCol).as("value"))
+        graft.operators.TopK.perKey(
+          keyed.withColumn("__nh",
+            negate(graft.operators.Dedup.md5Long(
+              concat(lit("qs:"), col("sample_id"))))),
+          groupCol, "__nh", k, tieBreak = Seq("sample_id"))
+          .drop("__nh")
+          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+      }
+      .start()
+
+  /** Fold all per-batch samples into the corpus bottom-k sample —
+    * identical to the one-shot sample over the full stream
+    * (spec-checked). */
+  def mergedQuantileSample(spark: SparkSession, sketchDir: String,
+      groupCol: String, k: Int = Sketches.QuantileSampleK): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, sketchDir).map(_._2)
+    require(dirs.nonEmpty, s"no sample batches under $sketchDir")
+    val union = spark.read.parquet(dirs: _*)
+    Sketches.quantileSample(union, groupCol, col("sample_id"), col("value"), k)
+  }
 }

@@ -58,4 +58,44 @@ class StreamingSketchesSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect()
     est.foreach { case (k, e, t) => assert(e >= t, s"undershoot for $k") }
   }
+
+  test("streaming Bloom bits fold to EXACTLY the one-shot batch bits") {
+    val dir = Files.createTempDirectory("ss-bloom").toString
+    val ckpt = Files.createTempDirectory("ss-bloom-ckpt").toString
+    val ms = MemoryStream[String](spark)
+    val q = StreamingSketches.bloomBitsStream(ms.toDF().toDF("v"), "v", dir, ckpt)
+    try {
+      ms.addData((1 to 800).map(i => s"x$i"): _*)
+      q.processAllAvailable()
+      ms.addData((500 to 1500).map(i => s"x$i"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val whole = (1 to 1500).map(i => s"x$i").toDF("v")
+    val batchBits = Sketches.bloomBits(whole, col("v"))
+      .as[Long].collect().sorted.toSeq
+    val streamBits = StreamingSketches.mergedBloomBits(spark, dir)
+      .as[Long].collect().sorted.toSeq
+    assert(streamBits == batchBits)
+  }
+
+  test("streaming quantile samples merge to EXACTLY the one-shot batch sample") {
+    val dir = Files.createTempDirectory("ss-qs").toString
+    val ckpt = Files.createTempDirectory("ss-qs-ckpt").toString
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamingSketches.quantileSampleStream(
+      ms.toDF().toDF("g", "id", "v"), "g", "id", "v", dir, ckpt, k = 100)
+    try {
+      ms.addData((1 to 2000).map(i => (s"g${i % 2}", i.toLong, i.toDouble)): _*)
+      q.processAllAvailable()
+      ms.addData((2001 to 5000).map(i => (s"g${i % 2}", i.toLong, i.toDouble)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val whole = (1 to 5000).map(i => (s"g${i % 2}", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val batchSample = Sketches.quantileSample(whole, "g", col("id"), col("v"), k = 100)
+      .as[(String, Double)].collect().sorted.toSeq
+    val streamSample = StreamingSketches.mergedQuantileSample(spark, dir, "g", k = 100)
+      .as[(String, Double)].collect().sorted.toSeq
+    assert(streamSample == batchSample)
+    assert(streamSample.count(_._1 == "g0") == 100)
+  }
 }
