@@ -239,9 +239,15 @@ object TextAnalysis {
       .withColumn("neg_logp",
         round(-log((col("n2") + 1).cast("double") / (col("n1") + col("v")).cast("double")), 6)
           .cast("decimal(18,6)"))
+    // the mean is deliberately UNROUNDED: the 6dp-decimal sum divided by
+    // a small integer count lands on exact decimal half-boundaries
+    // routinely (e.g. 327.752592/96 = 3.4140895 exactly), where Spark
+    // (shortest-repr HALF_UP) and DuckDB (binary rint) round apart — one
+    // unrounded IEEE division of identical inputs is bit-identical
+    // instead (observed live at sf0.1)
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("neg_logp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
+        (sum(col("neg_logp")).cast("double") / count(lit(1))).as("avg_neg_logprob"))
   }
 
   // ------------------------------------------------- unigram LM scoring
@@ -265,9 +271,11 @@ object TextAnalysis {
       .withColumn("neg_logp",
         round(-log(col("n").cast("double") / col("total").cast("double")), 6)
           .cast("decimal(18,6)"))
+    // unrounded mean — same half-boundary hazard as bigramLogprob's
+    // scaladoc explains; the division itself is engine-identical
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round((sum(col("neg_logp")).cast("double") / count(lit(1))), 6).as("avg_neg_logprob"))
+        (sum(col("neg_logp")).cast("double") / count(lit(1))).as("avg_neg_logprob"))
   }
 
   // ------------------------------------------- temperature resampling

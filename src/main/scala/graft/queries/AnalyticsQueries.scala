@@ -248,13 +248,19 @@ object AnalyticsQueries {
     }
     val li = graft.Tables(s, dir, "lineitem")
     val co = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    // each side's adjacency feeds three consumers (edge ends + two degree
+    // joins): materialize once instead of re-deriving the projection per
+    // consumer — the same loop-invariant-pinning rule the iterative
+    // operators follow
     val coUnd = co.select(col("item_a").as("u"), col("item_b").as("v"))
       .unionAll(co.select(col("item_b").as("u"), col("item_a").as("v")))
+      .localCheckpoint(true)
     val (e, _) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
     val uniUnd = e.where(col("src") =!= col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
       .unionAll(e.where(col("src") =!= col("dst"))
         .select(col("dst").as("u"), col("src").as("v"))).distinct()
+      .localCheckpoint(true)
     statsOf("co_occurrence", coUnd).unionAll(statsOf("unified", uniUnd))
   }
 
@@ -266,7 +272,10 @@ object AnalyticsQueries {
     * rounded IEEE division of engine-identical integers. */
   def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables(s, dir, "lineitem")
+    // two consumers (triangle close + degree agg) — materialize the
+    // co-occurrence projection once
     val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .localCheckpoint(true)
     val tri = GraphAnalytics.triangleCountsDF(edges, "item_a", "item_b")
     val und = edges.select(col("item_a").as("u"), col("item_b").as("v"))
       .unionAll(edges.select(col("item_b").as("u"), col("item_a").as("v")))

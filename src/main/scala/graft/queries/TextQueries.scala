@@ -424,7 +424,7 @@ object TextQueries {
       |    CAST(round(-ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + vs.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t
       |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |  round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+      |  CAST(SUM(t) AS DOUBLE) / COUNT(*) AS avg_neg_logprob
       |FROM scored GROUP BY doc_id""".stripMargin
 
   /** Character entropy replay: position explode + substring (code-point
@@ -454,7 +454,7 @@ object TextQueries {
       |    CAST(round(-ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(18,6)) AS v
       |  FROM toks JOIN freq USING (tok) CROSS JOIN tot)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
+      |  CAST(SUM(v) AS DOUBLE) / count(*) AS avg_neg_logprob
       |FROM scored GROUP BY doc_id""".stripMargin
 
   /** Mirrors TextAnalysis.temperatureSample step for step; the md5 bucket

@@ -150,11 +150,14 @@ class TextAnalysisSpec extends SparkTestBase {
 
   test("unigram logprob: hand-computed corpus frequencies") {
     // freq: a=3, b=2, total=5; -ln(3/5)→0.510826, -ln(2/5)→0.916291
-    // doc1 = (3·0.510826 + 0.916291)/4 = 0.612192; doc2 = 0.916291
+    // doc1 = (3·0.510826 + 0.916291)/4 = 0.61219225 (UNROUNDED mean —
+    // the exact-decimal sum / count quotient lands on decimal
+    // half-boundaries routinely, where Spark and DuckDB round apart;
+    // see bigramLogprob scaladoc); doc2 = 0.916291
     val df = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLogprob(df, "doc_id", "text")
       .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(got(1L) == ((4L, 0.612192)))
+    assert(got(1L) == ((4L, 2.448769 / 4)))
     assert(got(2L) == ((1L, 0.916291)))
   }
 
