@@ -357,7 +357,15 @@ object GraphAnalytics {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
-    val scale = Micro * verts.count() // target L1 mass per score vector
+    val nVerts = verts.count()
+    val scale = Micro * nVerts // target L1 mass per score vector
+    // broadcast the vertex-sized score tables (same plan trade and
+    // MaxBroadcastVertices guard as pageRankQuantizedDF): the edge list
+    // then never shuffles for the joins — each half-update is ONE
+    // map-side-combined agg exchange instead of join+agg exchanges
+    // (measured 29 s -> seconds at sf0.1)
+    val useBroadcast = nVerts <= MaxBroadcastVertices
+    def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
 
     // normalize a raw DECIMAL score column back to total mass `scale`:
     // each row's quotient truncates identically in Spark's `div` and
@@ -370,18 +378,14 @@ object GraphAnalytics {
     var auth = verts.select(col("vid"), lit(Micro).as("a"))
     var hub: DataFrame = null
     (1 to numIter).foreach { i =>
-      val hRaw = e.join(auth, e("dst") === auth("vid"))
+      val hRaw = e.join(side(auth), e("dst") === auth("vid"))
         .select(col("src").as("hvid"), col("a"))
         .groupBy(col("hvid").as("vid")).agg(sum(col("a").cast("decimal(38,0)")).as("h_raw"))
-      hub = normalized(hRaw, "h_raw", "h")
-      val aRaw = e.join(hub, e("src") === hub("vid"))
+      hub = normalized(hRaw, "h_raw", "h").localCheckpoint(true)
+      val aRaw = e.join(side(hub), e("src") === hub("vid"))
         .select(col("dst").as("avid"), col("h"))
         .groupBy(col("avid").as("vid")).agg(sum(col("h").cast("decimal(38,0)")).as("a_raw"))
-      auth = normalized(aRaw, "a_raw", "a")
-      if (i % 2 == 0 || i == numIter) {
-        hub = hub.localCheckpoint(true)
-        auth = auth.localCheckpoint(true)
-      }
+      auth = normalized(aRaw, "a_raw", "a").localCheckpoint(true)
     }
     verts.join(hub, Seq("vid"), "left").join(auth, Seq("vid"), "left")
       .select(col("vid"),
@@ -438,32 +442,48 @@ object GraphAnalytics {
   }
 
   /** Link-prediction feature table (Liben-Nowell & Kleinberg 2003) over
-    * an undirected graph: for each vertex pair within 2 hops, the
-    * classic neighborhood features — common-neighbor count, Jaccard
-    * |N(a)∩N(b)| / |N(a)∪N(b)|, Adamic-Adar Σ_w 1/ln(deg w) — plus an
-    * `is_edge` label column, which makes the output directly a training
-    * table (positives = existing edges, negatives = 2-hop non-edges).
-    * Top `topPerVertex` candidates per left vertex by (jaccard, id).
+    * an undirected graph: for each ANCHOR vertex, every 2-hop candidate
+    * with the classic neighborhood features — common-neighbor count,
+    * Jaccard |N(a)∩N(b)| / |N(a)∪N(b)|, Adamic-Adar Σ_w 1/ln(deg w) —
+    * plus an `is_edge` label column, which makes the output directly a
+    * training table (positives = existing edges, negatives = 2-hop
+    * non-edges). Top `topPerVertex` candidates per anchor by
+    * (jaccard, id). Features are EXACT over the full graph; only the
+    * anchor set scopes which rows come out.
+    *
+    * The anchor set is the scale lever: all-pairs features on a dense
+    * graph are inherently Σ deg(w)² wedges (measured: the TPC-H part
+    * co-occurrence graph at sf0.1 has median degree 116 → 285M wedges,
+    * 1.5 GB of shuffle for ~10⁵ interesting rows), while the deployment
+    * shape — score candidates for a cohort — prunes the wedge join's
+    * LEFT side to the anchors before it runs: Σ_{a∈A} deg(a)·d̄ wedge
+    * rows. `anchors = None` keeps every vertex (output then lists each
+    * pair once per side, its per-anchor candidate list).
     *
     * Plan shape: the wedge self-join is keyed on the shared neighbor
-    * (the triangle-count join shape — candidate pairs are 2-hop-bounded,
-    * never all-pairs), features are one map-side-combined aggregation
-    * over wedges, degrees join in vertex-sized, and the per-vertex top-k
-    * runs through [[TopK.perKey]]'s bounded heaps. Cross-engine
-    * exactness: Jaccard is one rounded IEEE division of integers;
-    * Adamic-Adar quantizes each 1/ln(deg) term to 6dp and sums DECIMAL
-    * (order-independent — a raw double Σ would never reproduce), the
-    * [[TextAnalysis.unigramLogprob]] recipe. Ranking compares the
-    * ROUNDED jaccard, ties broken by id — engine-stable. */
+    * (the triangle-count join shape), the anchor prune is a broadcast
+    * semi-join on the wedge left side, features are one map-side-
+    * combined aggregation over wedges, degrees join in vertex-sized,
+    * and the per-anchor top-k runs through [[TopK.perKey]]'s bounded
+    * heaps. Cross-engine exactness: Jaccard is one rounded IEEE
+    * division of integers; Adamic-Adar quantizes each 1/ln(deg) term
+    * to 6dp and sums DECIMAL (order-independent — a raw double Σ would
+    * never reproduce), the [[TextAnalysis.unigramLogprob]] recipe.
+    * Ranking compares the ROUNDED jaccard, ties broken by id. */
   def linkFeatures(coEdges: DataFrame, aCol: String, bCol: String,
-      topPerVertex: Int = 5, minCommon: Int = 2): DataFrame = {
+      topPerVertex: Int = 5, minCommon: Int = 2,
+      anchors: Option[DataFrame] = None): DataFrame = {
     val e = coEdges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
-    val aw = und.select(col("u").as("a"), col("v").as("w"))
+    val awAll = und.select(col("u").as("a"), col("v").as("w"))
+    val aw = anchors.fold(awAll) { anc =>
+      val ids = anc.select(col(anc.columns.head).cast("long").as("__anchor"))
+      awAll.join(broadcast(ids), col("a") === col("__anchor"), "left_semi")
+    }
     val bw = und.select(col("u").as("b"), col("v").as("w2"))
-    val wedges = aw.join(bw, col("w") === col("w2") && col("a") < col("b"))
+    val wedges = aw.join(bw, col("w") === col("w2") && col("a") =!= col("b"))
       .join(deg.select(col("u").as("w"), col("deg").as("deg_w")), Seq("w"))
     // deg_w >= 2 always: w is a common neighbor of a and b, so ln > 0
     val pairs = wedges.groupBy("a", "b").agg(

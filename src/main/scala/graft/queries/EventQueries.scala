@@ -162,7 +162,39 @@ object EventQueries {
         min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
   }
 
+  /** Ordered conversion funnel: signup → later view → later purchase,
+    * strictly increasing µs timestamps per user (the MATCH_RECOGNIZE-ish
+    * sequence question every product-analytics stack asks). Three
+    * stage-wise conditional mins — each stage joins the previous stage's
+    * per-user earliest time and keeps only later events, so users who
+    * did things out of order DON'T convert. One row per stage with
+    * survivor counts and the MEAN time-to-stage — exact-decimal sum of
+    * µs integers, one unrounded IEEE division (a median would ride on
+    * each engine's percentile interpolation arithmetic, which differs
+    * in the last ulps at 10¹¹-µs magnitudes — observed live). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val s2 = ev.where(col("event_type") === "view")
+      .join(s1, "user_id").where(col("ts_us") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts_us")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts_us") > col("t2"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts_us")).as("t3"))
+    def stage(name: String, df: DataFrame, tCol: String) =
+      df.agg(count(lit(1)).as("n_users"),
+        sum((col(tCol) - col("t1")).cast("decimal(38,0)")).as("__s"))
+        .select(lit(name).as("stage"), col("n_users"),
+          (col("__s").cast("double") / col("n_users")).as("avg_us_from_signup"))
+    stage("1_signup", s1.withColumn("t0", col("t1")), "t0")
+      .unionAll(stage("2_view_after_signup", s2, "t2"))
+      .unionAll(stage("3_purchase_after_view", s3, "t3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> (funnel _),
     "ev_between_rewrite" -> (betweenRewrite _),
     "ev_props_json" -> (propsJson _),
     "ev_attribution" -> (attribution _),
@@ -177,6 +209,22 @@ object EventQueries {
     .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ev_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, MIN(e.ts_us) AS t2
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts_us > s1.t1 GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, MIN(e.ts_us) AS t3
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id, s2.t1)
+        |SELECT '1_signup' AS stage, COUNT(*) AS n_users,
+        |  CAST(SUM(t1 - t1) AS DOUBLE) / COUNT(*) AS avg_us_from_signup FROM s1
+        |UNION ALL SELECT '2_view_after_signup', COUNT(*),
+        |  CAST(SUM(t2 - t1) AS DOUBLE) / COUNT(*) FROM s2
+        |UNION ALL SELECT '3_purchase_after_view', COUNT(*),
+        |  CAST(SUM(t3 - t1) AS DOUBLE) / COUNT(*) FROM s3""".stripMargin,
     "ev_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events),

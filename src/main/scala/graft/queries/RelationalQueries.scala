@@ -243,6 +243,48 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Z-order (Morton) interleaving of (custkey, order-day) — the
+    * multi-dimensional layout key ([[graft.sources.ZOrderLayout]]),
+    * hash-checked as integer math: per z-bucket (top bits of the curve),
+    * row counts and the bounding box of BOTH dimensions. Tight per-
+    * bucket boxes on both dims at once is exactly the property that
+    * makes the at-rest layout prune files for either predicate; the
+    * layout itself (range-partitioned files) is spec-asserted in
+    * ZOrderLayoutSpec. */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZOrderLayout
+    val o = Tables(s, dir, "orders").select(
+      col("o_custkey").cast("long").as("ck"),
+      datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("dy"))
+    o.select(ZOrderLayout.zValue(col("ck"), col("dy")).as("z"), col("ck"), col("dy"))
+      .groupBy(shiftright(col("z"), 30).as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+        min(col("dy")).as("dy_min"), max(col("dy")).as("dy_max"))
+  }
+
+  /** Set operations (INTERSECT / EXCEPT / UNION-distinct) between two
+    * customer cohorts — Catalyst plans these as aggregates/semi/anti
+    * joins, and the query proves the dedup semantics (DISTINCT forms)
+    * against the oracle. Cohort A = customers with a 1996 order; cohort
+    * B = BUILDING-segment customers. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1997-01-01"))
+    val a = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+    val b = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    def count1(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("set_op"), col("n"))
+    count1("intersect", a.intersect(b))
+      .unionAll(count1("except_a_b", a.except(b)))
+      .unionAll(count1("except_b_a", b.except(a)))
+      .unionAll(count1("union_distinct", a.union(b).distinct()))
+  }
+
   /** Robust per-group outlier detection — median/MAD, the data-quality
     * screen that survives the heavy tails that wreck mean/stddev z-scores
     * (median and MAD have a 50% breakdown point; one corrupt feed can't
@@ -436,6 +478,8 @@ object RelationalQueries {
   private val BloomQueryM = 8192
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_zorder_keys" -> (zorderKeys _),
+    "q_set_ops" -> (setOps _),
     "q_mad_outliers" -> (madOutliers _),
     "q_grouping_sets" -> (groupingSets _),
     "q_pivot_revenue" -> (pivotRevenue _),
@@ -545,7 +589,31 @@ object RelationalQueries {
       |  CAST(CASE WHEN EXISTS (SELECT 1 FROM vals WHERE v = c.c_custkey) THEN 1 ELSE 0 END AS BIGINT) AS actual
       |FROM customer c LEFT JOIN hits h ON h.c_custkey = c.c_custkey""".stripMargin
 
+  private val zorderOracle: String = {
+    val z = graft.sources.ZOrderLayout.zValueSql("ck", "dy")
+    s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS dy
+       |  FROM orders),
+       |zv AS (SELECT ($z) AS z, ck, dy FROM o)
+       |SELECT z >> 30 AS z_bucket, COUNT(*) AS n_rows,
+       |  MIN(z) AS z_min, MAX(z) AS z_max,
+       |  MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+       |  MIN(dy) AS dy_min, MAX(dy) AS dy_max
+       |FROM zv GROUP BY z_bucket""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "g_zorder_keys" -> zorderOracle,
+    "q_set_ops" ->
+      """WITH a AS (SELECT c_custkey FROM customer c WHERE EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01')),
+        |b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'intersect' AS set_op, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL SELECT 'except_a_b', COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL SELECT 'except_b_a', COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        |UNION ALL SELECT 'union_distinct', COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)""".stripMargin,
     "q_mad_outliers" ->
       """WITH j AS (SELECT c_mktsegment, o_totalprice
         |  FROM orders JOIN customer ON o_custkey = c_custkey),

@@ -296,20 +296,25 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(authMass <= n + 1e-9 && authMass > n - n * 1e-6 - 1e-3, s"auth mass $authMass")
   }
 
-  test("link features: hand-computed wedge graph") {
+  test("link features: hand-computed wedge graph, anchored and unanchored") {
     // edges (1,2),(2,3),(1,3),(3,4): deg 1=2, 2=2, 3=3, 4=1
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("item_a", "item_b")
-    val got = GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
-      topPerVertex = 5, minCommon = 1)
-      .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
     val invLn2 = math.rint(1.0 / math.log(2.0) * 1e6) / 1e6 // 1.442695
     val invLn3 = math.rint(1.0 / math.log(3.0) * 1e6) / 1e6 // 0.910239
-    assert(got == Set(
+    val anchored = GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
+      topPerVertex = 5, minCommon = 1, anchors = Some(Seq(1L).toDF("id")))
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
+    assert(anchored == Set(
       (1L, 4L, 1L, 0.5, invLn3, 0L),      // via 3; NOT an edge -> negative example
-      (2L, 4L, 1L, 0.5, invLn3, 0L),      // via 3
       (1L, 2L, 1L, 0.333333, invLn3, 1L), // via 3
-      (1L, 3L, 1L, 0.25, invLn2, 1L),     // via 2
-      (2L, 3L, 1L, 0.25, invLn2, 1L)))    // via 1
+      (1L, 3L, 1L, 0.25, invLn2, 1L)))    // via 2
+    // unanchored = per-vertex candidate lists: features are symmetric
+    // and every pair appears once per side
+    val all = GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
+      topPerVertex = 5, minCommon = 1)
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
+    assert(all.count(_._1 == 1L) == 3)
+    assert(all.map(r => (r._2, r._1, r._3, r._4, r._5, r._6)) == all) // symmetric
   }
 
   test("link features: minCommon filters and topPerVertex bounds the output") {
@@ -317,9 +322,10 @@ class GraphAnalyticsSpec extends SparkTestBase {
     val edges = (1L to 6L).map(i => (0L, i)).toDF("item_a", "item_b")
     val all = GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
       topPerVertex = 3, minCommon = 1)
-    // 15 leaf pairs, capped at 3 per left vertex
+    // 30 directed leaf pairs, capped at 3 per anchor; the hub itself has
+    // no 2-hop partners (its neighbors' only neighbor is the hub)
     val perA = all.groupBy("a").count().as[(Long, Long)].collect().toMap
-    assert(perA.values.forall(_ <= 3))
+    assert(perA.values.forall(_ <= 3) && !perA.contains(0L))
     // minCommon = 2 kills every pair (single shared hub)
     assert(GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
       topPerVertex = 3, minCommon = 2).count() == 0)
