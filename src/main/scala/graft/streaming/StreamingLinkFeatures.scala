@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.operators.GraphAnalytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental link-prediction-feature maintenance over streaming edge
+  * ingest (SURVEY §2.11) — the [[StreamingCc]] recipe applied to the
+  * [[GraphAnalytics.linkFeatures]] table, with a provable affected-set
+  * bound instead of a full recompute.
+  *
+  * A feature row (a, b) reads exactly: deg(a), deg(b), the common
+  * neighborhood N(a)∩N(b), and deg(w) for each common neighbor w. A
+  * new edge (x, y) changes only deg/N of x and y. So (a, b) can change
+  * only if
+  *   - a ∈ {x, y}                                  (anchor 0 hops out),
+  *   - x or y ∈ N(a)∩N(b) — the deg(w) term        (anchor 1 hop out),
+  *   - b ∈ {x, y}, and a shares a neighbor with b  (anchor 2 hops out —
+  *     THIS case is why a 1-hop set is wrong: deg(4) feeds
+  *     jaccard(1, 4) even when anchor 1 is nowhere near the delta).
+  *
+  * Every affected ANCHOR therefore lies within two hops of a delta
+  * endpoint. Each micro-batch recomputes features EXACTLY (over the
+  * full accumulated graph) for just that 2-hop anchor set, then merges
+  * them into the previous feature generation by replacing exactly
+  * those anchors' rows — copy-on-write per-anchor, written as
+  * generation `batch_<id>` (idempotent overwrite, the house recipe).
+  * Per-batch cost scales with the delta's 2-hop neighborhood, not the
+  * graph. Stream ≡ batch is spec-checked, including an anchor the
+  * 1-hop bound would have left stale.
+  */
+object StreamingLinkFeatures {
+
+  def incremental(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      stateDir: String, checkpointDir: String,
+      topPerVertex: Int = 5, minCommon: Int = 2): StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        b.write.mode("overwrite").parquet(s"$stateDir/edges/batch_$batchId")
+        val all = readEdges(spark, stateDir).localCheckpoint(true)
+        // affected anchors: everything within TWO hops of a batch
+        // endpoint in the UPDATED graph (see scaladoc for why one hop
+        // is not enough) — two delta-sized broadcast joins
+        val deltaV = b.select(col("u").as("vid"))
+          .unionAll(b.select(col("v").as("vid"))).distinct()
+        val und = all.select(col("u"), col("v"))
+          .unionAll(all.select(col("v").as("u"), col("u").as("v")))
+        def expand(frontier: DataFrame): DataFrame =
+          frontier.unionAll(
+            und.join(broadcast(frontier), und("u") === frontier("vid"))
+              .select(col("v").as("vid")))
+            .distinct().localCheckpoint(true)
+        val affected = expand(expand(deltaV.localCheckpoint(true)))
+        val fresh = GraphAnalytics.linkFeatures(all, "u", "v",
+          topPerVertex, minCommon, anchors = Some(affected))
+        val prevDirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/features")
+          .filter(_._1 < batchId)
+        val merged = prevDirs.sortBy(_._1).lastOption match {
+          case Some((_, dir)) =>
+            spark.read.parquet(dir)
+              .join(broadcast(affected), col("a") === col("vid"), "left_anti")
+              .unionByName(fresh)
+          case None => fresh
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/features/batch_$batchId")
+      }
+      .start()
+
+  /** The newest complete feature generation
+    * (a, b, n_common, jaccard, adamic_adar, is_edge). */
+  def latestFeatures(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/features")
+    require(dirs.nonEmpty, s"no feature generations under $stateDir/features")
+    spark.read.parquet(dirs.maxBy(_._1)._2)
+  }
+
+  /** The accumulated canonical edge log (u, v). */
+  def readEdges(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/edges").map(_._2)
+    require(dirs.nonEmpty, s"no edge batches under $stateDir/edges")
+    spark.read.parquet(dirs: _*)
+  }
+}
