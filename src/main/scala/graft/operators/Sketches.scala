@@ -100,6 +100,53 @@ object Sketches {
   def hllDistinct(df: DataFrame, value: Column, b: Int = HllBits): DataFrame =
     hllEstimate(hllRegisters(df, value, b), b)
 
+  /** GROUPED HLL registers: one ≤2^b-register sketch per group key —
+    * the per-key cardinality shape (distinct users per domain, distinct
+    * queries per day) that exact per-group COUNT(DISTINCT) pays a full
+    * (group, value) shuffle for; this shuffles ≤ groups·2^b register
+    * rows with map-side partial max. Same portable hash, so grouped
+    * sketches merge across slices AND fold down to the global sketch
+    * (max over groups per bucket — spec-checked). */
+  def hllRegistersGrouped(df: DataFrame, groupCol: String, value: Column,
+      b: Int = HllBits): DataFrame = {
+    require(b >= 4 && b <= 16, s"HLL precision b=$b outside [4, 16]")
+    val m = 1L << b
+    val w = HashBits - b
+    val h = Dedup.md5Long(value.cast("string"))
+    val rank = shiftright(h, b)
+    val rho = when(rank === 0L, lit(w + 1))
+      .otherwise(lit(w + 1) - length(conv(rank, 10, 2)))
+    df.select(col(groupCol), pmod(h, lit(m)).as("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).cast("int").as("register"))
+  }
+
+  /** Per-group estimates from grouped registers: (group,
+    * approx_distinct) — the same raw/linear-counting branches as
+    * [[hllEstimate]], evaluated per group. */
+  def hllEstimateGrouped(registers: DataFrame, groupCol: String,
+      b: Int = HllBits): DataFrame = {
+    val m = 1L << b
+    val numer = hllNumer(b)
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        coalesce(sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $HashBits - register) AS DECIMAL(38,0))")),
+          lit(0).cast("decimal(38,0)")).as("s_present"),
+        count(lit(1)).as("n_buckets"))
+      .select(col(groupCol),
+        (lit(m) - col("n_buckets")).as("v"),
+        (col("s_present") + (lit(m) - col("n_buckets")).cast("decimal(38,0)")
+          * lit(1L << HashBits).cast("decimal(38,0)")).as("s_total"))
+      .select(col(groupCol),
+        round(
+          when(col("v") > 0 &&
+            lit(numer) / col("s_total").cast("double") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+            .otherwise(lit(numer) / col("s_total").cast("double")),
+          6).as("approx_distinct"))
+  }
+
   /** Default count-min geometry: 4 × 1024 counters ≈ ε = e/1024 ≈ 0.27%
     * of total count, failure probability e^−4 ≈ 1.8%. */
   val CmsDepth = 4

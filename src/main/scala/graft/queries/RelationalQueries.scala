@@ -403,6 +403,22 @@ object RelationalQueries {
     }.reduce(_.unionAll(_))
   }
 
+  /** Per-GROUP HLL distinct counts: approximate distinct customers per
+    * order priority next to the exact counts — the per-key cardinality
+    * report (distinct users per domain/day) that exact per-group
+    * COUNT(DISTINCT) pays a full (group, value) shuffle for; the sketch
+    * shuffles ≤ groups·256 register rows. Grouped sketches also fold to
+    * the global one (spec-checked). */
+  def hllGroups(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val regs = graft.operators.Sketches.hllRegistersGrouped(o, "o_orderpriority", col("o_custkey"))
+    val est = graft.operators.Sketches.hllEstimateGrouped(regs, "o_orderpriority")
+    val exact = o.groupBy("o_orderpriority")
+      .agg(count_distinct(col("o_custkey")).as("exact_distinct"))
+    est.join(exact, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("approx_distinct"), col("exact_distinct"))
+  }
+
   /** Count-min frequency estimates for every distinct l_partkey (2000·sf
     * keys through 4×1024 counters — real collisions, so the one-sided
     * overestimate property is actually exercised), joined to the true
@@ -479,6 +495,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_zorder_keys" -> (zorderKeys _),
+    "q_hll_groups" -> (hllGroups _),
     "q_set_ops" -> (setOps _),
     "q_mad_outliers" -> (madOutliers _),
     "q_grouping_sets" -> (groupingSets _),
@@ -602,8 +619,36 @@ object RelationalQueries {
        |FROM zv GROUP BY z_bucket""".stripMargin
   }
 
+  /** Grouped twin of the q_hll_distinct oracle: same register/estimate
+    * replay, evaluated per group key. */
+  private val hllGroupsOracle: String = {
+    val numer = graft.operators.Sketches.hllNumer(8)
+    s"""WITH regs AS (
+       |  SELECT o_orderpriority, h % 256 AS bucket,
+       |    MAX(CASE WHEN h >> 8 = 0 THEN 53
+       |        ELSE 53 - length(ltrim(bin(h >> 8), '0')) END) AS register
+       |  FROM (SELECT o_orderpriority,
+       |      ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |    FROM orders)
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT o_orderpriority,
+       |    round(CASE WHEN v > 0 AND $numer / CAST(s_total AS DOUBLE) <= 640.0
+       |      THEN 256.0 * ln(256.0 / v)
+       |      ELSE $numer / CAST(s_total AS DOUBLE) END, 6) AS approx_distinct
+       |  FROM (SELECT o_orderpriority,
+       |      COALESCE(SUM(1::BIGINT << (60 - register)), 0)
+       |        + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 60) AS s_total,
+       |      256 - COUNT(*) AS v
+       |    FROM regs GROUP BY o_orderpriority))
+       |SELECT e.o_orderpriority, e.approx_distinct, x.exact_distinct
+       |FROM est e JOIN (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+       |  FROM orders GROUP BY 1) x USING (o_orderpriority)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "g_zorder_keys" -> zorderOracle,
+    "q_hll_groups" -> hllGroupsOracle,
     "q_set_ops" ->
       """WITH a AS (SELECT c_custkey FROM customer c WHERE EXISTS (
         |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

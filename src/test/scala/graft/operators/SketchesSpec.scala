@@ -35,6 +35,23 @@ class SketchesSpec extends SparkTestBase {
     assert(merged == whole, s"merged $merged != whole-corpus $whole")
   }
 
+  test("grouped HLL: per-group estimates track truth; groups fold to the global sketch") {
+    val df = (1 to 9000).map(i => (s"g${i % 3}", s"v${i % (500 * (1 + i % 3))}"))
+      .toDF("g", "v")
+    val regs = Sketches.hllRegistersGrouped(df, "g", col("v"))
+    val est = Sketches.hllEstimateGrouped(regs, "g").as[(String, Double)].collect().toMap
+    val truth = df.groupBy("g").agg(count_distinct(col("v")).as("t"))
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (g, t) =>
+      assert(math.abs(est(g) - t) / t < 0.3, s"group $g: est ${est(g)} truth $t")
+    }
+    // folding grouped registers (max per bucket) == the global sketch
+    val folded = regs.groupBy("bucket").agg(max(col("register")).cast("int").as("register"))
+    val global = Sketches.hllRegisters(df, col("v"))
+    assert(folded.orderBy("bucket").collect().toSeq ==
+      global.orderBy("bucket").collect().toSeq)
+  }
+
   test("HLL of empty input estimates 0") {
     val empty = Seq.empty[String].toDF("v")
     assert(Sketches.hllDistinct(empty, col("v")).collect()(0).getDouble(0) == 0.0)
