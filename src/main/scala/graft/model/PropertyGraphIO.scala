@@ -93,10 +93,29 @@ object PropertyGraphIO {
     } finally Files.deleteIfExists(lock)
   }
 
-  def save(g: PropertyGraph, root: String, bucketsPerTable: Int = 0): Unit = {
+  /** @param zOrderNodes per-label layout override: label →
+    *   (dimA, dimB) writes that node table z-clustered on the two
+    *   integer dimensions ([[graft.sources.ZOrderLayout]]) instead of
+    *   hash-partitioned — the choice for tables probed by
+    *   two-dimensional range predicates rather than key joins. The
+    *   layout is physically transparent (parquet footer stats carry the
+    *   tight per-file boxes; readers need no cooperation) but is NOT
+    *   preserved by [[upsertNodes]] generations — like any clustered
+    *   table, re-optimize with a fresh save after heavy mutation
+    *   (Delta's OPTIMIZE ZORDER cadence). */
+  def save(g: PropertyGraph, root: String, bucketsPerTable: Int = 0,
+      zOrderNodes: Map[String, (String, String)] = Map.empty): Unit = {
+    val unknown = zOrderNodes.keySet -- g.schema.labels.map(_.label).toSet
+    require(unknown.isEmpty, s"zOrderNodes for unknown labels: ${unknown.mkString(", ")}")
     g.schema.labels.foreach { ls =>
       val df = g.nodes(ls.label)
-      val out = if (bucketsPerTable > 0) df.repartition(bucketsPerTable, col(ls.identifier)) else df
+      val out = zOrderNodes.get(ls.label) match {
+        case Some((a, b)) =>
+          graft.sources.ZOrderLayout.clustered(df, a, b,
+            numFiles = math.max(bucketsPerTable, 8))
+        case None if bucketsPerTable > 0 => df.repartition(bucketsPerTable, col(ls.identifier))
+        case None => df
+      }
       out.write.mode(SaveMode.Overwrite).parquet(s"$root/nodes/${ls.label}")
     }
     g.schema.rels.foreach { rs =>

@@ -54,17 +54,25 @@ object ZOrderLayout {
       Seq(s"((($a >> $i) & 1) << ${2 * i + 1})", s"((($b >> $i) & 1) << ${2 * i})")
     }.mkString(" | ")
 
-  /** Write `df` z-clustered on two integer dimensions: range-partition
-    * by the z-value into `numFiles` files, sort within each, drop the
-    * helper column. Range boundaries come from Spark's reservoir sample
-    * over the z column — boundary placement varies run to run, but
-    * every file is always a contiguous z-range, which is the property
-    * pruning needs. */
-  def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
-      numFiles: Int, bits: Int = DefaultBits): Unit =
+  /** Re-arrange `df` into z-cluster order on two integer dimensions:
+    * range-partition by the z-value into `numFiles` partitions, sort
+    * within each, drop the helper column. Range boundaries come from
+    * Spark's reservoir sample over the z column — boundary placement
+    * varies run to run, but every partition is always a contiguous
+    * z-range, which is the property pruning needs. The layout is
+    * transparent to readers: parquet footers carry the resulting tight
+    * per-file min/max on both dims, and every engine's stats pruning
+    * uses them with no reader-side cooperation. */
+  def clustered(df: DataFrame, colA: String, colB: String,
+      numFiles: Int, bits: Int = DefaultBits): DataFrame =
     df.withColumn("__z", zValue(col(colA), col(colB), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** [[clustered]] + parquet write. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
+      numFiles: Int, bits: Int = DefaultBits): Unit =
+    clustered(df, colA, colB, numFiles, bits)
       .write.mode("overwrite").parquet(path)
 }

@@ -19,6 +19,31 @@ class PropertyGraphIOSpec extends SparkTestBase {
     assert(g1.rels(p).columns.take(2).toSeq == Seq("Order_o_orderkey", "Part_p_partkey"))
   }
 
+  test("z-ordered node layout: identical rows back, tight per-file boxes on both dims") {
+    import org.apache.spark.sql.functions._
+    val g0 = TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft-pgio-z").toString
+    PropertyGraphIO.save(g0, root, bucketsPerTable = 8,
+      zOrderNodes = Map("Customer" -> (("c_nationkey", "c_custkey"))))
+    val g1 = PropertyGraphIO.load(spark, root)
+    // layout is content-transparent: the full customer table round-trips
+    val c0 = g0.nodes("Customer").orderBy("c_custkey").collect().toSeq
+    val c1 = g1.nodes("Customer").orderBy("c_custkey").collect().toSeq
+    assert(c1 == c0)
+    // and physically clustered: several files, each covering a narrow
+    // c_nationkey slice (the FIRST interleaved dim) instead of all 25
+    val boxes = g1.nodes("Customer")
+      .groupBy(input_file_name())
+      .agg((max(col("c_nationkey")) - min(col("c_nationkey"))).cast("long").as("r"))
+      .select(col("r")).collect().map(_.getLong(0))
+    assert(boxes.length > 1)
+    assert(boxes.count(_ < 25) > boxes.length / 2,
+      s"per-file nationkey ranges not tight: ${boxes.mkString(",")}")
+    // unknown label fails fast
+    intercept[IllegalArgumentException](
+      PropertyGraphIO.save(g0, root, zOrderNodes = Map("Nope" -> (("a", "b")))))
+  }
+
   test("upsert replaces matched ids, appends new ones, old generation survives until vacuum") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
