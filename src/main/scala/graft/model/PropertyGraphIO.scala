@@ -123,9 +123,16 @@ object PropertyGraphIO {
       val out = if (bucketsPerTable > 0) df.repartition(bucketsPerTable, col(rs.srcColName)) else df
       out.write.mode(SaveMode.Overwrite).parquet(s"$root/rels/${rs.pattern.key}")
     }
+    // the manifest records each table's PHYSICAL layout so a planner (or
+    // operator) can pick the z-ordered table for range probes without
+    // sniffing footers; absent = the default hash layout. Readers that
+    // predate the field ignore it (field-named parsing).
     val schemaJson = JObj(Seq(
       "labels" -> JArr(g.schema.labels.map(ls => JObj(Seq(
-        "label" -> JStr(ls.label), "identifier" -> JStr(ls.identifier))))),
+        "label" -> JStr(ls.label), "identifier" -> JStr(ls.identifier)) ++
+        zOrderNodes.get(ls.label).map { case (a, b) =>
+          "layout" -> JStr(s"zorder($a,$b)")
+        }.toSeq))),
       "rels" -> JArr(g.schema.rels.map(rs => JObj(Seq(
         "src" -> JStr(rs.pattern.srcLabel), "relType" -> JStr(rs.pattern.relType),
         "dst" -> JStr(rs.pattern.dstLabel),
@@ -228,6 +235,20 @@ object PropertyGraphIO {
         RelSchema(RelPattern((r / "src").str, (r / "relType").str, (r / "dst").str),
           (r / "srcIdProp").str, (r / "dstIdProp").str, Nil)
       })
+  }
+
+  /** Per-label physical layout from the manifest: `zorder(dimA,dimB)`
+    * where [[save]] was told to cluster, `"hash"` otherwise. */
+  def tableLayouts(root: String): Map[String, String] = {
+    val schemaJson = JsonParser.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(root, "_schema.json")))
+    (schemaJson / "labels").items.map { l =>
+      val layout = l match {
+        case o: JObj => o.fields.collectFirst { case ("layout", JStr(s)) => s }
+        case _ => None
+      }
+      (l / "label").str -> layout.getOrElse("hash")
+    }.toMap
   }
 
   def load(spark: SparkSession, root: String): PropertyGraph = {

@@ -39,6 +39,10 @@ class PropertyGraphIOSpec extends SparkTestBase {
     assert(boxes.length > 1)
     assert(boxes.count(_ < 25) > boxes.length / 2,
       s"per-file nationkey ranges not tight: ${boxes.mkString(",")}")
+    // the manifest records the physical layout per label
+    val layouts = PropertyGraphIO.tableLayouts(root)
+    assert(layouts("Customer") == "zorder(c_nationkey,c_custkey)")
+    assert(layouts("Order") == "hash")
     // unknown label fails fast
     intercept[IllegalArgumentException](
       PropertyGraphIO.save(g0, root, zOrderNodes = Map("Nope" -> (("a", "b")))))
