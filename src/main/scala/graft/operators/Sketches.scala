@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable streaming sketches — the fixed-size summaries a 100 TB
@@ -272,5 +273,148 @@ object Sketches {
       id.cast("string").as("__id"))
     TopK.perKey(keyed, groupCol, "__nh", k, tieBreak = Seq("__id"))
       .select(col(groupCol), col("value"))
+  }
+
+  // ------------------------------------------- multi-level quantile sketch
+
+  /** Default compaction-sketch size: with L = ceil(log2(n/k)) levels the
+    * rank error is Σ_{ℓ<L} 2^ℓ/2 < 2^L/2 ≤ n/k ranks — ε ≤ 1/k ≈ 0.4%
+    * at k=256, an order better than the bottom-k sample's 1/√k ≈ 3% at
+    * comparable row count. */
+  val MpSketchK = 256
+
+  /** Deterministic parity bit for compacting (group, level): which of the
+    * two rank classes survives the halving. Derandomized via the portable
+    * md5 hash — KLL flips a real coin here; tying the coin to CONTENT
+    * keeps the whole sketch a pure function of the input multiset, so it
+    * reproduces across runs, partitionings and engines (the property the
+    * DuckDB oracle checks). */
+  private def mpParity(groupCol: String): Column =
+    pmod(Dedup.md5Long(concat(lit("mp:"), col(groupCol).cast("string"),
+      lit(":"), col("level").cast("string"))), lit(2))
+
+  /** One compaction round over sketch rows (groupCol, value, rid, level).
+    * Groups at ≤ k rows pass through untouched (the identity property
+    * that lets a FIXED generous round count replay in SQL); a group over
+    * k sorts its MINIMUM-level rows by (value, rid) and keeps every other
+    * one — survivors move up a level (weight doubles). Rank-preserving
+    * halving of a weight-2^ℓ run costs ≤ 2^ℓ/2 ranks (Munro–Paterson
+    * 1980; the MRL96 "collapse" step), and compacting the lowest level
+    * first keeps that cost geometric. */
+  private def mpCompactOnce(cur: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val wAll = Window.partitionBy(groupCol)
+    val wRank = Window.partitionBy(col(groupCol), col("level"))
+      .orderBy(col("value"), col("rid"))
+    val stepped = cur.select(col(groupCol), col("value"), col("rid"), col("level"),
+      (count(lit(1)).over(wAll) > k).as("__over"),
+      (col("level") === min(col("level")).over(wAll)).as("__atMin"),
+      row_number().over(wRank).as("__rn"), mpParity(groupCol).as("__par"))
+    stepped
+      .where(!col("__over") || !col("__atMin") || pmod(col("__rn"), lit(2)) === col("__par"))
+      .select(col(groupCol), col("value"), col("rid"),
+        when(col("__over") && col("__atMin"), col("level") + 1)
+          .otherwise(col("level")).as("level"))
+  }
+
+  private def mpFinish(cur: DataFrame, groupCol: String): DataFrame =
+    cur.select(col(groupCol), col("value"), col("rid"), col("level"),
+      expr("shiftleft(CAST(1 AS BIGINT), level)").as("weight"))
+
+  /** Multi-level deterministic quantile sketch (Munro–Paterson /
+    * Manku-Rajagopalan-Lindsay family): per group, repeatedly halve the
+    * value-sorted rows — survivors double in weight — until ≤ k weighted
+    * rows summarize the whole distribution. Every halving keeps one of
+    * the two rank-parity classes, chosen by the md5 parity bit, so unlike
+    * KLL's coin flips the sketch is a pure function of the input content:
+    * same rows survive across runs, reshards and engines, and a DuckDB
+    * oracle replays build AND estimates exactly (chained identity-padded
+    * CTE rounds — see the q_mp_quantiles oracle).
+    *
+    * Rank error after L = ceil(log2(n/k)) levels is < 2^L/2 ≤ n/k
+    * ranks (ε ≤ 1/k) — o(1/√k): at k rows stored this beats the
+    * bottom-k sample sketch ([[quantileSample]], ε = 1/√k) by ~√k.
+    *
+    * Scale shape: each round is ONE window pass whose input halves
+    * round-over-round — log2(n/k) shuffles totalling ≤ 2n rows moved,
+    * each carrying only (group, value, rid, level). Per-group rows
+    * co-locate for the window sort; for a single group too hot for one
+    * partition, sketch deterministic md5(id)-salted slices and fold them
+    * with [[mpMerge]] (content-keyed slices keep the result
+    * partition-independent). Output: (groupCol, value, rid, level,
+    * weight) — ≤ k rows per group, mergeable via [[mpMerge]].
+    *
+    * NULL values are excluded up front (quantiles over NULL are
+    * undefined; matches `percentile`'s ignore-null semantics). */
+  def mpQuantileSketch(df: DataFrame, groupCol: String, id: Column,
+      value: Column, k: Int = MpSketchK): DataFrame = {
+    require(k >= 2, "sketch size k must be >= 2")
+    val base = df.where(value.isNotNull).select(col(groupCol), value.as("value"),
+      id.cast("string").as("rid"), lit(0).as("level"))
+    val maxN = base.groupBy(groupCol).count()
+      .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
+    var rounds = 0
+    var cap = k.toLong
+    while (cap < maxN) { cap *= 2; rounds += 1 }
+    var cur = base
+    (1 to rounds).foreach { r =>
+      cur = mpCompactOnce(cur, groupCol, k)
+      // bound lineage depth: each round stacks a window + filter
+      if (r % 4 == 0) cur = cur.localCheckpoint(true)
+    }
+    mpFinish(cur, groupCol)
+  }
+
+  /** Merge two MP sketches of DISJOINT slices of a corpus: union the
+    * weighted rows, then compact lowest-level-first until each group is
+    * back under k rows. Mixed levels need no pre-alignment — the estimate
+    * reads weights, not levels — so merge cost is a few ≤ 2k-row window
+    * passes. Unlike HLL/CMS/bottom-k merges this one is lossy (each
+    * compaction spends more of the rank-error budget: the merged sketch
+    * is ~one level deeper than the single-pass sketch of the union), but
+    * it stays deterministic and within the Σ 2^ℓ/2 bound — the price of
+    * o(1/√k) accuracy in a mergeable summary. */
+  def mpMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int = MpSketchK): DataFrame = {
+    require(k >= 2, "sketch size k must be >= 2")
+    val cols = Seq(col(groupCol), col("value"), col("rid"), col("level"))
+    var cur = a.select(cols: _*).unionByName(b.select(cols: _*))
+    val stats = cur.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), min("level").as("lo"), max("level").as("hi"))
+      .agg(coalesce(max("n"), lit(0L)).as("n"),
+        coalesce(max(col("hi") - col("lo")), lit(0)).as("spread")).head
+    val (maxN, spread) = (stats.getLong(0), stats.getInt(1))
+    var rounds = spread + 1
+    var cap = k.toLong
+    while (cap < maxN) { cap *= 2; rounds += 1 }
+    (1 to rounds).foreach { r =>
+      cur = mpCompactOnce(cur, groupCol, k)
+      if (r % 4 == 0) cur = cur.localCheckpoint(true)
+    }
+    mpFinish(cur, groupCol)
+  }
+
+  /** Quantile estimates from an MP sketch: for each q (given in exact
+    * per-mille so the target-rank comparison stays in integers — a
+    * double q·W boundary would be engine-dependent), the estimate is the
+    * first sketch value whose cumulative weight reaches q·W/1000, i.e.
+    * `min value with 1000·cw ≥ q‰·W`. All-integer, so estimates — not
+    * just sketch rows — replay bit-for-bit in the oracle. Output:
+    * (groupCol, q DOUBLE, est) with est in the value's own type. */
+  def mpQuantileEstimate(sketch: DataFrame, groupCol: String,
+      qsPermille: Seq[Int]): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q > 0 && q <= 1000),
+      s"per-mille quantiles must be in (0, 1000]: $qsPermille")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val wCum = Window.partitionBy(groupCol).orderBy(col("value"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = sketch.select(col(groupCol), col("value"),
+      sum("weight").over(wCum).as("__cw"), sum("weight").over(wAll).as("__tw"))
+    val qdf = qsPermille.toDF("__qpm")
+    cum.crossJoin(broadcast(qdf))
+      .where(col("__cw") * 1000 >= col("__qpm") * col("__tw"))
+      .groupBy(col(groupCol), col("__qpm"))
+      .agg(min(col("value")).as("est"))
+      .select(col(groupCol), (col("__qpm") / 1000.0).as("q"), col("est"))
   }
 }

@@ -465,6 +465,34 @@ object RelationalQueries {
 
   private val QsK = 1000
 
+  /** Multi-level compaction quantile sketch (Munro–Paterson class) next
+    * to the exact answers: per return flag, lineitem prices collapse
+    * through md5-derandomized halving rounds into ≤ 256 weighted rows,
+    * and the weighted-rank estimates sit beside the true percentiles so
+    * the (provably ≤ n/2k-rank) error is visible. This is the o(1/√k)
+    * upgrade over q_quantile_sketch's bottom-k sample — same row budget,
+    * ~√k/2 tighter — and the whole build (every round's survivors)
+    * replays in the DuckDB oracle as identity-padded chained CTEs. */
+  def mpQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val rowId = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+    val sk = graft.operators.Sketches.mpQuantileSketch(
+      li, "l_returnflag", rowId, col("l_extendedprice"), k = MpK)
+    val nRows = sk.groupBy("l_returnflag").agg(count(lit(1)).as("n_sketch"))
+    val est = graft.operators.Sketches.mpQuantileEstimate(sk, "l_returnflag", MpQs)
+    val exact = MpQs.map { qpm =>
+      li.groupBy("l_returnflag").agg(
+        round(expr(s"percentile(l_extendedprice, ${qpm / 1000.0})"), 6).as("exact"))
+        .withColumn("q", lit(qpm / 1000.0))
+    }.reduce(_ unionByName _)
+    est.join(nRows, Seq("l_returnflag")).join(exact, Seq("l_returnflag", "q"))
+      .select(col("l_returnflag"), col("q"), col("n_sketch"),
+        col("est").cast("double").as("est"), col("exact"))
+  }
+
+  private val MpK = 256
+  private val MpQs = Seq(500, 900, 990)
+
   /** Bloom-filter membership, driver-checked bit for bit: a sketch of the
     * custkeys with Q4-1996 orders probed by every customer, next to the
     * true membership so false positives are VISIBLE (and deterministic —
@@ -502,6 +530,7 @@ object RelationalQueries {
     "q_pivot_revenue" -> (pivotRevenue _),
     "q_bloom_filter" -> (bloomFilter _),
     "q_quantile_sketch" -> (quantileSketch _),
+    "q_mp_quantiles" -> (mpQuantiles _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_cms_heavy" -> (cmsHeavy _),
     "g_csv_typed" -> (csvTyped _),
@@ -587,6 +616,50 @@ object RelationalQueries {
        |  FROM lineitem GROUP BY l_returnflag)
        |SELECT sk.l_returnflag, n_sample, sketch_p50, exact_p50, sketch_p90, exact_p90
        |FROM sk JOIN ex USING (l_returnflag)""".stripMargin
+
+  /** Replays the FULL multi-level compaction: 16 chained CTE rounds (a
+    * group needing fewer passes through the rest untouched — the cnt ≤ k
+    * guard makes extra rounds the identity, so one generous fixed count
+    * covers every gate SF; 16 supports groups to 256·2^16 ≈ 16.7M rows),
+    * then the weighted-rank estimates — all integers, so the ESTIMATES
+    * are hash-compared, not just the sketch rows. */
+  private val mpQuantilesOracle: String = {
+    val rounds = (1 to 16).map { r =>
+      s"""lvl$r AS (SELECT g, value, rid,
+         |    CASE WHEN over_k AND at_min THEN lvl + 1 ELSE lvl END AS lvl
+         |  FROM (SELECT g, value, rid, lvl,
+         |      COUNT(*) OVER (PARTITION BY g) > $MpK AS over_k,
+         |      lvl = MIN(lvl) OVER (PARTITION BY g) AS at_min,
+         |      row_number() OVER (PARTITION BY g, lvl ORDER BY value, rid) AS rn,
+         |      ('0x' || substring(md5('mp:' || CAST(g AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)), 1, 15))::BIGINT % 2 AS par
+         |    FROM lvl${r - 1})
+         |  WHERE NOT over_k OR NOT at_min OR rn % 2 = par)""".stripMargin
+    }.mkString(",\n")
+    val exacts = MpQs.map { qpm =>
+      s"""SELECT l_returnflag AS g, $qpm AS qpm,
+         |    round(quantile_cont(l_extendedprice, ${qpm / 1000.0}), 6) AS exact
+         |  FROM lineitem GROUP BY 1""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH lvl0 AS (
+       |  SELECT l_returnflag AS g, l_extendedprice AS value,
+       |    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS rid,
+       |    0 AS lvl
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |$rounds,
+       |sk AS (SELECT g, value, rid, (CAST(1 AS BIGINT) << lvl) AS weight FROM lvl16),
+       |cum AS (SELECT g, value,
+       |    SUM(weight) OVER (PARTITION BY g ORDER BY value, rid ROWS UNBOUNDED PRECEDING) AS cw,
+       |    SUM(weight) OVER (PARTITION BY g) AS tw
+       |  FROM sk),
+       |ns AS (SELECT g, COUNT(*) AS n_sketch FROM sk GROUP BY g),
+       |est AS (SELECT g, qpm, MIN(value) AS est
+       |  FROM cum, (SELECT unnest([${MpQs.mkString(",")}]) AS qpm)
+       |  WHERE cw * 1000 >= qpm * tw GROUP BY g, qpm),
+       |ex AS ($exacts)
+       |SELECT e.g AS l_returnflag, e.qpm / 1000.0 AS q, ns.n_sketch,
+       |  CAST(e.est AS DOUBLE) AS est, ex.exact
+       |FROM est e JOIN ns USING (g) JOIN ex ON ex.g = e.g AND ex.qpm = e.qpm""".stripMargin
+  }
 
   /** Replays every Bloom bit: set positions from the window's custkeys,
     * 3 probe positions per customer, might_contain = all 3 set. */
@@ -699,6 +772,7 @@ object RelationalQueries {
         |GROUP BY n_name""".stripMargin,
     "q_bloom_filter" -> bloomFilterOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
+    "q_mp_quantiles" -> mpQuantilesOracle,
     "q_hll_distinct" ->
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(hllColumnSql).mkString("\nUNION ALL\n"),
     "q_cms_heavy" -> cmsHeavyOracle,

@@ -163,4 +163,72 @@ class SketchesSpec extends SparkTestBase {
     val p50 = samp.agg(expr("percentile(value, 0.5)")).collect()(0).getDouble(0)
     assert(p50 == 20.5)
   }
+
+  // ----------------------------------------- multi-level quantile sketch
+
+  private def mpRows(df: org.apache.spark.sql.DataFrame): Set[(String, Double, String, Int, Long)] =
+    df.select(col("g"), col("value").cast("double"), col("rid"), col("level"), col("weight"))
+      .as[(String, Double, String, Int, Long)].collect().toSet
+
+  test("MP sketch: a group at or under k survives whole at level 0, estimates exact") {
+    val df = (1 to 200).map(i => ("small", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val sk = Sketches.mpQuantileSketch(df, "g", col("id"), col("v"), k = 256)
+    val rows = mpRows(sk)
+    assert(rows.size == 200 && rows.forall(r => r._4 == 0 && r._5 == 1L))
+    val est = Sketches.mpQuantileEstimate(sk, "g", Seq(500, 900))
+      .select(col("q"), col("est").cast("double")).as[(Double, Double)].collect().toMap
+    // weight-1 rows: estimate = value at rank ceil(q·n) — the lower exact quantile
+    assert(est(0.5) == 100.0 && est(0.9) == 180.0, s"exact-regime estimates $est")
+  }
+
+  test("MP sketch is a pure function of content: identical across partitionings") {
+    val df = (1 to 20000).map(i => (s"g${i % 2}", i.toLong, (i * 37 % 9973).toDouble))
+      .toDF("g", "id", "v")
+    val a = mpRows(Sketches.mpQuantileSketch(df, "g", col("id"), col("v"), k = 128))
+    val b = mpRows(Sketches.mpQuantileSketch(df.repartition(7, col("id")), "g",
+      col("id"), col("v"), k = 128))
+    assert(a == b && a.nonEmpty)
+    assert(a.groupBy(_._1).forall(_._2.size <= 128), "sketch exceeds k rows per group")
+  }
+
+  test("MP sketch estimates stay within the n/k rank-error bound (and beat the sample sketch's √ bound)") {
+    val n = 100000
+    val k = 256
+    val df = (1 to n).map(i => ("all", i.toLong, ((i * 7919) % n).toDouble)).toDF("g", "id", "v")
+    val sk = Sketches.mpQuantileSketch(df, "g", col("id"), col("v"), k = k)
+    val est = Sketches.mpQuantileEstimate(sk, "g", Seq(100, 250, 500, 750, 900, 990))
+      .select(col("q"), col("est").cast("double")).as[(Double, Double)].collect()
+    est.foreach { case (q, v) =>
+      // values are a permutation of 0..n-1, so rank(v) == v + 1
+      val rankErr = math.abs((v + 1) - q * n)
+      assert(rankErr <= n.toDouble / k,
+        s"q=$q est=$v rank error $rankErr exceeds n/k = ${n / k}")
+    }
+  }
+
+  test("MP sketches merge: deterministic, ≤ k rows, within the one-extra-level error bound") {
+    val n = 60000
+    val k = 256
+    val all = (1 to n).map(i => ("g", i.toLong, ((i.toLong * 104729L) % n).toDouble))
+    val (xs, ys) = all.partition(_._2 % 2 == 0) // interleaved slices, not value ranges
+    val a = Sketches.mpQuantileSketch(xs.toDF("g", "id", "v"), "g", col("id"), col("v"), k = k)
+    val b = Sketches.mpQuantileSketch(ys.toDF("g", "id", "v"), "g", col("id"), col("v"), k = k)
+    val m1 = mpRows(Sketches.mpMerge(a, b, "g", k = k))
+    val m2 = mpRows(Sketches.mpMerge(a.repartition(5), b.repartition(3), "g", k = k))
+    assert(m1 == m2 && m1.nonEmpty && m1.size <= k)
+    val est = Sketches.mpQuantileEstimate(
+      Sketches.mpMerge(a, b, "g", k = k), "g", Seq(500, 900))
+      .select(col("q"), col("est").cast("double")).as[(Double, Double)].collect()
+    est.foreach { case (q, v) =>
+      val rankErr = math.abs((v + 1) - q * n)
+      assert(rankErr <= 2.0 * n / k, s"merged q=$q est=$v rank error $rankErr > 2n/k")
+    }
+  }
+
+  test("MP sketch: empty input yields empty sketch and empty estimates") {
+    val df = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    val sk = Sketches.mpQuantileSketch(df, "g", col("id"), col("v"), k = 16)
+    assert(sk.count() == 0)
+    assert(Sketches.mpQuantileEstimate(sk, "g", Seq(500)).count() == 0)
+  }
 }
