@@ -896,6 +896,121 @@ object GraphAnalytics {
       .select(col("u").as("vid"), col("core_degree"))
   }
 
+  /** Strongly connected components — deterministic multi-pivot
+    * forward-backward coloring (the FW-BW family of Fleischer et al.
+    * 2000 with Orzan's 2004 per-color parallel pivots; the standard
+    * distributed SCC shape, unlike Tarjan's inherently sequential DFS).
+    * Each outer pass over the still-unassigned subgraph:
+    *
+    *   1. FORWARD min-label fixpoint: color(v) = min active vertex that
+    *      reaches v. Labels only decrease, so Σcolor is strictly
+    *      monotone and one cheap aggregate per block detects the
+    *      fixpoint — no row-diff join.
+    *   2. Every color class provably contains its pivot (color(c) = c:
+    *      a smaller m reaching c would, via c→v, also reach and thus
+    *      re-color the whole class). BACKWARD reach fixpoint from the
+    *      pivots along reversed SAME-COLOR edges; the restriction is
+    *      sound because any v→pivot path from a same-SCC vertex stays
+    *      inside the SCC, and every SCC vertex shares the pivot's color.
+    *   3. color class ∩ backward reach = the pivot's SCC (forward reach
+    *      gives pivot→v, backward gives v→pivot). Assign those rows
+    *      scc_id = pivot, drop them and their edges, repeat.
+    *
+    * Every pass retires at least every current pivot's SCC, so outer
+    * passes are bounded by the DEPTH of the condensation DAG, not the
+    * SCC count — all roots of the remaining condensation go in
+    * parallel. The output is trajectory-independent (vid, scc_id = min
+    * member id): round/pass counts never show in the result, which is
+    * why a mutual-reachability oracle can check it without replaying
+    * the schedule (unlike the fixed-point PageRank family).
+    *
+    * Scale shape: per round ONE edge⋈label join + one min-combine
+    * groupBy ((vid, label) pairs on the wire, map-side combine — the
+    * [[ssspDistances]] relaxation shape), and the active subgraph only
+    * shrinks. Self-loops are dropped up front (a vertex is always in
+    * its own SCC); isolated vertices of the EDGE set cannot exist (every
+    * edge endpoint is a vertex), so the output covers exactly the
+    * endpoint vertex set. */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxOuterPasses: Int = 64,
+      maxRoundsPerFixpoint: Int = 10000): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var active = e0.select(col("u").as("vid")).unionAll(e0.select(col("v").as("vid")))
+      .distinct().localCheckpoint(true)
+    var aEdges = e0
+    val assignedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var nActive = active.count()
+    var pass = 0
+    while (nActive > 0) {
+      pass += 1
+      require(pass <= maxOuterPasses,
+        s"SCC exceeded $maxOuterPasses outer passes (condensation deeper than the bound)")
+
+      // 1. forward min-label fixpoint; Σcolor (exact DECIMAL) is strictly
+      // decreasing while any label changes — blocks of 4 rounds between
+      // checks amortize the action
+      var color = active.select(col("vid"), col("vid").as("c")).localCheckpoint(true)
+      var colorSum = color.agg(coalesce(sum(col("c").cast("decimal(38,0)")), lit(0))
+        .cast("decimal(38,0)")).head.getDecimal(0)
+      var converged = false
+      var rounds = 0
+      while (!converged) {
+        (1 to 4).foreach { _ =>
+          color = color.unionAll(
+            aEdges.join(color, aEdges("u") === color("vid"))
+              .select(aEdges("v").as("vid"), col("c")))
+            .groupBy("vid").agg(min(col("c")).as("c"))
+        }
+        rounds += 4
+        require(rounds <= maxRoundsPerFixpoint, "SCC forward fixpoint exceeded round bound")
+        color = color.localCheckpoint(true)
+        val s = color.agg(coalesce(sum(col("c").cast("decimal(38,0)")), lit(0))
+          .cast("decimal(38,0)")).head.getDecimal(0)
+        converged = s.compareTo(colorSum) == 0
+        colorSum = s
+      }
+
+      // 2. same-color edge list (reversed below) + backward reach from pivots;
+      // the reach set only grows, so a stable count is the fixpoint
+      val cu = color.withColumnRenamed("vid", "u").withColumnRenamed("c", "cu")
+      val cv = color.withColumnRenamed("vid", "v").withColumnRenamed("c", "cv")
+      val ce = aEdges.join(cu, Seq("u")).join(cv, Seq("v")).where(col("cu") === col("cv"))
+        .select(col("u"), col("v"), col("cu").as("c")).localCheckpoint(true)
+      var reach = color.where(col("vid") === col("c")).localCheckpoint(true)
+      var nReach = reach.count()
+      converged = false
+      rounds = 0
+      while (!converged) {
+        (1 to 4).foreach { _ =>
+          reach = reach.unionAll(
+            ce.join(reach, ce("v") === reach("vid")).select(ce("u").as("vid"), ce("c")))
+            .distinct()
+        }
+        rounds += 4
+        require(rounds <= maxRoundsPerFixpoint, "SCC backward fixpoint exceeded round bound")
+        reach = reach.localCheckpoint(true)
+        val n = reach.count()
+        converged = n == nReach
+        nReach = n
+      }
+
+      // 3. assign and shrink
+      val assigned = reach.select(col("vid"), col("c").as("scc_id")).localCheckpoint(true)
+      assignedParts += assigned
+      active = active.join(assigned, Seq("vid"), "left_anti").localCheckpoint(true)
+      val au = assigned.select(col("vid").as("u"))
+      val av = assigned.select(col("vid").as("v"))
+      aEdges = aEdges.join(au, Seq("u"), "left_anti")
+        .join(av, Seq("v"), "left_anti").localCheckpoint(true)
+      nActive = active.count()
+    }
+    if (assignedParts.isEmpty) e0.sparkSession.emptyDataFrame
+      .withColumn("vid", lit(0L)).withColumn("scc_id", lit(0L)).limit(0)
+    else assignedParts.reduce(_ unionAll _)
+  }
+
   /** Degree distribution of the unified graph: how many vertices have each
     * (in+out) degree — the classic first look at any 100 TB graph. */
   def degreeDistribution(g: PropertyGraph): DataFrame = {

@@ -354,7 +354,77 @@ object AnalyticsQueries {
   // oracle's convergence sentinel turns a wrong guess into a visible row
   private val SsspRounds = 6
 
+  /** Strongly connected components over a DERIVED cyclic graph (the TPC-H
+    * FK mapping is acyclic, so the fixture builds real cycles from the
+    * supplier table): per-(nation, bucket-of-8) rings — each a genuine
+    * directed cycle, hence one SCC — plus one-way bridges from a hub ring
+    * to every other ring's minimum vertex. The bridges connect everything
+    * WEAKLY: connected components would report a single component, while
+    * SCC must keep every ring separate because a one-way bridge is not
+    * mutual — exactly the semantic distinction the mutual-reachability
+    * oracle checks (and where a naive (fwd-min, bwd-min) label pairing
+    * gives wrong answers — see the diamond spec). */
+  def scc(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.stronglyConnectedComponents(sccFixtureEdges(s, dir))
+      .select(col("vid").as("s_suppkey"), col("scc_id"))
+
+  private[queries] def sccFixtureEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = graft.Tables(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("sk"), col("s_nationkey").cast("long").as("nk"))
+    val wRank = Window.partitionBy("nk").orderBy("sk")
+    val ringed = sup.withColumn("rn", row_number().over(wRank))
+      .withColumn("bk", expr(s"CAST((rn - 1) div $SccRingSize AS BIGINT)"))
+    val wRing = Window.partitionBy("nk", "bk").orderBy("sk")
+    // next supplier in the ring; the last row wraps to the ring's first
+    val ringEdges = ringed.select(col("sk").as("src"),
+      coalesce(lead("sk", 1).over(wRing), first("sk").over(wRing)).as("dst"))
+    val mins = ringed.groupBy("nk", "bk").agg(min("sk").as("msk"))
+    val hub = mins.select(min(struct(col("nk"), col("bk"), col("msk"))).as("h"))
+      .select(col("h.nk").as("hnk"), col("h.bk").as("hbk"), col("h.msk").as("hsk"))
+    val bridges = mins.crossJoin(broadcast(hub))
+      .where(!(col("nk") === col("hnk") && col("bk") === col("hbk")))
+      .select(col("hsk").as("src"), col("msk").as("dst"))
+    ringEdges.unionAll(bridges)
+  }
+
+  private val SccRingSize = 8
+
+  /** The SCC oracle needs no round replay: SCC output is trajectory-
+    * independent (unlike fixed-point PageRank), so DuckDB derives the
+    * same fixture edges and checks the DEFINITION — scc_id(v) = min{u :
+    * v↔u mutually reachable} via a recursive-CTE transitive closure.
+    * Quadratic closure is oracle-side only; the fixture's reach sets are
+    * ring-sized (~16k pairs at sf0.1). */
+  private def sccOracleSql(ringSize: Int): String =
+    s"""WITH RECURSIVE ringed AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS sk, CAST(s_nationkey AS BIGINT) AS nk,
+       |    (row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1) // $ringSize AS bk
+       |  FROM supplier),
+       |ring_edges AS (
+       |  SELECT sk AS src,
+       |    COALESCE(lead(sk) OVER (PARTITION BY nk, bk ORDER BY sk),
+       |             first_value(sk) OVER (PARTITION BY nk, bk ORDER BY sk)) AS dst
+       |  FROM ringed),
+       |mins AS (SELECT nk, bk, MIN(sk) AS msk FROM ringed GROUP BY nk, bk),
+       |hub AS (SELECT nk AS hnk, bk AS hbk, msk AS hsk FROM mins ORDER BY nk, bk LIMIT 1),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM ring_edges
+       |    UNION ALL
+       |    SELECT h.hsk, m.msk FROM mins m, hub h WHERE NOT (m.nk = h.hnk AND m.bk = h.hbk))
+       |  WHERE src <> dst),
+       |verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+       |reach AS (
+       |  SELECT v AS a, v AS b FROM verts
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+       |SELECT r1.a AS s_suppkey, MIN(r1.b) AS scc_id
+       |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+       |GROUP BY r1.a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_scc" -> (scc _),
     "g_pagerank" -> (pagerank _),
     "g_connected_components" -> (connectedComponents _),
     "g_triangles" -> (triangles _),
@@ -903,6 +973,7 @@ object AnalyticsQueries {
         |    ELSE round(CAST(COALESCE(t.cnt, 0) AS DOUBLE) * 2.0 / (d.degree * (d.degree - 1)), 6)
         |  END AS clustering_coeff
         |FROM deg d LEFT JOIN tcnt t ON t.vid = d.vid""".stripMargin,
+    "g_scc" -> sccOracleSql(SccRingSize),
     "g_pagerank_weighted" -> pagerankWeightedOracleSql(PrwRounds, PrReset),
     "g_hits" -> hitsOracleSql(HitsRounds),
     "g_link_features" -> linkFeaturesOracleSql(LinkTopK, LinkMinCommon),

@@ -330,4 +330,58 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
       topPerVertex = 3, minCommon = 2).count() == 0)
   }
+
+  // ------------------------------------------------- strongly connected
+
+  private def sccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphAnalytics.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("SCC: one-way bridges connect but never merge cycles") {
+    // {1,2} -> {3,4} -> {5,6,7}: weakly one component, strongly three
+    val scc = sccMap(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (2L, 3L), (4L, 5L)))
+    assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+    // same edges as an UNDIRECTED CC problem collapse to one component —
+    // the distinction the g_scc oracle checks at table scale
+    val cc = DataFramePregel.connectedComponents(
+      Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 6L), (6L, 7L),
+        (7L, 5L), (2L, 3L), (4L, 5L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1)
+  }
+
+  test("SCC: diamond DAG is all singletons (the case that breaks fwd/bwd label pairing)") {
+    // 1->3, 1->4, 3->2, 4->2: vertices 3 and 4 share min-forward-reacher 1
+    // and min-backward-reachable 2, yet are NOT one SCC
+    val scc = sccMap(Seq((1L, 3L), (1L, 4L), (3L, 2L), (4L, 2L)))
+    assert(scc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("SCC: deep condensation chain needs multiple outer passes and stays correct") {
+    // five 2-cycles chained by one-way bridges: condensation depth 5
+    val rings = (0 until 5).flatMap { i =>
+      val a = 2L * i + 1; val b = 2L * i + 2
+      Seq((a, b), (b, a))
+    }
+    val bridges = (0 until 4).map(i => (2L * i + 2, 2L * i + 3))
+    val scc = sccMap(rings ++ bridges)
+    (0 until 5).foreach { i =>
+      assert(scc(2L * i + 1) == 2L * i + 1 && scc(2L * i + 2) == 2L * i + 1)
+    }
+  }
+
+  test("SCC: self-loops and duplicate edges are harmless; result is partition-independent") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+    val a = sccMap(edges)
+    val b = GraphAnalytics.stronglyConnectedComponents(
+      edges.toDF("src", "dst").repartition(7)).as[(Long, Long)].collect().toMap
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 3L) && a == b)
+  }
+
+  test("SCC: empty edge set yields empty output") {
+    assert(GraphAnalytics.stronglyConnectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
 }
