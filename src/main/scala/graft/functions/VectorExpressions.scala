@@ -70,6 +70,64 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Fixed-point dot: Σ floor(xᵢ·wᵢ + 0.5) as an exact BIGINT, where the
+  * RIGHT side carries weights ALREADY SCALED to the integer grid (e.g.
+  * plane·10¹² for a pico grid) — the ENGINE-PORTABLE dot.
+  *
+  * A plain float dot is not portable: IEEE addition is non-associative
+  * and engines disagree on association — DuckDB's list_dot_product
+  * switches to an unrolled kernel at ≥32 elements, it rebalances even
+  * an explicit left-deep `a+b+c+…` SQL chain into a tree, and its
+  * constant folder merges `(v·p)·10¹²` into `v·(p·10¹²)`, each worth a
+  * last-ulp divergence at a floor boundary (all three measured). Here
+  * every term is ONE column×literal multiply, one add, one floor —
+  * identical doubles in, identical integer out, and the integer SUM is
+  * order-independent. Pre-scaling the weights driver-side is what
+  * removes the foldable 3-operand chain. Quantization costs 0.5 grid
+  * units per term — noise against any approximate-similarity use. The
+  * 6dp-DECIMAL text-score recipe, packaged as a codegen expression.
+  *
+  * Overflow headroom: |xᵢ·wᵢ| < 2^63/n per element — any normalized
+  * embedding on the pico grid qualifies by 5+ orders. */
+case class VecDotFixedPoint(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  @transient private lazy val readL = VecCodegen.reader(VecCodegen.elemType(left))
+  @transient private lazy val readR = VecCodegen.reader(VecCodegen.elemType(right))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(readL(a, i) * readR(b, i) + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val ga = VecCodegen.getter(VecCodegen.elemType(left), a, i)
+      val gb = VecCodegen.getter(VecCodegen.elemType(right), b, i)
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) java.lang.Math.floor($ga * $gb + 0.5);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotFixedPoint =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm of a float/double array column, in double. */
 case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -107,6 +165,8 @@ object VectorFunctions {
   /** Column-API wrappers around the native expressions. */
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vec_dot_fixed_point(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotFixedPoint(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def vec_norm(a: Column): Column =
     ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
 }

@@ -66,6 +66,12 @@ object Similarity {
     Seq.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** [[hyperplanes]] with entries snapped to float precision: float24 ×
+    * float24 products are exact in double, so the only rounding in the
+    * quantized dot is the grid snap itself. */
+  private[graft] def rpPlanes(dim: Int, outDim: Int, seed: Long): Seq[Array[Double]] =
+    hyperplanes(dim, outDim, seed).map(_.map(x => x.toFloat.toDouble))
+
   /** Sign-bit LSH signature of a vector column: bit i = sign(v · plane_i),
     * packed into a long bucket key. Pure column expressions. */
   def lshBucket(vec: Column, dim: Int, numBits: Int, seed: Long = 7L): Column = {
@@ -300,6 +306,37 @@ object Similarity {
     * over that query's rows. Queries the approximate pass missed entirely
     * score 0. One aggregation per side + a per-query join — runs at any
     * corpus scale the underlying top-k runs at. */
+  /** Johnson–Lindenstrauss random-projection dimensionality reduction:
+    * each output coordinate j is v · g_j / √outDim over the deterministic
+    * Gaussian directions of [[hyperplanes]] — E‖proj‖² = ‖v‖², pairwise
+    * distances concentrate within (1±ε) for outDim = O(log n / ε²)
+    * (Johnson & Lindenstrauss 1984). The 4-64× narrower vectors feed
+    * brute-force/IVF rerank pipelines at a fraction of the shuffle and
+    * scan bytes; like the LSH buckets, the projection is a pure function
+    * of content (fixed seed), so the SQL oracle replays it bit-for-bit
+    * via plane literals and `list_dot_product` — per-row column math,
+    * no shuffle at all. Output: idCol + outDim scalar `rp_j` columns
+    * (scalars, not an array, so driver comparators can sort them).
+    *
+    * The dot runs through [[graft.functions.VecDotFixedPoint]] against
+    * pico-grid-scaled planes — products quantized to the 1e-12 grid and
+    * summed as exact integers — because a plain float dot is NOT
+    * cross-engine portable (see that expression's scaladoc for the
+    * measured DuckDB reassociations); the ≤ dim·5e-13 quantization is
+    * noise against JL distortion. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, seed: Long = 11L): DataFrame = {
+    require(outDim >= 1 && dim >= 1, "dimensions must be positive")
+    val planes = rpPlanes(dim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val projections = planes.zipWithIndex.map { case (plane, j) =>
+      val picoPlane = array(plane.map(p => lit(p * 1e12)): _*)
+      ((graft.functions.VectorFunctions.vec_dot_fixed_point(
+        col(vecCol), picoPlane).cast("double") / lit(1e12)) * lit(scale)).as(s"rp_$j")
+    }
+    df.select(col(idCol) +: projections: _*)
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     val hits = exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id")),

@@ -140,6 +140,19 @@ object PipelineQueries {
     graft.operators.Dedup.nearDupClusters(docs, "doc_id", pairs)
   }
 
+  /** Johnson–Lindenstrauss random projection of the embedding corpus from
+    * 64 to 8 dims — the bandwidth-side ANN lever next to int8
+    * quantization (8× fewer coordinates vs 4× narrower ones): candidate
+    * generation runs on the reduced vectors, exact rerank on the
+    * originals. Pure per-row column math against literal planes (no
+    * shuffle); oracle replays every projection bit-for-bit. */
+  def rpReduce(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(
+      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", Dim, RpDim)
+
+  private val RpDim = 8
+
   /** Top-k over int8-quantized embeddings — the 4×-compressed ANN path;
     * scales cancel in cosine so the ranking needs no dequantization. */
   def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
@@ -165,6 +178,7 @@ object PipelineQueries {
     "dd_simhash" -> (simhash _),
     "dd_minhash_lsh" -> (minhashBands _),
     "ss_quant_topk" -> (quantizedTopK _),
+    "ss_rp_reduce" -> (rpReduce _),
     "dd_cluster" -> (cluster _),
     "ss_cosine_topk" -> (cosineTopK _),
     "ss_lsh_topk" -> (lshTopK _),
@@ -533,7 +547,31 @@ object PipelineQueries {
     else withIvf
   }
 
+  /** The JL projection in SQL: the same pico-grid plane literals, each
+    * dot replayed in VecDotFixedPoint's portable form — per-element
+    * floor(v[i]·w + 0.5) BIGINTs summed (exact integers:
+    * association-proof, which float sums are NOT — DuckDB's list kernel
+    * reorders at ≥32 elements, rebalances explicit `+` chains AND
+    * constant-folds p·10¹² subproducts; measured, see VecDotFixedPoint),
+    * one double division, one scale multiply. Bit-identical by
+    * construction. */
+  private val rpReduceOracle: String = {
+    val planes = Similarity.rpPlanes(Dim, 8, seed = 11L)
+    val scale = 1.0 / math.sqrt(8.0)
+    val cols = planes.zipWithIndex.map { case (plane, j) =>
+      val picos = plane.zipWithIndex
+        .map { case (p, i) => s"CAST(floor(v[${i + 1}]*${p * 1e12} + 0.5) AS BIGINT)" }
+        .mkString(" + ")
+      s"(CAST(($picos) AS DOUBLE) / 1e12) * $scale AS rp_$j"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id,
+       |  $cols
+       |FROM e""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
+    "ss_rp_reduce" -> rpReduceOracle,
     "dd_minhash_lsh" -> minhashOracle,
     "dd_simhash" -> simhashOracle,
     "mm_decode_features" -> decodeFeaturesOracle,

@@ -493,6 +493,66 @@ object RelationalQueries {
   private val MpK = 256
   private val MpQs = Seq(500, 900, 990)
 
+  /** Pairwise association-rule mining (market-basket) over order baskets:
+    * for part pairs co-ordered at least twice, support count, confidence
+    * P(cons|ant) and lift — the Agrawal-Srikant Apriori statistics at the
+    * pair level, which is the level that matters for co-occurrence
+    * recommendations and is fully join-expressible (no candidate-set
+    * recursion). Scale levers: baskets are distinct (order, part) pairs
+    * so multiplicities don't inflate counts; a basket-size cap bounds the
+    * self-join at B² per basket (the g_triangles recipe — oversized
+    * baskets are boilerplate, not signal); the final ordering is
+    * all-integer (count desc, then the pair) so the top-200 cut is
+    * deterministic and runs as TakeOrderedAndProject (per-partition
+    * top-N + merge, no global sort). Confidence and lift are single
+    * IEEE divisions of exact integers — bit-identical cross-engine. */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("oid"), col("l_partkey").cast("long").as("item"))
+      .distinct()
+    val wb = Window.partitionBy("oid")
+    val sized = li.withColumn("bs", count(lit(1)).over(wb))
+      .where(col("bs") <= AssocMaxBasket).select(col("oid"), col("item"))
+      .localCheckpoint(true)
+    val nBaskets = sized.agg(count_distinct(col("oid")).as("n_baskets"))
+    val itemCnt = sized.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val pairs = sized.as("a").join(sized.as("b"),
+        col("a.oid") === col("b.oid") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("ant"), col("b.item").as("cons"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= AssocMinCount)
+    pairs
+      .join(itemCnt.select(col("item").as("ant"), col("cnt").as("ant_cnt")), Seq("ant"))
+      .join(itemCnt.select(col("item").as("cons"), col("cnt").as("cons_cnt")), Seq("cons"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ant"), col("cons"), col("pair_cnt"), col("ant_cnt"), col("cons_cnt"),
+        (col("pair_cnt").cast("double") / col("ant_cnt").cast("double")).as("confidence"),
+        ((col("pair_cnt") * col("n_baskets")).cast("double") /
+          (col("ant_cnt") * col("cons_cnt")).cast("double")).as("lift"))
+      .orderBy(col("pair_cnt").desc, col("ant"), col("cons"))
+      .limit(200)
+  }
+
+  private val AssocMaxBasket = 10
+  private val AssocMinCount = 2
+
+  private val assocRulesOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS oid, CAST(l_partkey AS BIGINT) AS item FROM lineitem),
+       |sized AS (SELECT oid, item FROM (
+       |  SELECT oid, item, COUNT(*) OVER (PARTITION BY oid) AS bs FROM li)
+       |  WHERE bs <= $AssocMaxBasket),
+       |n AS (SELECT COUNT(DISTINCT oid) AS n_baskets FROM sized),
+       |ic AS (SELECT item, COUNT(*) AS cnt FROM sized GROUP BY item),
+       |pairs AS (SELECT a.item AS ant, b.item AS cons, COUNT(*) AS pair_cnt
+       |  FROM sized a JOIN sized b ON a.oid = b.oid AND a.item <> b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $AssocMinCount)
+       |SELECT ant, cons, pair_cnt, ia.cnt AS ant_cnt, ib.cnt AS cons_cnt,
+       |  CAST(pair_cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
+       |  CAST(pair_cnt * n_baskets AS DOUBLE) / CAST(ia.cnt * ib.cnt AS DOUBLE) AS lift
+       |FROM pairs JOIN ic ia ON ia.item = pairs.ant
+       |  JOIN ic ib ON ib.item = pairs.cons, n
+       |ORDER BY pair_cnt DESC, ant, cons LIMIT 200""".stripMargin
+
   /** Bloom-filter membership, driver-checked bit for bit: a sketch of the
     * custkeys with Q4-1996 orders probed by every customer, next to the
     * true membership so false positives are VISIBLE (and deterministic —
@@ -531,6 +591,7 @@ object RelationalQueries {
     "q_bloom_filter" -> (bloomFilter _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_mp_quantiles" -> (mpQuantiles _),
+    "q_assoc_rules" -> (assocRules _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_cms_heavy" -> (cmsHeavy _),
     "g_csv_typed" -> (csvTyped _),
@@ -773,6 +834,7 @@ object RelationalQueries {
     "q_bloom_filter" -> bloomFilterOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
     "q_mp_quantiles" -> mpQuantilesOracle,
+    "q_assoc_rules" -> assocRulesOracle,
     "q_hll_distinct" ->
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(hllColumnSql).mkString("\nUNION ALL\n"),
     "q_cms_heavy" -> cmsHeavyOracle,

@@ -121,4 +121,38 @@ class SimilaritySpec extends SparkTestBase {
     val recall = Similarity.recallAtK(ivf, bf).agg(avg($"recall")).as[Double].head()
     assert(recall == 1.0, s"full-probe IVF must have recall 1.0, got $recall")
   }
+
+  test("random projection: norms concentrate (JL), deterministic across partitionings") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(vecs, "vec_id", "embedding", dim = 64, outDim = 8)
+    assert(proj.columns.toSeq == "vec_id" +: (0 until 8).map(i => s"rp_$i"))
+    // E||proj||^2 == E||v||^2 — the mean squared-norm ratio concentrates
+    // around 1 even at outDim = 8 when averaged over 200 vectors
+    val sqn = proj.select($"vec_id",
+      (0 until 8).map(i => col(s"rp_$i") * col(s"rp_$i")).reduce(_ + _).as("p2"))
+    val orig = vecs.select($"vec_id",
+      graft.functions.VectorFunctions.vec_dot($"embedding", $"embedding").as("v2"))
+    val ratio = sqn.join(orig, "vec_id")
+      .agg(avg($"p2" / $"v2")).as[Double].head()
+    assert(math.abs(ratio - 1.0) < 0.25, s"mean norm ratio $ratio should be ~1")
+    // pure function of content: identical under repartition
+    val a = proj.as[(Long, Double, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().toSet
+    val b = Similarity.randomProjection(vecs.repartition(7), "vec_id", "embedding", 64, 8)
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(a == b)
+  }
+
+  test("fixed-point dot: matches a double dot to the grid and is exactly integer picos") {
+    val vecs = Seq((1L, Array(0.5f, -0.25f, 0.125f))).toDF("vec_id", "embedding")
+    val w = Array(1.0, 2.0, 4.0)
+    val pico = org.apache.spark.sql.functions.array(w.map(x => lit(x * 1e12)): _*)
+    val got = vecs.select(graft.functions.VectorFunctions
+      .vec_dot_fixed_point($"embedding", pico).as("s")).as[Long].head()
+    // 0.5*1 - 0.25*2 + 0.125*4 = 0.5 exactly -> 5e11 picos
+    assert(got == 500000000000L)
+  }
 }
