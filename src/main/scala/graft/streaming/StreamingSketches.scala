@@ -128,4 +128,36 @@ object StreamingSketches {
     val union = spark.read.parquet(dirs: _*)
     Sketches.quantileSample(union, groupCol, col("sample_id"), col("value"), k)
   }
+
+  /** Maintain per-batch Munro-Paterson quantile sketches under
+    * `sketchDir/batch_<id>` — each batch compacted to ≤ k weighted rows
+    * before it lands, so the at-rest footprint is batches·k rows
+    * regardless of stream volume. */
+  def mpQuantileSketchStream(
+      rows: DataFrame, groupCol: String, idCol: String, valueCol: String,
+      sketchDir: String, checkpointDir: String,
+      k: Int = Sketches.MpSketchK): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.mpQuantileSketch(batch, groupCol, col(idCol), col(valueCol), k)
+          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+      }
+      .start()
+
+  /** Fold all per-batch MP sketches into the corpus sketch via pairwise
+    * [[Sketches.mpMerge]] in batch-id order. Unlike the other four
+    * sketch folds this one is LOSSY-but-bounded rather than identical to
+    * the one-shot sketch (each merge spends another compaction level of
+    * the Σ 2^ℓ/2 rank-error budget — the price of o(1/√k) accuracy in a
+    * mergeable summary); it IS deterministic for a given batch split,
+    * and the spec checks the folded estimates stay inside the widened
+    * bound next to the one-shot sketch. */
+  def mergedMpQuantileSketch(spark: SparkSession, sketchDir: String,
+      groupCol: String, k: Int = Sketches.MpSketchK): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, sketchDir).sortBy(_._1).map(_._2)
+    require(dirs.nonEmpty, s"no sketch batches under $sketchDir")
+    dirs.map(spark.read.parquet(_))
+      .reduce((a, b) => Sketches.mpMerge(a, b, groupCol, k))
+  }
 }

@@ -98,4 +98,36 @@ class StreamingSketchesSpec extends SparkTestBase {
     assert(streamSample == batchSample)
     assert(streamSample.count(_._1 == "g0") == 100)
   }
+
+  test("streaming MP sketches fold deterministically and estimates stay inside the widened bound") {
+    val dir = Files.createTempDirectory("ss-mp").toString
+    val ckpt = Files.createTempDirectory("ss-mp-ckpt").toString
+    val n = 30000
+    val k = 128
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamingSketches.mpQuantileSketchStream(
+      ms.toDF().toDF("g", "id", "v"), "g", "id", "v", dir, ckpt, k = k)
+    // interleaved slices (same value distribution per batch)
+    val all = (1 to n).map(i => ("g", i.toLong, ((i.toLong * 104729L) % n).toDouble))
+    try {
+      ms.addData(all.filter(_._2 % 2 == 0): _*)
+      q.processAllAvailable()
+      ms.addData(all.filter(_._2 % 2 == 1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val folded = StreamingSketches.mergedMpQuantileSketch(spark, dir, "g", k = k)
+    assert(folded.count() <= k)
+    // fold twice — deterministic for a given batch split
+    val again = StreamingSketches.mergedMpQuantileSketch(spark, dir, "g", k = k)
+      .as[(String, Double, String, Int, Long)].collect().toSet
+    assert(folded.as[(String, Double, String, Int, Long)].collect().toSet == again)
+    // estimates within the one-extra-level bound (2n/k ranks); values are
+    // a permutation of 0..n-1 so rank(v) = v + 1
+    val est = Sketches.mpQuantileEstimate(folded, "g", Seq(500, 900))
+      .select(col("q"), col("est").cast("double")).as[(Double, Double)].collect()
+    est.foreach { case (qq, v) =>
+      val rankErr = math.abs((v + 1) - qq * n)
+      assert(rankErr <= 2.0 * n / k, s"folded q=$qq est=$v rank error $rankErr > 2n/k")
+    }
+  }
 }
