@@ -275,6 +275,61 @@ object Sketches {
       .select(col(groupCol), col("value"))
   }
 
+  // ------------------------------------------------- KMV (theta) sketch
+
+  /** Default KMV size: relative error ≈ 1/√(k−2) ≈ 3.2% at k=1024. */
+  val KmvK = 1024
+
+  /** K-minimum-values (theta) distinct-count sketch (Bar-Yossef et al.
+    * 2002; the Apache theta-sketch shape): keep the k smallest portable
+    * md5 hashes of the distinct values. What it buys over HLL is SET
+    * OPERATIONS: two sketches intersect/difference by plain set algebra
+    * on their hash samples below a shared θ — HLL registers can union
+    * (max-merge) but fundamentally cannot intersect. Deterministic
+    * (content-keyed hashes, no coins), so build AND estimates replay in
+    * SQL bit-for-bit.
+    *
+    * Scale shape: distinct + global bottom-k = one (hash)-keyed
+    * aggregation then TakeOrderedAndProject-style per-partition top-k —
+    * ≤ partitions·k rows move. Output: single column `h`, the ≤ k
+    * smallest 60-bit hashes. Sketches of slices union-merge (re-take
+    * bottom-k of the union — exact, like the quantile sample). */
+  def kmvSketch(df: DataFrame, value: Column, k: Int = KmvK): DataFrame =
+    df.select(Dedup.md5Long(value.cast("string")).as("h"))
+      .distinct().orderBy("h").limit(k)
+
+  /** Distinct-count estimate from a KMV sketch: (k−1)·2^60/h_k with
+    * h_k the largest retained hash — or the EXACT count when the whole
+    * distinct set fit (fewer than k hashes). One BIGINT→double cast per
+    * operand and one division: engine-exact. */
+  def kmvEstimate(sketch: DataFrame, k: Int = KmvK): DataFrame =
+    sketch.agg(count(lit(1)).as("n"), coalesce(max(col("h")), lit(0L)).as("hk"))
+      .select(when(col("n") < k, col("n").cast("double"))
+        .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("hk").cast("double"))
+        .as("approx_distinct"))
+
+  /** Intersection-cardinality estimate from two KMV sketches: both
+    * samples are uniform below their θ (the k-th min hash), so below
+    * θ = min(θ_A, θ_B) the shared hashes are a uniform sample of the
+    * intersection: |A∩B| ≈ |S_A ∩ S_B ∩ [0,θ)| · 2^60/θ. When either
+    * side kept its whole set (n < k, θ treated as 2^60) the estimate
+    * degrades gracefully toward exact. Same recipe estimates ANY set
+    * expression (union via inclusion-exclusion or direct merge,
+    * difference by A-side-only hashes) — the operation HLL cannot do. */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
+    def theta(s: DataFrame) = s.agg(
+      when(count(lit(1)) < k, lit(1L << 60)).otherwise(max(col("h"))).as("theta"))
+    val thetas = theta(a).crossJoin(theta(b).withColumnRenamed("theta", "theta_b"))
+      .select(least(col("theta"), col("theta_b")).as("theta"))
+    // count agg keeps the one-row shape even for an empty intersection
+    val d = a.join(b, Seq("h"), "inner").crossJoin(broadcast(thetas))
+      .where(col("h") < col("theta"))
+      .agg(count(lit(1)).as("d"))
+    d.crossJoin(thetas)
+      .select((col("d").cast("double") * lit(math.pow(2, 60)) / col("theta").cast("double"))
+        .as("approx_intersection"))
+  }
+
   // ------------------------------------------- multi-level quantile sketch
 
   /** Default compaction-sketch size: with L = ceil(log2(n/k)) levels the

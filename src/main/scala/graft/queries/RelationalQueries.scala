@@ -536,6 +536,72 @@ object RelationalQueries {
   private val AssocMaxBasket = 10
   private val AssocMinCount = 2
 
+  /** KMV (theta) sketch set operations, driver-checked INCLUDING the
+    * estimates: the distinct customer cohorts of 1995-H1 and 1995-H2
+    * orders are sketched as their k smallest portable hashes, and the
+    * INTERSECTION cardinality — the operation HLL registers cannot
+    * express — is estimated from the shared sample below the joint θ,
+    * next to all three exact counts so the error is visible. The gate
+    * SFs exercise both regimes: below k the sketch degrades to exact,
+    * above it the θ estimator is live. */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    def cohort(from: String, until: String) =
+      o.where(to_date(col("o_orderdate")) >= lit(from) &&
+        to_date(col("o_orderdate")) < lit(until)).select(col("o_custkey"))
+    val (a, b) = (cohort("1995-01-01", "1995-07-01"), cohort("1995-07-01", "1996-01-01"))
+    val sa = graft.operators.Sketches.kmvSketch(a, col("o_custkey"), KmvQueryK).localCheckpoint(true)
+    val sb = graft.operators.Sketches.kmvSketch(b, col("o_custkey"), KmvQueryK).localCheckpoint(true)
+    val estA = graft.operators.Sketches.kmvEstimate(sa, KmvQueryK).withColumnRenamed("approx_distinct", "approx_a")
+    val estB = graft.operators.Sketches.kmvEstimate(sb, KmvQueryK).withColumnRenamed("approx_distinct", "approx_b")
+    val estI = graft.operators.Sketches.kmvIntersectEstimate(sa, sb, KmvQueryK)
+    val exact = a.distinct().join(b.distinct(), Seq("o_custkey"), "inner")
+      .agg(count(lit(1)).as("exact_intersection"))
+      .crossJoin(a.agg(count_distinct(col("o_custkey")).as("exact_a")))
+      .crossJoin(b.agg(count_distinct(col("o_custkey")).as("exact_b")))
+    estA.crossJoin(estB).crossJoin(estI).crossJoin(exact)
+      .select(col("approx_a"), col("approx_b"), col("approx_intersection"),
+        col("exact_a"), col("exact_b"), col("exact_intersection"))
+  }
+
+  private val KmvQueryK = 1024
+
+  private val kmvSetOpsOracle: String = {
+    val k = KmvQueryK
+    val numer = (k - 1).toDouble * math.pow(2, 60)
+    val full = 1L << 60
+    s"""WITH av AS (SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+       |    AND CAST(o_orderdate AS DATE) < DATE '1995-07-01'),
+       |bv AS (SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+       |    AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'),
+       |ask AS (SELECT h FROM av ORDER BY h LIMIT $k),
+       |bsk AS (SELECT h FROM bv ORDER BY h LIMIT $k),
+       |ae AS (SELECT CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+       |    ELSE $numer / CAST(MAX(h) AS DOUBLE) END AS approx_a FROM ask),
+       |be AS (SELECT CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+       |    ELSE $numer / CAST(MAX(h) AS DOUBLE) END AS approx_b FROM bsk),
+       |ath AS (SELECT CASE WHEN COUNT(*) < $k THEN $full ELSE MAX(h) END AS th FROM ask),
+       |bth AS (SELECT CASE WHEN COUNT(*) < $k THEN $full ELSE MAX(h) END AS th FROM bsk),
+       |th AS (SELECT LEAST(a.th, b.th) AS theta FROM ath a, bth b),
+       |d AS (SELECT COUNT(*) AS d FROM ask JOIN bsk USING (h), th WHERE h < theta),
+       |ie AS (SELECT CAST(d AS DOUBLE) * ${math.pow(2, 60)} / CAST(theta AS DOUBLE) AS approx_intersection
+       |  FROM d, th),
+       |exa AS (SELECT COUNT(DISTINCT o_custkey) AS exact_a FROM orders
+       |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' AND CAST(o_orderdate AS DATE) < DATE '1995-07-01'),
+       |exb AS (SELECT COUNT(DISTINCT o_custkey) AS exact_b FROM orders
+       |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01' AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'),
+       |exi AS (SELECT COUNT(*) AS exact_intersection FROM
+       |  (SELECT DISTINCT o_custkey FROM orders
+       |    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' AND CAST(o_orderdate AS DATE) < DATE '1995-07-01')
+       |  NATURAL JOIN
+       |  (SELECT DISTINCT o_custkey FROM orders
+       |    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01' AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'))
+       |SELECT approx_a, approx_b, approx_intersection, exact_a, exact_b, exact_intersection
+       |FROM ae, be, ie, exa, exb, exi""".stripMargin
+  }
+
   private val assocRulesOracle: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS oid, CAST(l_partkey AS BIGINT) AS item FROM lineitem),
        |sized AS (SELECT oid, item FROM (
@@ -592,6 +658,7 @@ object RelationalQueries {
     "q_quantile_sketch" -> (quantileSketch _),
     "q_mp_quantiles" -> (mpQuantiles _),
     "q_assoc_rules" -> (assocRules _),
+    "q_kmv_setops" -> (kmvSetOps _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_cms_heavy" -> (cmsHeavy _),
     "g_csv_typed" -> (csvTyped _),
@@ -835,6 +902,7 @@ object RelationalQueries {
     "q_quantile_sketch" -> quantileSketchOracle,
     "q_mp_quantiles" -> mpQuantilesOracle,
     "q_assoc_rules" -> assocRulesOracle,
+    "q_kmv_setops" -> kmvSetOpsOracle,
     "q_hll_distinct" ->
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(hllColumnSql).mkString("\nUNION ALL\n"),
     "q_cms_heavy" -> cmsHeavyOracle,

@@ -164,6 +164,37 @@ class SketchesSpec extends SparkTestBase {
     assert(p50 == 20.5)
   }
 
+  // --------------------------------------------------- KMV (theta) sketch
+
+  test("KMV: exact below k, concentrated estimate above k, slices union-merge") {
+    val small = (1 to 300).map(i => s"v$i").toDF("v")
+    val sSmall = Sketches.kmvSketch(small, col("v"), k = 1024)
+    assert(Sketches.kmvEstimate(sSmall, k = 1024).as[Double].head() == 300.0)
+    val n = 40000
+    val big = (1 to n).map(i => s"v$i").toDF("v")
+    val sBig = Sketches.kmvSketch(big, col("v"), k = 1024)
+    val est = Sketches.kmvEstimate(sBig, k = 1024).as[Double].head()
+    assert(math.abs(est - n) / n < 0.15, s"KMV estimate $est for true $n")
+    // union-merge: bottom-k of two slice sketches == whole-corpus sketch
+    val s1 = Sketches.kmvSketch((1 to 25000).map(i => s"v$i").toDF("v"), col("v"), k = 1024)
+    val s2 = Sketches.kmvSketch((20000 to n).map(i => s"v$i").toDF("v"), col("v"), k = 1024)
+    val merged = s1.unionAll(s2).distinct().orderBy("h").limit(1024)
+    assert(merged.as[Long].collect().toSeq == sBig.as[Long].collect().toSeq)
+  }
+
+  test("KMV intersection: the set operation HLL cannot do, within theta-sample error") {
+    val n = 30000
+    val a = (1 to n).map(i => s"u$i").toDF("v")            // 1..30000
+    val b = (10001 to n + 10000).map(i => s"u$i").toDF("v") // 10001..40000 -> overlap 20000
+    val sa = Sketches.kmvSketch(a, col("v"), k = 1024)
+    val sb = Sketches.kmvSketch(b, col("v"), k = 1024)
+    val est = Sketches.kmvIntersectEstimate(sa, sb, k = 1024).as[Double].head()
+    assert(math.abs(est - 20000) / 20000.0 < 0.2, s"intersection estimate $est for true 20000")
+    // disjoint sets -> exactly 0.0 (empty shared sample)
+    val sc = Sketches.kmvSketch((1 to 5000).map(i => s"x$i").toDF("v"), col("v"), k = 1024)
+    assert(Sketches.kmvIntersectEstimate(sa, sc, k = 1024).as[Double].head() == 0.0)
+  }
+
   // ----------------------------------------- multi-level quantile sketch
 
   private def mpRows(df: org.apache.spark.sql.DataFrame): Set[(String, Double, String, Int, Long)] =
