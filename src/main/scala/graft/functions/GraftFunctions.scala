@@ -40,6 +40,7 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "vec_dot_fixed_point" -> (es => VecDotFixedPoint(es(0), es(1))),
     "vec_norm" -> (es => VecNorm(es.head)),
     "graft_token_count" -> (es => tokenCount(es.head)),
     "graft_hamming" -> (es => hamming(es(0), es(1))),

@@ -566,6 +566,42 @@ object RelationalQueries {
 
   private val KmvQueryK = 1024
 
+  /** Ranking-family window breadth in one pass: row_number, dense_rank,
+    * rank-based percent_rank, cume_dist and ntile(4) over a month's
+    * orders per priority class — one window spec, one sort, five
+    * functions. percent_rank/cume_dist are single divisions of the same
+    * integers in both engines; dense_rank and cume_dist are
+    * tie-deterministic by definition, row_number/ntile get a total
+    * (price, key) ordering. */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit("1995-03-01") &&
+        to_date(col("o_orderdate")) < lit("1995-04-01"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast("double").as("price"),
+      row_number().over(w).cast("long").as("rn"),
+      dense_rank().over(w).cast("long").as("drank"),
+      percent_rank().over(w).as("prank"),
+      cume_dist().over(w).as("cdist"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  private val windowFuncsOracle: String =
+    """WITH o AS (SELECT * FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+      |    AND CAST(o_orderdate AS DATE) < DATE '1995-04-01')
+      |SELECT o_orderkey, o_orderpriority,
+      |  CAST(o_totalprice AS DOUBLE) AS price,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+
   private val kmvSetOpsOracle: String = {
     val k = KmvQueryK
     val numer = (k - 1).toDouble * math.pow(2, 60)
@@ -659,6 +695,7 @@ object RelationalQueries {
     "q_mp_quantiles" -> (mpQuantiles _),
     "q_assoc_rules" -> (assocRules _),
     "q_kmv_setops" -> (kmvSetOps _),
+    "q_window_funcs" -> (windowFuncs _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_cms_heavy" -> (cmsHeavy _),
     "g_csv_typed" -> (csvTyped _),
@@ -903,6 +940,7 @@ object RelationalQueries {
     "q_mp_quantiles" -> mpQuantilesOracle,
     "q_assoc_rules" -> assocRulesOracle,
     "q_kmv_setops" -> kmvSetOpsOracle,
+    "q_window_funcs" -> windowFuncsOracle,
     "q_hll_distinct" ->
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(hllColumnSql).mkString("\nUNION ALL\n"),
     "q_cms_heavy" -> cmsHeavyOracle,

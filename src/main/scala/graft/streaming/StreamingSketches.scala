@@ -129,6 +129,30 @@ object StreamingSketches {
     Sketches.quantileSample(union, groupCol, col("sample_id"), col("value"), k)
   }
 
+  /** Maintain per-batch KMV (theta) sketches under `sketchDir/batch_<id>`
+    * — ≤ k hash rows per batch. */
+  def kmvSketchStream(
+      rows: DataFrame, valueCol: String, sketchDir: String, checkpointDir: String,
+      k: Int = Sketches.KmvK): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.kmvSketch(batch, col(valueCol), k)
+          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+      }
+      .start()
+
+  /** Fold all per-batch KMV sketches into the corpus sketch — bottom-k
+    * of the union of per-batch bottom-k sets IS the whole-stream sketch
+    * (exact merge, like the quantile sample; spec-checked), so
+    * intersection estimates between streamed cohorts stay available. */
+  def mergedKmvSketch(spark: SparkSession, sketchDir: String,
+      k: Int = Sketches.KmvK): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, sketchDir).map(_._2)
+    require(dirs.nonEmpty, s"no sketch batches under $sketchDir")
+    spark.read.parquet(dirs: _*).distinct().orderBy("h").limit(k)
+  }
+
   /** Maintain per-batch Munro-Paterson quantile sketches under
     * `sketchDir/batch_<id>` — each batch compacted to ≤ k weighted rows
     * before it lands, so the at-rest footprint is batches·k rows

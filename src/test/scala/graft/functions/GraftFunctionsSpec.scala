@@ -12,6 +12,11 @@ class GraftFunctionsSpec extends SparkTestBase {
       .as[(Double, Double)].head()
     assert(r._1 == 11.0)
     assert(math.abs(r._2 - math.sqrt(5.0)) < 1e-12)
+    // fixed-point dot: weights pre-scaled to the pico grid
+    val fp = spark.sql(
+      "SELECT vec_dot_fixed_point(a, array(3e12d, 4e12d)) FROM vecs")
+      .as[Long].head()
+    assert(fp == 11L * 1000000000000L)
   }
 
   test("SQL text primitives agree with the Column API definitions") {

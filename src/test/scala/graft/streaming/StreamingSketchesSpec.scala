@@ -99,6 +99,26 @@ class StreamingSketchesSpec extends SparkTestBase {
     assert(streamSample.count(_._1 == "g0") == 100)
   }
 
+  test("streaming KMV sketches fold to EXACTLY the one-shot batch sketch") {
+    val dir = Files.createTempDirectory("ss-kmv").toString
+    val ckpt = Files.createTempDirectory("ss-kmv-ckpt").toString
+    val ms = MemoryStream[String](spark)
+    val q = StreamingSketches.kmvSketchStream(ms.toDF().toDF("v"), "v", dir, ckpt, k = 256)
+    try {
+      ms.addData((1 to 5000).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      ms.addData((4000 to 9000).map(i => s"u$i"): _*) // overlap
+      q.processAllAvailable()
+    } finally q.stop()
+    val whole = (1 to 9000).map(i => s"u$i").toDF("v")
+    val batchSk = Sketches.kmvSketch(whole, col("v"), k = 256).as[Long].collect().toSeq
+    val streamSk = StreamingSketches.mergedKmvSketch(spark, dir, k = 256).as[Long].collect().toSeq
+    assert(streamSk == batchSk)
+    val est = Sketches.kmvEstimate(
+      StreamingSketches.mergedKmvSketch(spark, dir, k = 256), k = 256).as[Double].head()
+    assert(math.abs(est - 9000) / 9000.0 < 0.3, s"estimate $est for 9000")
+  }
+
   test("streaming MP sketches fold deterministically and estimates stay inside the widened bound") {
     val dir = Files.createTempDirectory("ss-mp").toString
     val ckpt = Files.createTempDirectory("ss-mp-ckpt").toString
