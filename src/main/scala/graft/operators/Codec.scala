@@ -26,12 +26,17 @@ object Codec {
     b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
   }
 
-  /** Container sniff by magic bytes: BMP ("BM"), WAV ("RIFF"+"WAVE"). */
+  private val PngSignature: Array[Int] = Array(137, 80, 78, 71, 13, 10, 26, 10)
+
+  /** Container sniff by magic bytes: BMP ("BM"), WAV ("RIFF"+"WAVE"),
+    * PNG (8-byte signature). */
   def detectFormat(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("image/bmp")
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
       Some("audio/wav")
+    else if (bytes.length >= 8 && (0 until 8).forall(i => (bytes(i) & 0xFF) == PngSignature(i)))
+      Some("image/png")
     else None
 
   // ------------------------------------------------------------------ BMP
@@ -148,6 +153,211 @@ object Codec {
       y += 1
     }
     encodeBmp(w2, h2, out)
+  }
+
+  // ------------------------------------------------------------------ PNG
+
+  /** Decoded PNG: 8-bit RGB (channels=3) or RGBA (channels=4) samples,
+    * row-major top-down. */
+  final case class Png(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  // big-endian readers/writers (PNG chunk framing is network order)
+  private def i32be(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def putI32be(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+    out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, kind: String, data: Array[Byte]): Unit = {
+    putI32be(out, data.length)
+    val kb = kind.getBytes("US-ASCII")
+    out.write(kb, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(kb); crc.update(data)
+    putI32be(out, crc.getValue.toInt)
+  }
+
+  /** Encode an 8-bit RGB/RGBA PNG: IHDR + one deflated IDAT (every
+    * scanline filter 0) + IEND, CRC32 per chunk. Lossless: decodePng
+    * returns exactly `pixels`. */
+  def encodePng(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 3 || channels == 4, s"channels must be 3 or 4, got $channels")
+    require(pixels.length == channels * width * height,
+      s"need ${channels * width * height} bytes, got ${pixels.length}")
+    val out = new java.io.ByteArrayOutputStream
+    PngSignature.foreach(out.write)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+    ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+    ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (channels == 3) 2 else 6).toByte // color type RGB / RGBA
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, adaptive filters, no interlace
+    pngChunk(out, "IHDR", ihdr)
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (stride + 1)) = 0 // filter type None per scanline
+      System.arraycopy(pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](math.max(1024, raw.length + 64))
+    val comp = new java.io.ByteArrayOutputStream
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      comp.write(buf, 0, n)
+    }
+    deflater.end()
+    pngChunk(out, "IDAT", comp.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse an 8-bit RGB/RGBA non-interlaced PNG — a REAL decoder: chunk
+    * walk with CRC32 verification, concatenated-IDAT zlib inflate
+    * (java.util.zip.Inflater), and per-scanline unfiltering of all five
+    * PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6). Throws
+    * on other color types/bit depths, interlacing, truncation, CRC
+    * mismatch, or inflate errors — hostile containers fail with a
+    * require/IO error, never a corrupt image. */
+  def decodePng(bytes: Array[Byte]): Png = {
+    require(detectFormat(bytes).contains("image/png"), "not a PNG payload")
+    var pos = 8
+    var width = 0; var height = 0; var channels = 0
+    var haveIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream
+    while (pos + 8 <= bytes.length && !sawIend) {
+      val len = i32be(bytes, pos)
+      require(len >= 0 && pos + 12L + len <= bytes.length,
+        s"malformed PNG chunk at $pos (len=$len of ${bytes.length} bytes)")
+      val kind = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == i32be(bytes, pos + 8 + len),
+        s"PNG chunk '$kind' CRC mismatch at $pos")
+      kind match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          width = i32be(bytes, pos + 8)
+          height = i32be(bytes, pos + 12)
+          val bitDepth = u8(bytes, pos + 16)
+          val colorType = u8(bytes, pos + 17)
+          val interlace = u8(bytes, pos + 20)
+          require(width > 0 && height > 0, s"invalid PNG dimensions ${width}x$height")
+          require(bitDepth == 8 && (colorType == 2 || colorType == 6) && interlace == 0,
+            s"only 8-bit RGB/RGBA non-interlaced PNG (depth=$bitDepth color=$colorType interlace=$interlace)")
+          channels = if (colorType == 2) 3 else 4
+          require(width.toLong * height * channels <= Int.MaxValue, s"PNG too large (${width}x$height)")
+          haveIhdr = true
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawIend = true
+        case _ => // ancillary chunk (tEXt, pHYs, ...) — skip
+      }
+      pos += 12 + len
+    }
+    require(haveIhdr, "PNG has no IHDR chunk")
+    require(idat.size() > 0, "PNG has no IDAT data")
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        require(n > 0 || inflater.finished(), "PNG inflate stalled (truncated IDAT)")
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"PNG IDAT not valid zlib: ${e.getMessage}")
+    } finally inflater.end()
+    require(off == raw.length, s"PNG pixel data truncated ($off of ${raw.length} bytes)")
+    // unfilter scanlines in place into the output array
+    val px = new Array[Byte](stride * height)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xFF
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xFF
+        val left = if (x >= bpp) px(rowOut + x - bpp) & 0xFF else 0
+        val up = if (y > 0) px(rowOut - stride + x) & 0xFF else 0
+        val upLeft = if (y > 0 && x >= bpp) px(rowOut - stride + x - bpp) & 0xFF else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+            cur + pred
+          case f => throw new IllegalArgumentException(s"unknown PNG filter type $f in row $y")
+        }
+        px(rowOut + x) = (recon & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png(width, height, channels, px)
+  }
+
+  /** 8 image features (same layout as [[bmpFeatures]]): [width, height,
+    * nPixels, meanC0, meanC1, meanC2, maxChannelByte, minChannelByte] —
+    * channel means over the first three channels (alpha, when present,
+    * contributes to extrema only through its own channel class being
+    * skipped). Integer-accumulated, one division each. */
+  def pngFeatures(bytes: Array[Byte]): Array[Double] = {
+    val img = decodePng(bytes)
+    val n = img.width * img.height
+    val sums = new Array[Long](3)
+    var mx = 0L; var mn = 255L
+    var i = 0
+    while (i < img.pixels.length) {
+      val v = img.pixels(i) & 0xFF
+      val ch = i % img.channels
+      if (ch < 3) sums(ch) += v
+      if (v > mx) mx = v
+      if (v < mn) mn = v
+      i += 1
+    }
+    Array(img.width.toDouble, img.height.toDouble, n.toDouble,
+      sums(0) / n.toDouble, sums(1) / n.toDouble, sums(2) / n.toDouble,
+      mx.toDouble, mn.toDouble)
+  }
+
+  /** Nearest-neighbor integer-factor PNG downsample, re-encoded. */
+  def resizePng(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, "factor must be >= 1")
+    val img = decodePng(bytes)
+    val w2 = math.max(1, img.width / factor)
+    val h2 = math.max(1, img.height / factor)
+    val c = img.channels
+    val out = new Array[Byte](c * w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = ((y * factor) * img.width + (x * factor)) * c
+        val dst = (y * w2 + x) * c
+        var k = 0
+        while (k < c) { out(dst + k) = img.pixels(src + k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(w2, h2, c, out)
   }
 
   // ------------------------------------------------------------------ WAV

@@ -67,6 +67,7 @@ object Multimodal {
   def decode(bytes: Array[Byte], featureDim: Int): Array[Double] =
     Codec.detectFormat(bytes) match {
       case Some("image/bmp") => Try(Codec.bmpFeatures(bytes)).getOrElse(stubDecode(bytes, featureDim))
+      case Some("image/png") => Try(Codec.pngFeatures(bytes)).getOrElse(stubDecode(bytes, featureDim))
       case Some("audio/wav") => Try(Codec.wavFeatures(bytes)).getOrElse(stubDecode(bytes, featureDim))
       case _ => stubDecode(bytes, featureDim)
     }
@@ -97,17 +98,17 @@ object Multimodal {
     out
   }
 
-  /** Resize: BMP payloads get a REAL nearest-neighbor downsample
-    * (re-encoded with correct headers — [[Codec.resizeBmp]]), with the
-    * new width/height in the metadata struct; other formats fall back to
-    * byte decimation. */
+  /** Resize: BMP and PNG payloads get a REAL nearest-neighbor downsample
+    * (re-encoded with correct headers — [[Codec.resizeBmp]] /
+    * [[Codec.resizePng]]), with the new width/height in the metadata
+    * struct; other formats fall back to byte decimation. */
   def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         // lazy: the O(payload) decimation fallback must not run (and be
-        // discarded) on the happy path where the BMP resize succeeds
+        // discarded) on the happy path where the image resize succeeds
         lazy val generic = (id, stubResizeBytes(bytes, factor), "resized", None: Option[Int], None: Option[Int])
         Codec.detectFormat(bytes) match {
           case Some("image/bmp") =>
@@ -117,6 +118,12 @@ object Multimodal {
               val out = Codec.resizeBmp(bytes, factor)
               val img = Codec.decodeBmp(out)
               (id, out, "image/bmp", Some(img.width): Option[Int], Some(img.height): Option[Int])
+            }.getOrElse(generic)
+          case Some("image/png") =>
+            Try {
+              val out = Codec.resizePng(bytes, factor)
+              val img = Codec.decodePng(out)
+              (id, out, "image/png", Some(img.width): Option[Int], Some(img.height): Option[Int])
             }.getOrElse(generic)
           case _ => generic
         }

@@ -104,11 +104,15 @@ object PipelineQueries {
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")
         def cyc(i: Int): Byte = if (tb.isEmpty) 0 else tb(i % tb.length)
-        val content =
-          if (id % 2 == 0) graft.operators.Codec.encodeBmp(4, 4, Array.tabulate(48)(cyc))
-          else graft.operators.Codec.encodeWavPcm16(8000, 1, Array.tabulate(24) { k =>
+        val content = (id % 3) match {
+          case 0 => graft.operators.Codec.encodeBmp(4, 4, Array.tabulate(48)(cyc))
+          case 1 => graft.operators.Codec.encodeWavPcm16(8000, 1, Array.tabulate(24) { k =>
             ((cyc(2 * k) & 0xFF) | ((cyc(2 * k + 1) & 0xFF) << 8)).toShort
           })
+          // real zlib round trip: the decoder must inflate + unfilter its
+          // way back to these exact bytes for the oracle to hash-match
+          case _ => graft.operators.Codec.encodePng(4, 4, 3, Array.tabulate(48)(cyc))
+        }
         (id, content)
       }.toDF("doc_id", "content")
     Multimodal.decodeFeatures(withBin, "doc_id")
@@ -384,14 +388,18 @@ object PipelineQueries {
     * 12 bytes = a multiple of 3, so byte j is channel j%3 in any row
     * permutation, and means/extrema are order-free); the WAV path
     * reassembles each signed 16-bit LE sample from its two cycled text
-    * bytes. Byte extraction uses the hex-pair VALUES map (as
-    * mm_decode_features does). */
+    * bytes. The PNG leg (id%3=2) shares the BMP formulas: the oracle
+    * CANNOT inflate zlib, so it computes features from the SOURCE bytes
+    * and the hash match asserts the decoder's inflate+unfilter round
+    * trip returned exactly those bytes — a stronger check than replaying
+    * the container walk. Byte extraction uses the hex-pair VALUES map
+    * (as mm_decode_features does). */
   private val codecFeaturesOracle: String = {
     val hexvals = (0 until 256).map(i => f"('$i%02X', $i)").mkString(", ")
     s"""WITH hexmap(hx, val) AS (VALUES $hexvals),
        |t AS (SELECT doc_id AS id, hex(encode(text)) AS h,
        |  octet_length(encode(text)) AS L FROM documents),
-       |bb AS (SELECT id, h, L, unnest(generate_series(0, 47)) AS j FROM t WHERE id % 2 = 0),
+       |bb AS (SELECT id, h, L, unnest(generate_series(0, 47)) AS j FROM t WHERE id % 3 IN (0, 2)),
        |bv AS (SELECT bb.id, bb.j % 3 AS ch, m.val
        |  FROM bb JOIN hexmap m ON m.hx = substring(bb.h, (bb.j % bb.L)*2 + 1, 2)),
        |bmp AS (SELECT id,
@@ -401,7 +409,7 @@ object PipelineQueries {
        |    CAST(SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS DOUBLE) / 16.0 AS f5,
        |    CAST(MAX(val) AS DOUBLE) AS f6, CAST(MIN(val) AS DOUBLE) AS f7
        |  FROM bv GROUP BY id),
-       |wk AS (SELECT id, h, L, unnest(generate_series(0, 23)) AS k FROM t WHERE id % 2 = 1),
+       |wk AS (SELECT id, h, L, unnest(generate_series(0, 23)) AS k FROM t WHERE id % 3 = 1),
        |wv AS (SELECT wk.id,
        |    (lo.val + 256*hi.val) - (CASE WHEN lo.val + 256*hi.val >= 32768 THEN 65536 ELSE 0 END) AS s
        |  FROM wk
