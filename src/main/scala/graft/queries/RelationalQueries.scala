@@ -566,6 +566,92 @@ object RelationalQueries {
 
   private val KmvQueryK = 1024
 
+  /** TPC-H Q17 shape — correlated SCALAR-AGGREGATE subquery: revenue
+    * impact of small-quantity lineitems, threshold 0.2× the PER-PART
+    * average quantity. Written as literal correlated SQL so Catalyst's
+    * decorrelation does the rewrite (subquery → aggregate + equi-join —
+    * the plan is audited cartesian-free); quantities are integral
+    * doubles so the per-part avg is an exact-sum division, and the
+    * selected revenue sums in DECIMAL before the single /7 division. */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    s.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+             COUNT(*) AS n_small
+      FROM lineitem_q17 l
+      WHERE l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem_q17 l2
+                                WHERE l2.l_partkey = l.l_partkey)""")
+  }
+
+  /** TPC-H Q18 shape — IN over a grouped HAVING subquery (decorrelates
+    * to a semi join on the aggregate): large-volume orders, all-integer
+    * deterministic top-100. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q18")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q18")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_q18")
+    s.sql(s"""
+      SELECT c.c_name, o.o_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+             CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+      FROM customer_q18 c JOIN orders_q18 o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_q18 l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem_q18
+                             GROUP BY l_orderkey HAVING SUM(l_quantity) > $Q18MinQty)
+      GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 100""")
+  }
+
+  private val Q18MinQty = 170
+
+  /** TPC-H Q22 shape — scalar-subquery threshold + correlated NOT
+    * EXISTS (decorrelates to a left-anti join): customers above the
+    * positive-average balance who never placed an urgent order, rolled
+    * up per nation with a DECIMAL-exact balance sum. */
+  def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q22")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_q22")
+    s.sql("""
+      SELECT c_nationkey, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer_q22 c
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_q22 WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey""")
+  }
+
+  private val q17Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       COUNT(*) AS n_small
+      |FROM lineitem l
+      |WHERE l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+      |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  private val q18Oracle: String =
+    s"""SELECT c.c_name, o.o_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       |       CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+       |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > $Q18MinQty)
+       |GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+       |ORDER BY total_qty DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
+  private val q22Oracle: String =
+    """SELECT c_nationkey, COUNT(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey""".stripMargin
+
   /** Ranking-family window breadth in one pass: row_number, dense_rank,
     * rank-based percent_rank, cume_dist and ntile(4) over a month's
     * orders per priority class — one window spec, one sort, five
@@ -696,6 +782,9 @@ object RelationalQueries {
     "q_assoc_rules" -> (assocRules _),
     "q_kmv_setops" -> (kmvSetOps _),
     "q_window_funcs" -> (windowFuncs _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q22_idle_balance" -> (q22IdleBalance _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_cms_heavy" -> (cmsHeavy _),
     "g_csv_typed" -> (csvTyped _),
@@ -941,6 +1030,9 @@ object RelationalQueries {
     "q_assoc_rules" -> assocRulesOracle,
     "q_kmv_setops" -> kmvSetOpsOracle,
     "q_window_funcs" -> windowFuncsOracle,
+    "q17_small_quantity" -> q17Oracle,
+    "q18_large_orders" -> q18Oracle,
+    "q22_idle_balance" -> q22Oracle,
     "q_hll_distinct" ->
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(hllColumnSql).mkString("\nUNION ALL\n"),
     "q_cms_heavy" -> cmsHeavyOracle,
