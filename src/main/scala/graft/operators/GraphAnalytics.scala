@@ -1011,6 +1011,57 @@ object GraphAnalytics {
     else assignedParts.reduce(_ unionAll _)
   }
 
+  /** HyperANF (Boldi, Rosa & Vigna 2011): the NEIGHBORHOOD FUNCTION
+    * NF(t) = |{(v, u) : u reachable from v in ≤ t hops}| — estimated in
+    * O(V · 2^b) state instead of the O(V²) worst case of exact
+    * transitive closure. Each vertex keeps a [[Sketches]] HyperLogLog of
+    * its ball B_t(v); the update B_{t+1}(v) = B_t(v) ∪ ⋃_{(v,w)∈E}
+    * B_t(w) is register-wise MAX — so one round is exactly the SSSP
+    * relaxation shape: one edge⋈register join plus one (vid, bucket)
+    * max-combine groupBy, map-side partial max, ≤ 2^b rows per vertex
+    * on the wire no matter how large the balls get. That constant-state
+    * merge is the whole point at 100 TB: exact NF explodes on the first
+    * dense layer, the sketch never grows.
+    *
+    * Returns one row per t ∈ [0, rounds]: (t, approx_pairs) where
+    * approx_pairs = Σ_v round(estimate(B_t(v)), 6) summed as
+    * DECIMAL(38,6) — per-vertex estimates are deterministic scalars and
+    * the decimal sum is exact and order-independent, so the WHOLE curve
+    * (registers, estimates, totals) replays bit-for-bit in an external
+    * SQL oracle via the portable md5 hash. NF's growth curve yields the
+    * effective-diameter / average-distance statistics of the reference's
+    * graph-shape reporting without ever materializing a pairs table.
+    *
+    * Balls only grow, so regs_t(v) is EXACTLY the HLL of the true
+    * t-ball (spec-checked against registers built directly from the
+    * closure) — the estimate error is HLL's 1.04/√m, nothing more. */
+  def hyperAnf(edges: DataFrame, rounds: Int, b: Int = Sketches.HllBits,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 0 && rounds <= 64, s"hyperAnf rounds=$rounds outside [0, 64]")
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val verts = e.select(col("src").as("vid")).unionAll(e.select(col("dst").as("vid")))
+      .distinct()
+    def nf(t: Int, regs: DataFrame): DataFrame =
+      Sketches.hllEstimateGrouped(regs, "vid", b)
+        .agg(coalesce(sum(col("approx_distinct").cast("decimal(38,6)")),
+          lit(0).cast("decimal(38,6)")).cast("decimal(38,6)").as("approx_pairs"))
+        .select(lit(t).cast("int").as("t"), col("approx_pairs"))
+    // B_0(v) = {v}: the singleton's registers
+    var regs = Sketches.hllRegistersGrouped(verts, "vid", col("vid"), b).localCheckpoint(true)
+    val curve = scala.collection.mutable.ListBuffer(nf(0, regs))
+    (1 to rounds).foreach { t =>
+      val contrib = e.join(regs, e("dst") === regs("vid"))
+        .select(e("src").as("vid"), regs("bucket"), regs("register"))
+      regs = regs.unionAll(contrib)
+        .groupBy("vid", "bucket").agg(max(col("register")).as("register"))
+        .localCheckpoint(true)
+      curve += nf(t, regs)
+    }
+    curve.reduce(_ unionAll _)
+  }
+
   /** Degree distribution of the unified graph: how many vertices have each
     * (in+out) degree — the classic first look at any 100 TB graph. */
   def degreeDistribution(g: PropertyGraph): DataFrame = {

@@ -389,6 +389,35 @@ object AnalyticsQueries {
   }
 
   private val SccRingSize = 8
+  private val AnfRounds = 10
+
+  /** HyperANF over the same cyclic fixture SCC uses — rings give every
+    * vertex a genuine multi-hop ball and the hub bridges give a few
+    * vertices large ones, so the NF(t) curve actually climbs. The exact
+    * side is a bounded closure replay for the oracle comparison ONLY
+    * (fixture reach sets are ring-sized); [[GraphAnalytics.hyperAnf]]
+    * itself never materializes pairs — that is its point at scale. */
+  def hyperAnf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = sccFixtureEdges(s, dir).where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val approx = GraphAnalytics.hyperAnf(e, AnfRounds)
+    val verts = e.select(col("src").as("a")).unionAll(e.select(col("dst").as("a"))).distinct()
+    var pairs = verts.select(col("a"), col("a").as("b")).localCheckpoint(true)
+    val exact = scala.collection.mutable.ListBuffer((0, pairs.count()))
+    (1 to AnfRounds).foreach { t =>
+      pairs = pairs.unionAll(
+        e.join(pairs, e("dst") === pairs("a")).select(e("src").as("a"), pairs("b")))
+        .distinct().localCheckpoint(true)
+      exact += ((t, pairs.count()))
+    }
+    approx
+      // micro-units: the decimal total is exact, so ×1e6 → BIGINT is the
+      // engine-portable all-integer form (the fixed-point PageRank trick)
+      .select(col("t"), (col("approx_pairs") * lit(1000000)).cast("long")
+        .as("approx_pairs_micro"))
+      .join(exact.toSeq.toDF("t", "exact_pairs"), Seq("t"))
+  }
 
   /** The SCC oracle needs no round replay: SCC output is trajectory-
     * independent (unlike fixed-point PageRank), so DuckDB derives the
@@ -423,8 +452,85 @@ object AnalyticsQueries {
        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
        |GROUP BY r1.a""".stripMargin
 
+  /** Replays the WHOLE HyperANF run: fixture edges (same derivation as
+    * the SCC oracle), the singleton-ball registers via the portable md5
+    * hash, `rounds` chained register-max CTEs (the ball union), the
+    * per-vertex HLL estimates (HUGEINT harmonic sums, the identical
+    * α·m²·2^60 double literal, linear-counting branch), the exact
+    * DECIMAL(38,6) totals, AND the exact closure counts they are
+    * compared against — estimates inside the hash gate, as with every
+    * graft sketch. */
+  private def hyperAnfOracleSql(ringSize: Int, rounds: Int): String = {
+    val numer = graft.operators.Sketches.hllNumer(8)
+    val regRounds = (1 to rounds).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT vid, bucket, MAX(register) AS register FROM (
+         |    SELECT vid, bucket, register FROM r${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS vid, r.bucket, r.register
+         |    FROM r${t - 1} r JOIN edges e ON e.dst = r.vid)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val pairRounds = (1 to rounds).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM p${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS a, p.b FROM p${t - 1} p JOIN edges e ON e.dst = p.a))""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to rounds).map { t =>
+      s"""SELECT CAST($t AS INTEGER) AS t,
+         |    CAST(COALESCE(SUM(CAST(round(
+         |      CASE WHEN v > 0 AND $numer / CAST(s_total AS DOUBLE) <= 640.0
+         |        THEN 256.0 * ln(256.0 / v)
+         |        ELSE $numer / CAST(s_total AS DOUBLE) END, 6) AS DECIMAL(38,6))), 0)
+         |      * 1000000 AS BIGINT) AS approx_pairs_micro
+         |  FROM (SELECT vid,
+         |      COALESCE(SUM(1::BIGINT << (60 - register)), 0)
+         |        + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 60) AS s_total,
+         |      256 - COUNT(*) AS v
+         |    FROM r$t GROUP BY vid)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val exacts = (0 to rounds).map { t =>
+      s"SELECT CAST($t AS INTEGER) AS t, COUNT(*) AS exact_pairs FROM p$t"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ringed AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS sk, CAST(s_nationkey AS BIGINT) AS nk,
+       |    (row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1) // $ringSize AS bk
+       |  FROM supplier),
+       |ring_edges AS (
+       |  SELECT sk AS src,
+       |    COALESCE(lead(sk) OVER (PARTITION BY nk, bk ORDER BY sk),
+       |             first_value(sk) OVER (PARTITION BY nk, bk ORDER BY sk)) AS dst
+       |  FROM ringed),
+       |mins AS (SELECT nk, bk, MIN(sk) AS msk FROM ringed GROUP BY nk, bk),
+       |hub AS (SELECT nk AS hnk, bk AS hbk, msk AS hsk FROM mins ORDER BY nk, bk LIMIT 1),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM ring_edges
+       |    UNION ALL
+       |    SELECT h.hsk, m.msk FROM mins m, hub h WHERE NOT (m.nk = h.hnk AND m.bk = h.hbk))
+       |  WHERE src <> dst),
+       |verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+       |r0 AS MATERIALIZED (
+       |  SELECT v AS vid, h % 256 AS bucket,
+       |    MAX(CASE WHEN h >> 8 = 0 THEN 53
+       |        ELSE 53 - length(ltrim(bin(h >> 8), '0')) END) AS register
+       |  FROM (SELECT v, ('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+       |    FROM verts)
+       |  GROUP BY 1, 2),
+       |$regRounds,
+       |p0 AS MATERIALIZED (SELECT v AS a, v AS b FROM verts),
+       |$pairRounds,
+       |est AS (
+       |  $ests),
+       |ex AS (
+       |  $exacts)
+       |SELECT est.t, est.approx_pairs_micro, ex.exact_pairs
+       |FROM est JOIN ex USING (t)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_scc" -> (scc _),
+    "g_hyperanf" -> (hyperAnf _),
     "g_pagerank" -> (pagerank _),
     "g_connected_components" -> (connectedComponents _),
     "g_triangles" -> (triangles _),
@@ -974,6 +1080,7 @@ object AnalyticsQueries {
         |  END AS clustering_coeff
         |FROM deg d LEFT JOIN tcnt t ON t.vid = d.vid""".stripMargin,
     "g_scc" -> sccOracleSql(SccRingSize),
+    "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_pagerank_weighted" -> pagerankWeightedOracleSql(PrwRounds, PrReset),
     "g_hits" -> hitsOracleSql(HitsRounds),
     "g_link_features" -> linkFeaturesOracleSql(LinkTopK, LinkMinCommon),

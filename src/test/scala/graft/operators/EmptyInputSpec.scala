@@ -48,6 +48,9 @@ class EmptyInputSpec extends SparkTestBase {
     assert(GraphAnalytics.pageRankQuantizedDF(noEdges).count() == 0)
     assert(GraphAnalytics.coOccurrenceEdges(
       Seq.empty[(Long, Long)].toDF("g", "item"), "g", "item").count() == 0)
+    // hyperAnf: no vertices → every round's NF total is exactly 0
+    val anf = GraphAnalytics.hyperAnf(noEdges, 2).collect()
+    assert(anf.length == 3 && anf.forall(_.getDecimal(1).signum == 0))
   }
 
   test("round-4 operators on empty inputs") {

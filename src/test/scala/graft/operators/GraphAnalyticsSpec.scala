@@ -3,7 +3,7 @@ package graft.operators
 import graft.SparkTestBase
 import graft.model.{GraphSchema, PropertyGraph, RelPattern}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 class GraphAnalyticsSpec extends SparkTestBase {
   import spark.implicits._
@@ -383,5 +383,56 @@ class GraphAnalyticsSpec extends SparkTestBase {
   test("SCC: empty edge set yields empty output") {
     assert(GraphAnalytics.stronglyConnectedComponents(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
+
+  test("hyperAnf: ball registers equal the HLL of the true closure (cycle + tail)") {
+    // 1→2→3→1 cycle with tail 4→1: balls are fully determined by hand.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    // true t-balls: pairs (v, u) with dist(v→u) ≤ t
+    def ballPairs(t: Int): Seq[(Long, Long)] = {
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      var p = (1L to 4L).map(v => (v, v))
+      (1 to t).foreach { _ =>
+        p = (p ++ e.flatMap { case (s, d) => p.collect { case (a, b) if a == d => (s, b) } }).distinct
+      }
+      p
+    }
+    // the propagated sketch of B_t(v) must EQUAL the sketch built directly
+    // from the true closure — identical registers ⇒ identical estimates,
+    // so comparing the (exact-decimal) NF totals round by round pins it
+    (0 to 4).foreach { t =>
+      val truth = ballPairs(t).toDF("vid", "u")
+      val wantEst = Sketches.hllEstimateGrouped(
+        Sketches.hllRegistersGrouped(truth, "vid", col("u")), "vid")
+        .agg(sum(col("approx_distinct").cast("decimal(38,6)"))).as[java.math.BigDecimal]
+        .head
+      val gotEst = GraphAnalytics.hyperAnf(edges, t)
+        .where(col("t") === t).select(col("approx_pairs")).as[java.math.BigDecimal].head
+      assert(gotEst.compareTo(wantEst) == 0, s"round $t: $gotEst != $wantEst")
+    }
+  }
+
+  test("hyperAnf: curve is monotone and plateaus at the diameter") {
+    // directed path 1→2→…→6: NF(t) grows by (6−t) new pairs per round,
+    // reaching the full 21 pairs at t = 5, flat afterwards
+    val edges = (1L to 5L).map(v => (v, v + 1)).toDF("src", "dst")
+    val curve = GraphAnalytics.hyperAnf(edges, 8)
+      .orderBy("t").as[(Int, java.math.BigDecimal)].collect()
+    assert(curve.length == 9)
+    curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b.compareTo(a) >= 0, "NF must be non-decreasing")
+    }
+    assert(curve(5)._2.compareTo(curve(8)._2) == 0, "plateau past the diameter")
+    // n ≤ 6 per ball → linear counting regime: estimates within 2% of 21
+    val err = math.abs(curve(8)._2.doubleValue() - 21.0) / 21.0
+    assert(err < 0.02, s"relative error $err")
+  }
+
+  test("hyperAnf: rounds=0 is the vertex count (singleton balls)") {
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val nf0 = GraphAnalytics.hyperAnf(edges, 0)
+      .as[(Int, java.math.BigDecimal)].collect()
+    assert(nf0.length == 1 && nf0.head._1 == 0)
+    assert(math.abs(nf0.head._2.doubleValue() - 4.0) < 0.05)
   }
 }
