@@ -1062,6 +1062,67 @@ object GraphAnalytics {
     curve.reduce(_ unionAll _)
   }
 
+  /** LCM(1..10): multiplying 1/t by this keeps every harmonic term
+    * INTEGRAL for horizons ≤ 10 — the all-integer form that survives any
+    * aggregation order and any engine. */
+  val HarmonicScale = 2520L
+
+  /** HyperBall harmonic centrality (Boldi & Vigna 2013 — the algorithm
+    * behind the "four degrees of separation" measurement): per-vertex
+    * truncated harmonic centrality H_T(v) = Σ_{u≠v, d(v,u)≤T} 1/d(v,u),
+    * estimated from the SAME per-vertex HLL ball registers as
+    * [[hyperAnf]] via H(v) ≈ Σ_t (|B_t(v)| − |B_{t−1}(v)|)/t. Exact
+    * closeness/harmonic centrality needs all-pairs BFS — O(V·E), dead at
+    * scale; HyperBall is T rounds of the SSSP relaxation shape over
+    * O(V·2^b) state.
+    *
+    * Determinism contract: per-round per-vertex estimates are frozen to
+    * integer MICRO-units (round(·,6)·10⁶ — each a deterministic scalar),
+    * and each 1/t weight is applied as the exact integer
+    * [[HarmonicScale]]/t, so the output column `h_scaled` equals the true
+    * ball-difference sum times 2520·10⁶ with NO floating accumulation
+    * anywhere — bit-replayable by an external SQL oracle, hash-gate
+    * compatible like every graft sketch. Divide by 2.52e9 for the
+    * conventional value.
+    *
+    * Plan shape: the T register rounds, then ONE union of the T+1
+    * per-round estimate tables (V rows each) → one lag-window per vid →
+    * one sum groupBy: two shuffles beyond the propagation loop, nothing
+    * quadratic. */
+  def hyperBallHarmonic(edges: DataFrame, rounds: Int,
+      b: Int = Sketches.HllBits, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"hyperBallHarmonic rounds=$rounds outside [1, 10] (HarmonicScale covers 1..10)")
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val verts = e.select(col("src").as("vid")).unionAll(e.select(col("dst").as("vid")))
+      .distinct()
+    def estMicro(t: Int, regs: DataFrame): DataFrame =
+      Sketches.hllEstimateGrouped(regs, "vid", b)
+        .select(col("vid"), lit(t).cast("int").as("t"),
+          (col("approx_distinct").cast("decimal(32,6)") * lit(1000000))
+            .cast("long").as("m"))
+    var regs = Sketches.hllRegistersGrouped(verts, "vid", col("vid"), b).localCheckpoint(true)
+    val ests = scala.collection.mutable.ListBuffer(estMicro(0, regs))
+    (1 to rounds).foreach { t =>
+      val contrib = e.join(regs, e("dst") === regs("vid"))
+        .select(e("src").as("vid"), regs("bucket"), regs("register"))
+      regs = regs.unionAll(contrib)
+        .groupBy("vid", "bucket").agg(max(col("register")).as("register"))
+        .localCheckpoint(true)
+      ests += estMicro(t, regs)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vid").orderBy("t")
+    ests.reduce(_ unionAll _)
+      .withColumn("dm", col("m") - lag(col("m"), 1).over(w))
+      .where(col("t") >= 1)
+      .groupBy("vid")
+      .agg(coalesce(sum(col("dm") * expr(s"$HarmonicScale div t")), lit(0L))
+        .cast("long").as("h_scaled"))
+  }
+
   /** Degree distribution of the unified graph: how many vertices have each
     * (in+out) degree — the classic first look at any 100 TB graph. */
   def degreeDistribution(g: PropertyGraph): DataFrame = {

@@ -419,6 +419,33 @@ object AnalyticsQueries {
       .join(exact.toSeq.toDF("t", "exact_pairs"), Seq("t"))
   }
 
+  /** HyperBall harmonic centrality on the fixture, next to the EXACT
+    * truncated harmonic centrality at the same horizon (min-distance
+    * closure — fixture-sized, oracle-comparison only). `h_scaled_micro`
+    * is the sketch value ×2520·10⁶, `exact_h_scaled` the true value
+    * ×2520 — both all-integer, both inside the hash gate. */
+  def harmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = sccFixtureEdges(s, dir).where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val approx = GraphAnalytics.hyperBallHarmonic(e, AnfRounds)
+    var pairs = e.select(col("src").as("a")).unionAll(e.select(col("dst").as("a")))
+      .distinct().select(col("a"), col("a").as("b"), lit(0).as("t"))
+      .localCheckpoint(true)
+    (1 to AnfRounds).foreach { t =>
+      pairs = pairs.unionAll(
+        e.join(pairs, e("dst") === pairs("a"))
+          .select(e("src").as("a"), pairs("b"), lit(t).as("t")))
+        .groupBy("a", "b").agg(min(col("t")).as("t")).localCheckpoint(true)
+    }
+    val exact = pairs.where(col("t") >= 1)
+      .select(col("a").as("vid"), col("t"))
+      .groupBy("vid")
+      .agg(sum(expr(s"${GraphAnalytics.HarmonicScale} div t")).cast("long").as("exact_h_scaled"))
+    approx.join(exact, Seq("vid"), "left")
+      .select(col("vid").as("s_suppkey"), col("h_scaled").as("h_scaled_micro"),
+        coalesce(col("exact_h_scaled"), lit(0L)).as("exact_h_scaled"))
+  }
+
   /** The SCC oracle needs no round replay: SCC output is trajectory-
     * independent (unlike fixed-point PageRank), so DuckDB derives the
     * same fixture edges and checks the DEFINITION — scc_id(v) = min{u :
@@ -460,8 +487,11 @@ object AnalyticsQueries {
     * DECIMAL(38,6) totals, AND the exact closure counts they are
     * compared against — estimates inside the hash gate, as with every
     * graft sketch. */
-  private def hyperAnfOracleSql(ringSize: Int, rounds: Int): String = {
-    val numer = graft.operators.Sketches.hllNumer(8)
+  /** Shared oracle prefix for the HyperBall family: the SCC fixture edge
+    * derivation, the vertex set, and `rounds` chained MATERIALIZED
+    * register-max CTEs r0..r{rounds} (plain CTEs referencing their
+    * predecessor twice would inline EXPONENTIALLY — 2^rounds scans). */
+  private def anfPrefixSql(ringSize: Int, rounds: Int): String = {
     val regRounds = (1 to rounds).map { t =>
       s"""r$t AS MATERIALIZED (SELECT vid, bucket, MAX(register) AS register FROM (
          |    SELECT vid, bucket, register FROM r${t - 1}
@@ -470,28 +500,6 @@ object AnalyticsQueries {
          |    FROM r${t - 1} r JOIN edges e ON e.dst = r.vid)
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    val pairRounds = (1 to rounds).map { t =>
-      s"""p$t AS MATERIALIZED (SELECT DISTINCT a, b FROM (
-         |    SELECT a, b FROM p${t - 1}
-         |    UNION ALL
-         |    SELECT e.src AS a, p.b FROM p${t - 1} p JOIN edges e ON e.dst = p.a))""".stripMargin
-    }.mkString(",\n")
-    val ests = (0 to rounds).map { t =>
-      s"""SELECT CAST($t AS INTEGER) AS t,
-         |    CAST(COALESCE(SUM(CAST(round(
-         |      CASE WHEN v > 0 AND $numer / CAST(s_total AS DOUBLE) <= 640.0
-         |        THEN 256.0 * ln(256.0 / v)
-         |        ELSE $numer / CAST(s_total AS DOUBLE) END, 6) AS DECIMAL(38,6))), 0)
-         |      * 1000000 AS BIGINT) AS approx_pairs_micro
-         |  FROM (SELECT vid,
-         |      COALESCE(SUM(1::BIGINT << (60 - register)), 0)
-         |        + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 60) AS s_total,
-         |      256 - COUNT(*) AS v
-         |    FROM r$t GROUP BY vid)""".stripMargin
-    }.mkString("\n  UNION ALL ")
-    val exacts = (0 to rounds).map { t =>
-      s"SELECT CAST($t AS INTEGER) AS t, COUNT(*) AS exact_pairs FROM p$t"
-    }.mkString("\n  UNION ALL ")
     s"""WITH ringed AS (
        |  SELECT CAST(s_suppkey AS BIGINT) AS sk, CAST(s_nationkey AS BIGINT) AS nk,
        |    (row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1) // $ringSize AS bk
@@ -517,7 +525,34 @@ object AnalyticsQueries {
        |  FROM (SELECT v, ('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
        |    FROM verts)
        |  GROUP BY 1, 2),
-       |$regRounds,
+       |$regRounds""".stripMargin
+  }
+
+  private def hyperAnfOracleSql(ringSize: Int, rounds: Int): String = {
+    val numer = graft.operators.Sketches.hllNumer(8)
+    val pairRounds = (1 to rounds).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM p${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS a, p.b FROM p${t - 1} p JOIN edges e ON e.dst = p.a))""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to rounds).map { t =>
+      s"""SELECT CAST($t AS INTEGER) AS t,
+         |    CAST(COALESCE(SUM(CAST(round(
+         |      CASE WHEN v > 0 AND $numer / CAST(s_total AS DOUBLE) <= 640.0
+         |        THEN 256.0 * ln(256.0 / v)
+         |        ELSE $numer / CAST(s_total AS DOUBLE) END, 6) AS DECIMAL(38,6))), 0)
+         |      * 1000000 AS BIGINT) AS approx_pairs_micro
+         |  FROM (SELECT vid,
+         |      COALESCE(SUM(1::BIGINT << (60 - register)), 0)
+         |        + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 60) AS s_total,
+         |      256 - COUNT(*) AS v
+         |    FROM r$t GROUP BY vid)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val exacts = (0 to rounds).map { t =>
+      s"SELECT CAST($t AS INTEGER) AS t, COUNT(*) AS exact_pairs FROM p$t"
+    }.mkString("\n  UNION ALL ")
+    s"""${anfPrefixSql(ringSize, rounds)},
        |p0 AS MATERIALIZED (SELECT v AS a, v AS b FROM verts),
        |$pairRounds,
        |est AS (
@@ -528,9 +563,56 @@ object AnalyticsQueries {
        |FROM est JOIN ex USING (t)""".stripMargin
   }
 
+  /** Replays the HyperBall harmonic run end to end: the shared register
+    * rounds, per-(vid, t) micro-unit estimates, the lag-window ball
+    * differences with exact integer 1/t weights (2520 // t), and the
+    * exact min-distance closure it is compared against. */
+  private def harmonicOracleSql(ringSize: Int, rounds: Int): String = {
+    val numer = graft.operators.Sketches.hllNumer(8)
+    val scale = graft.operators.GraphAnalytics.HarmonicScale
+    val ests = (0 to rounds).map { t =>
+      s"""SELECT vid, CAST($t AS INTEGER) AS t,
+         |    CAST(CAST(round(
+         |      CASE WHEN v > 0 AND $numer / CAST(s_total AS DOUBLE) <= 640.0
+         |        THEN 256.0 * ln(256.0 / v)
+         |        ELSE $numer / CAST(s_total AS DOUBLE) END, 6) AS DECIMAL(32,6))
+         |      * 1000000 AS BIGINT) AS m
+         |  FROM (SELECT vid,
+         |      COALESCE(SUM(1::BIGINT << (60 - register)), 0)
+         |        + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 60) AS s_total,
+         |      256 - COUNT(*) AS v
+         |    FROM r$t GROUP BY vid)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val distRounds = (1 to rounds).map { t =>
+      s"""pd$t AS MATERIALIZED (SELECT a, b, MIN(t) AS t FROM (
+         |    SELECT a, b, t FROM pd${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS a, p.b, $t AS t
+         |    FROM pd${t - 1} p JOIN edges e ON e.dst = p.a)
+         |  GROUP BY a, b)""".stripMargin
+    }.mkString(",\n")
+    s"""${anfPrefixSql(ringSize, rounds)},
+       |estv AS (
+       |  $ests),
+       |diff AS (SELECT vid, t,
+       |    m - lag(m) OVER (PARTITION BY vid ORDER BY t) AS dm
+       |  FROM estv),
+       |appr AS (SELECT vid,
+       |    CAST(COALESCE(SUM(dm * ($scale // t)), 0) AS BIGINT) AS h_scaled_micro
+       |  FROM diff WHERE t >= 1 GROUP BY vid),
+       |pd0 AS MATERIALIZED (SELECT v AS a, v AS b, 0 AS t FROM verts),
+       |$distRounds,
+       |ex AS (SELECT a AS vid, CAST(SUM($scale // t) AS BIGINT) AS exact_h_scaled
+       |  FROM pd$rounds WHERE t >= 1 GROUP BY a)
+       |SELECT appr.vid AS s_suppkey, appr.h_scaled_micro,
+       |  COALESCE(ex.exact_h_scaled, 0) AS exact_h_scaled
+       |FROM appr LEFT JOIN ex USING (vid)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_scc" -> (scc _),
     "g_hyperanf" -> (hyperAnf _),
+    "g_harmonic" -> (harmonic _),
     "g_pagerank" -> (pagerank _),
     "g_connected_components" -> (connectedComponents _),
     "g_triangles" -> (triangles _),
@@ -1081,6 +1163,7 @@ object AnalyticsQueries {
         |FROM deg d LEFT JOIN tcnt t ON t.vid = d.vid""".stripMargin,
     "g_scc" -> sccOracleSql(SccRingSize),
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
+    "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),
     "g_pagerank_weighted" -> pagerankWeightedOracleSql(PrwRounds, PrReset),
     "g_hits" -> hitsOracleSql(HitsRounds),
     "g_link_features" -> linkFeaturesOracleSql(LinkTopK, LinkMinCommon),

@@ -428,6 +428,30 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(err < 0.02, s"relative error $err")
   }
 
+  test("hyperBallHarmonic: path graph — hand-computed values, sink exactly 0") {
+    // 1→2→3: H(1) = 1/1 + 1/2 = 1.5, H(2) = 1, H(3) = 0 (empty ball,
+    // identically zero — no estimate noise possible when dm = 0)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val h = GraphAnalytics.hyperBallHarmonic(edges, 4)
+      .as[(Long, Long)].collect().toMap
+    val unit = GraphAnalytics.HarmonicScale * 1e6 // h_scaled per 1.0 of H
+    assert(h(3L) == 0L)
+    assert(math.abs(h(1L) / unit - 1.5) < 0.03, s"H(1)=${h(1L) / unit}")
+    assert(math.abs(h(2L) / unit - 1.0) < 0.03, s"H(2)=${h(2L) / unit}")
+  }
+
+  test("hyperBallHarmonic: 5-cycle — every vertex near the closed-form value") {
+    // each vertex reaches the other 4 at distances 1..4:
+    // H = 1 + 1/2 + 1/3 + 1/4 = 25/12
+    val edges = (0L to 4L).map(v => (v, (v + 1) % 5)).toDF("src", "dst")
+    val unit = GraphAnalytics.HarmonicScale * 1e6
+    val want = 25.0 / 12.0
+    GraphAnalytics.hyperBallHarmonic(edges, 6).as[(Long, Long)].collect()
+      .foreach { case (v, s) =>
+        assert(math.abs(s / unit - want) / want < 0.03, s"H($v)=${s / unit}")
+      }
+  }
+
   test("hyperAnf: rounds=0 is the vertex count (singleton balls)") {
     val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
     val nf0 = GraphAnalytics.hyperAnf(edges, 0)
