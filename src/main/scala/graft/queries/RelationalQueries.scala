@@ -623,6 +623,148 @@ object RelationalQueries {
       GROUP BY c_nationkey""")
   }
 
+  /** TPC-H Q4 shape — correlated EXISTS with a NON-EQUALITY predicate
+    * against the outer row (l_shipdate vs o_orderdate + 60): order-
+    * priority counts for orders with a late shipment. Catalyst
+    * decorrelates to a left-semi join on the order key with the date
+    * comparison as a join-side filter. */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q4")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders_q4 o
+      WHERE CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01'
+        AND CAST(o.o_orderdate AS DATE) < DATE '1999-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem_q4 l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND CAST(l.l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 60))
+      GROUP BY o_orderpriority""")
+  }
+
+  /** TPC-H Q12 shape — two-branch conditional aggregation after an
+    * order⋈lineitem join (return flag standing in for ship mode in the
+    * slim schema): high- vs low-priority line counts per class. */
+  def q12PriorityClass(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q12")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q12")
+    s.sql("""
+      SELECT l.l_returnflag,
+             CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders_q12 o JOIN lineitem_q12 l ON o.o_orderkey = l.l_orderkey
+      WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+      GROUP BY l.l_returnflag""")
+  }
+
+  /** TPC-H Q13 shape — customer order-count DISTRIBUTION: a left outer
+    * join whose BUILD side carries a non-key predicate (so the join must
+    * stay outer), then aggregation OF an aggregation. */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q13")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_q13")
+    s.sql("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer_q13 c LEFT JOIN orders_q13 o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey)
+      GROUP BY c_count""")
+  }
+
+  /** TPC-H Q14 shape — promotion revenue share: two exact-DECIMAL
+    * conditional sums, then a fixed (100·a)/b double sequence — each a
+    * single correctly-rounded IEEE op, so the ratio is engine-portable
+    * without rounding tricks. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q14")
+    Tables(s, dir, "part").createOrReplaceTempView("part_q14")
+    s.sql("""
+      SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))
+                       ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE))
+             / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS promo_revenue,
+             CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo_lines
+      FROM lineitem_q14 l JOIN part_q14 p ON l.l_partkey = p.p_partkey
+      WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-03-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1998-04-01'""")
+  }
+
+  /** TPC-H Q15 shape — top supplier by quarterly revenue: an aggregate
+    * CTE consumed twice (join + scalar MAX subquery). The tie equality
+    * runs on the EXACT decimal revenue, never the double projection. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q15")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q15")
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))) AS total_revenue
+        FROM lineitem_q15
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier_q15 s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""")
+  }
+
+  /** TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
+    * bands across the lineitem⋈part join: the OR-of-ANDs predicate a
+    * planner must keep as a join residual while still pushing the
+    * per-table prefilters (brand IN (...), quantity/size hulls). */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q19")
+    Tables(s, dir, "part").createOrReplaceTempView("part_q19")
+    s.sql("""
+      SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(7,4)))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem_q19 l JOIN part_q19 p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 15)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity BETWEEN 10 AND 25)
+         OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+             AND l.l_quantity BETWEEN 20 AND 35)""")
+  }
+
+  /** TPC-H Q21 shape — the sole-late-supplier query: one correlated
+    * EXISTS (another supplier in the order) and one correlated NOT
+    * EXISTS (no OTHER supplier late), both equality-correlated on the
+    * order key exactly as in the reference query; "late" is a fixed
+    * fiscal cutoff since the slim schema has no commit/receipt dates.
+    * Decorrelates to a semi + anti join pair over the same edge. */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q21")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q21")
+    s.sql("""
+      SELECT s.s_name, s.s_suppkey, COUNT(*) AS numwait
+      FROM supplier_q21 s
+      JOIN lineitem_q21 l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders_q21 o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND CAST(l1.l_shipdate AS DATE) >= DATE '2001-06-01'
+        AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND CAST(l3.l_shipdate AS DATE) >= DATE '2001-06-01')
+      GROUP BY s.s_name, s.s_suppkey
+      ORDER BY numwait DESC, s_suppkey
+      LIMIT 100""")
+  }
+
   private val q17Oracle: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
       |       COUNT(*) AS n_small
@@ -651,6 +793,91 @@ object RelationalQueries {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey""".stripMargin
+
+  private val q4Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1999-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  private val q12Oracle: String =
+    """SELECT l.l_returnflag,
+      |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+      |  AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+      |GROUP BY l.l_returnflag""".stripMargin
+
+  private val q13Oracle: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |      FROM customer c LEFT JOIN orders o
+      |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |      GROUP BY c.c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  private val q14Oracle: String =
+    """SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+      |                 THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                      * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))
+      |                 ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE))
+      |       / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                  * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6)))
+      |              AS DOUBLE) AS promo_revenue,
+      |       CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo_lines
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-03-01'
+      |  AND CAST(l.l_shipdate AS DATE) < DATE '1998-04-01'""".stripMargin
+
+  private val q15Oracle: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+
+  private val q19Oracle: String =
+    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |            * (1 - CAST(l.l_discount AS DECIMAL(7,4)))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 15)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+      |       AND l.l_quantity BETWEEN 10 AND 25)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+      |       AND l.l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  private val q21Oracle: String =
+    """SELECT s.s_name, s.s_suppkey, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND CAST(l1.l_shipdate AS DATE) >= DATE '2001-06-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND CAST(l3.l_shipdate AS DATE) >= DATE '2001-06-01')
+      |GROUP BY s.s_name, s.s_suppkey
+      |ORDER BY numwait DESC, s_suppkey
+      |LIMIT 100""".stripMargin
 
   /** Ranking-family window breadth in one pass: row_number, dense_rank,
     * rank-based percent_rank, cume_dist and ntile(4) over a month's
@@ -783,6 +1010,13 @@ object RelationalQueries {
     "q_kmv_setops" -> (kmvSetOps _),
     "q_window_funcs" -> (windowFuncs _),
     "q17_small_quantity" -> (q17SmallQuantity _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q12_priority_class" -> (q12PriorityClass _),
+    "q13_custdist" -> (q13CustDist _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q22_idle_balance" -> (q22IdleBalance _),
     "q_hll_distinct" -> (hllDistinct _),
@@ -1031,6 +1265,13 @@ object RelationalQueries {
     "q_kmv_setops" -> kmvSetOpsOracle,
     "q_window_funcs" -> windowFuncsOracle,
     "q17_small_quantity" -> q17Oracle,
+    "q4_priority_exists" -> q4Oracle,
+    "q12_priority_class" -> q12Oracle,
+    "q13_custdist" -> q13Oracle,
+    "q14_promo_revenue" -> q14Oracle,
+    "q15_top_supplier" -> q15Oracle,
+    "q19_disjunctive" -> q19Oracle,
+    "q21_waiting_suppliers" -> q21Oracle,
     "q18_large_orders" -> q18Oracle,
     "q22_idle_balance" -> q22Oracle,
     "q_hll_distinct" ->
