@@ -419,6 +419,39 @@ object AnalyticsQueries {
       .join(exact.toSeq.toDF("t", "exact_pairs"), Seq("t"))
   }
 
+  /** Effective diameter (90%, linearly interpolated) and mean distance
+    * from the HyperANF curve — the graph-shape statistics the
+    * neighborhood function exists to answer (Boldi–Vigna's headline
+    * numbers), derived WITHOUT any pairs table. All arithmetic stays in
+    * integer micro-units; the threshold test is the cross-multiplied
+    * `10·NF(t) ≥ 9·NF(T)` (no integer division, no rounding), and the
+    * only floating ops are the two final single divisions — portable by
+    * IEEE correct rounding. The 11-row curve is collected to the driver
+    * (it is already a global aggregate; the propagation ran distributed). */
+  def anfSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = sccFixtureEdges(s, dir).where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val curve = GraphAnalytics.hyperAnf(e, AnfRounds)
+      .select(col("t"), (col("approx_pairs") * lit(1000000)).cast("long").as("m"))
+      .orderBy("t").as[(Int, Long)].collect()
+    val m = curve.map(_._2)
+    val nf0 = m.head
+    val nfT = m.last
+    val avgDistance =
+      if (nfT > nf0)
+        m.indices.drop(1).map(t => t.toLong * (m(t) - m(t - 1))).sum.toDouble /
+          (nfT - nf0).toDouble
+      else 0.0
+    val ts = m.indices.find(t => 10L * m(t) >= 9L * nfT).get // t=T always satisfies
+    val effDiameter =
+      if (ts == 0) 0.0
+      else (ts - 1).toDouble +
+        (9L * nfT - 10L * m(ts - 1)).toDouble / (10L * (m(ts) - m(ts - 1))).toDouble
+    Seq((nfT, avgDistance, effDiameter))
+      .toDF("nf_final_micro", "avg_distance", "eff_diameter_90")
+  }
+
   /** HyperBall harmonic centrality on the fixture, next to the EXACT
     * truncated harmonic centrality at the same horizon (min-distance
     * closure — fixture-sized, oracle-comparison only). `h_scaled_micro`
@@ -528,27 +561,33 @@ object AnalyticsQueries {
        |$regRounds""".stripMargin
   }
 
-  private def hyperAnfOracleSql(ringSize: Int, rounds: Int): String = {
+  /** Union of per-round NF totals in micro-units: (t, m) — shared by the
+    * hyperAnf and anf-summary oracles. */
+  private def anfCurveSelects(rounds: Int): String = {
     val numer = graft.operators.Sketches.hllNumer(8)
-    val pairRounds = (1 to rounds).map { t =>
-      s"""p$t AS MATERIALIZED (SELECT DISTINCT a, b FROM (
-         |    SELECT a, b FROM p${t - 1}
-         |    UNION ALL
-         |    SELECT e.src AS a, p.b FROM p${t - 1} p JOIN edges e ON e.dst = p.a))""".stripMargin
-    }.mkString(",\n")
-    val ests = (0 to rounds).map { t =>
+    (0 to rounds).map { t =>
       s"""SELECT CAST($t AS INTEGER) AS t,
          |    CAST(COALESCE(SUM(CAST(round(
          |      CASE WHEN v > 0 AND $numer / CAST(s_total AS DOUBLE) <= 640.0
          |        THEN 256.0 * ln(256.0 / v)
          |        ELSE $numer / CAST(s_total AS DOUBLE) END, 6) AS DECIMAL(38,6))), 0)
-         |      * 1000000 AS BIGINT) AS approx_pairs_micro
+         |      * 1000000 AS BIGINT) AS m
          |  FROM (SELECT vid,
          |      COALESCE(SUM(1::BIGINT << (60 - register)), 0)
          |        + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 60) AS s_total,
          |      256 - COUNT(*) AS v
          |    FROM r$t GROUP BY vid)""".stripMargin
     }.mkString("\n  UNION ALL ")
+  }
+
+  private def hyperAnfOracleSql(ringSize: Int, rounds: Int): String = {
+    val pairRounds = (1 to rounds).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM p${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS a, p.b FROM p${t - 1} p JOIN edges e ON e.dst = p.a))""".stripMargin
+    }.mkString(",\n")
+    val ests = anfCurveSelects(rounds)
     val exacts = (0 to rounds).map { t =>
       s"SELECT CAST($t AS INTEGER) AS t, COUNT(*) AS exact_pairs FROM p$t"
     }.mkString("\n  UNION ALL ")
@@ -559,9 +598,37 @@ object AnalyticsQueries {
        |  $ests),
        |ex AS (
        |  $exacts)
-       |SELECT est.t, est.approx_pairs_micro, ex.exact_pairs
+       |SELECT est.t, est.m AS approx_pairs_micro, ex.exact_pairs
        |FROM est JOIN ex USING (t)""".stripMargin
   }
+
+  /** Replays the curve then the summary statistics: cross-multiplied 90%
+    * threshold (`10·m ≥ 9·NF(T)` — all-integer), then the two single
+    * IEEE divisions for interpolation and mean distance. */
+  private def anfSummaryOracleSql(ringSize: Int, rounds: Int): String =
+    s"""${anfPrefixSql(ringSize, rounds)},
+       |curve AS MATERIALIZED (
+       |  ${anfCurveSelects(rounds)}),
+       |agg AS (SELECT (SELECT m FROM curve WHERE t = $rounds) AS nft,
+       |    (SELECT m FROM curve WHERE t = 0) AS nf0),
+       |diffs AS (SELECT t, m, m - lag(m) OVER (ORDER BY t) AS dm FROM curve),
+       |avgd AS (SELECT CAST(COALESCE(SUM(CAST(t AS BIGINT) * dm), 0) AS BIGINT) AS num
+       |  FROM diffs WHERE t >= 1),
+       |tstar AS (SELECT MIN(t) AS ts FROM curve, agg WHERE 10 * m >= 9 * nft),
+       |lohi AS (SELECT ts,
+       |    (SELECT m FROM curve WHERE t = ts) AS m_hi,
+       |    (SELECT m FROM curve WHERE t = ts - 1) AS m_lo
+       |  FROM tstar)
+       |SELECT agg.nft AS nf_final_micro,
+       |  CASE WHEN agg.nft > agg.nf0
+       |    THEN CAST(avgd.num AS DOUBLE) / CAST(agg.nft - agg.nf0 AS DOUBLE)
+       |    ELSE 0.0 END AS avg_distance,
+       |  CASE WHEN lohi.ts = 0 THEN 0.0
+       |    ELSE CAST(lohi.ts - 1 AS DOUBLE)
+       |      + CAST(9 * agg.nft - 10 * lohi.m_lo AS DOUBLE)
+       |        / CAST(10 * (lohi.m_hi - lohi.m_lo) AS DOUBLE)
+       |    END AS eff_diameter_90
+       |FROM agg, avgd, lohi""".stripMargin
 
   /** Replays the HyperBall harmonic run end to end: the shared register
     * rounds, per-(vid, t) micro-unit estimates, the lag-window ball
@@ -612,6 +679,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_scc" -> (scc _),
     "g_hyperanf" -> (hyperAnf _),
+    "g_anf_summary" -> (anfSummary _),
     "g_harmonic" -> (harmonic _),
     "g_pagerank" -> (pagerank _),
     "g_connected_components" -> (connectedComponents _),
@@ -1164,6 +1232,7 @@ object AnalyticsQueries {
     "g_scc" -> sccOracleSql(SccRingSize),
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),
+    "g_anf_summary" -> anfSummaryOracleSql(SccRingSize, AnfRounds),
     "g_pagerank_weighted" -> pagerankWeightedOracleSql(PrwRounds, PrReset),
     "g_hits" -> hitsOracleSql(HitsRounds),
     "g_link_features" -> linkFeaturesOracleSql(LinkTopK, LinkMinCommon),
