@@ -193,7 +193,24 @@ object EventQueries {
       .unionAll(stage("3_purchase_after_view", s3, "t3"))
   }
 
+  private val HourUs = 3600000000L
+
+  /** Hourly regularization + LOCF over a bounded user cohort: the
+    * [[graft.operators.TimeSeries.gapFillLocf]] resample — dense per-user
+    * hourly grid between each user's first and last observed hour,
+    * exact-mean observations, gaps carried forward. Cohort keeps the
+    * GRID (not the scan) bounded at the gate SFs; at scale the step is
+    * the lever. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("user_id") < 50)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("value"))
+    graft.operators.TimeSeries.gapFillLocf(ev, "user_id", "t_us", "value", HourUs)
+      .select(col("key").as("user_id"), col("bucket_us"), col("n_obs"),
+        col("obs_value"), col("filled_value"), col("is_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gapfill" -> (gapFill _),
     "ev_funnel" -> (funnel _),
     "ev_between_rewrite" -> (betweenRewrite _),
     "ev_props_json" -> (propsJson _),
@@ -209,6 +226,25 @@ object EventQueries {
     .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ev_gapfill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us, value
+        |  FROM events WHERE user_id < 50),
+        |obs AS (SELECT user_id AS key, t_us - t_us % 3600000000 AS bucket_us,
+        |    COUNT(*) AS n_obs,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS obs_value
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT key, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |  FROM (SELECT key, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi
+        |    FROM obs GROUP BY key))
+        |SELECT g.key AS user_id, g.bucket_us,
+        |  COALESCE(o.n_obs, 0) AS n_obs, o.obs_value,
+        |  last_value(o.obs_value IGNORE NULLS) OVER (PARTITION BY g.key
+        |    ORDER BY g.bucket_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  o.n_obs IS NULL AS is_gap
+        |FROM grid g LEFT JOIN obs o
+        |  ON o.key = g.key AND o.bucket_us = g.bucket_us""".stripMargin,
     "ev_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev

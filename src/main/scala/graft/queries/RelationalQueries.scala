@@ -765,6 +765,57 @@ object RelationalQueries {
       LIMIT 100""")
   }
 
+  /** TPC-H Q20 shape — the nested decorrelation: a grouped subquery
+    * whose HAVING clause contains a scalar subquery correlated on a
+    * GROUPING column (per (supplier, part): shipped more than half the
+    * part's windowed total). Catalyst turns the correlated per-part
+    * total into an aggregate join under the HAVING filter; the outer
+    * count-per-supplier keeps the result values DISCRIMINATING (the raw
+    * Q20 IN form is all-or-nothing on this data — every supplier
+    * dominates some sole-supplied part in a narrow window, none
+    * dominates anything over the full history). Quantities are integral
+    * doubles, so every sum is exact and the 0.5 multiplier (a power of
+    * two) is too. */
+  def q20ExcessShipments(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q20")
+    s.sql("""
+      SELECT s.s_suppkey, s.s_name, d.n_dominant_parts
+      FROM supplier_q20 s
+      JOIN (SELECT l_suppkey, COUNT(*) AS n_dominant_parts
+            FROM (SELECT l1.l_suppkey, l1.l_partkey
+                  FROM lineitem_q20 l1
+                  WHERE CAST(l1.l_shipdate AS DATE) >= DATE '1998-01-01'
+                    AND CAST(l1.l_shipdate AS DATE) < DATE '1998-07-01'
+                  GROUP BY l1.l_suppkey, l1.l_partkey
+                  HAVING SUM(l1.l_quantity) > 0.5 *
+                    (SELECT SUM(l2.l_quantity) FROM lineitem_q20 l2
+                     WHERE l2.l_partkey = l1.l_partkey
+                       AND CAST(l2.l_shipdate AS DATE) >= DATE '1998-01-01'
+                       AND CAST(l2.l_shipdate AS DATE) < DATE '1998-07-01'))
+            GROUP BY l_suppkey) d
+        ON d.l_suppkey = s.s_suppkey
+      ORDER BY s_suppkey""")
+  }
+
+  private val q20Oracle: String =
+    """SELECT s.s_suppkey, s.s_name, d.n_dominant_parts
+      |FROM supplier s
+      |JOIN (SELECT l_suppkey, COUNT(*) AS n_dominant_parts
+      |      FROM (SELECT l1.l_suppkey, l1.l_partkey
+      |            FROM lineitem l1
+      |            WHERE CAST(l1.l_shipdate AS DATE) >= DATE '1998-01-01'
+      |              AND CAST(l1.l_shipdate AS DATE) < DATE '1998-07-01'
+      |            GROUP BY l1.l_suppkey, l1.l_partkey
+      |            HAVING SUM(l1.l_quantity) > 0.5 *
+      |              (SELECT SUM(l2.l_quantity) FROM lineitem l2
+      |               WHERE l2.l_partkey = l1.l_partkey
+      |                 AND CAST(l2.l_shipdate AS DATE) >= DATE '1998-01-01'
+      |                 AND CAST(l2.l_shipdate AS DATE) < DATE '1998-07-01'))
+      |      GROUP BY l_suppkey) d
+      |  ON d.l_suppkey = s.s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
   private val q17Oracle: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
       |       COUNT(*) AS n_small
@@ -1017,6 +1068,7 @@ object RelationalQueries {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q19_disjunctive" -> (q19Disjunctive _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q20_excess_shipments" -> (q20ExcessShipments _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q22_idle_balance" -> (q22IdleBalance _),
     "q_hll_distinct" -> (hllDistinct _),
@@ -1272,6 +1324,7 @@ object RelationalQueries {
     "q15_top_supplier" -> q15Oracle,
     "q19_disjunctive" -> q19Oracle,
     "q21_waiting_suppliers" -> q21Oracle,
+    "q20_excess_shipments" -> q20Oracle,
     "q18_large_orders" -> q18Oracle,
     "q22_idle_balance" -> q22Oracle,
     "q_hll_distinct" ->

@@ -184,4 +184,39 @@ object StreamingSketches {
     dirs.map(spark.read.parquet(_))
       .reduce((a, b) => Sketches.mpMerge(a, b, groupCol, k))
   }
+
+  /** Maintain per-batch HyperBall 1-hop ball registers for an EDGE
+    * stream under `sketchDir/batch_<id>`: each batch contributes the
+    * registers of {v} ∪ out-neighbors(v) restricted to the batch's
+    * edges. Ball registers are MONOTONE max-merge state — an edge seen
+    * twice, in any batch, in any order, folds to the same registers —
+    * so the corpus fold equals the one-shot batch B₁ registers over the
+    * union of all edges (spec-checked). This is the incremental entry
+    * point of [[graft.operators.GraphAnalytics.hyperAnf]]: fold, then
+    * run the remaining T−1 propagation rounds offline without
+    * rescanning the edge log for round one. */
+  def ballRegistersStream(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      sketchDir: String, checkpointDir: String,
+      b: Int = Sketches.HllBits): StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val members = batch.select(col(srcCol).as("vid"), col(srcCol).as("member"))
+          .unionAll(batch.select(col(dstCol).as("vid"), col(dstCol).as("member")))
+          .unionAll(batch.select(col(srcCol).as("vid"), col(dstCol).as("member")))
+        Sketches.hllRegistersGrouped(members, "vid", col("member"), b)
+          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+      }
+      .start()
+
+  /** Fold all per-batch ball registers into the corpus B₁ registers:
+    * one (vid, bucket) max-combine — ≤ V·2^b rows however long the
+    * stream ran. */
+  def mergedBallRegisters(spark: SparkSession, sketchDir: String): DataFrame = {
+    val dirs = StreamingDedup.listBatchDirs(spark, sketchDir).map(_._2)
+    require(dirs.nonEmpty, s"no sketch batches under $sketchDir")
+    spark.read.parquet(dirs: _*)
+      .groupBy("vid", "bucket").agg(max(col("register")).cast("int").as("register"))
+  }
 }

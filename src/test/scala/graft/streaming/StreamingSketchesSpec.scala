@@ -150,4 +150,30 @@ class StreamingSketchesSpec extends SparkTestBase {
       assert(rankErr <= 2.0 * n / k, s"folded q=$qq est=$v rank error $rankErr > 2n/k")
     }
   }
+
+  test("streaming ball registers fold to EXACTLY the one-shot B1 registers") {
+    val dir = Files.createTempDirectory("ss-ball").toString
+    val ckpt = Files.createTempDirectory("ss-ball-ckpt").toString
+    val ms = MemoryStream[(Long, Long)](spark)
+    val q = StreamingSketches.ballRegistersStream(
+      ms.toDF().toDF("src", "dst"), "src", "dst", dir, ckpt)
+    // ring 1→2→…→50→1 plus chords, split across batches WITH overlap
+    val edges = (1L to 50L).map(v => (v, v % 50 + 1)) ++
+      (1L to 20L).map(v => (v, v + 25))
+    try {
+      ms.addData(edges.take(40): _*)
+      q.processAllAvailable()
+      ms.addData(edges.drop(30): _*) // 10 edges re-delivered
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // ground truth built directly from the member sets {v} ∪ out(v)
+    val members = edges.flatMap { case (s, d) => Seq((s, s), (d, d), (s, d)) }
+      .toDF("vid", "member")
+    val batchRegs = Sketches.hllRegistersGrouped(members, "vid", col("member"))
+      .orderBy("vid", "bucket").as[(Long, Long, Int)].collect().toSeq
+    val streamRegs = StreamingSketches.mergedBallRegisters(spark, dir)
+      .orderBy("vid", "bucket").as[(Long, Long, Int)].collect().toSeq
+    assert(streamRegs == batchRegs)
+  }
 }
