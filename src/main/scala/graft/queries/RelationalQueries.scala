@@ -816,6 +816,91 @@ object RelationalQueries {
       |  ON d.l_suppkey = s.s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Declarative data-quality report over orders/lineitem/customer/part:
+    * one conditional-agg scan per table + key-only anti-joins for the
+    * two FK checks. Includes checks that FAIL on this data (lineitem
+    * order keys repeat per line; quantities exceed 45) so the report
+    * hash discriminates pass from fail. */
+  def dqReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality._
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    val c = Tables(s, dir, "customer")
+    val p = Tables(s, dir, "part")
+    report(o, Seq(
+      NotNull("o_custkey"),
+      Unique("o_orderkey"),
+      InRange("o_totalprice", 0.0, 600000.0),
+      Accepted("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))))
+      .unionAll(report(l, Seq(
+        Unique("l_orderkey"),
+        InRange("l_quantity", 1.0, 45.0))))
+      .unionAll(referential(o, "o_custkey", c, "c_custkey", "fk:orders.o_custkey"))
+      .unionAll(referential(l, "l_partkey", p, "p_partkey", "fk:lineitem.l_partkey"))
+  }
+
+  private val dqOracle: String =
+    """SELECT 'not_null:o_custkey' AS check_name,
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |  COUNT(*) AS total,
+      |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) * 1000000 <= 0 * COUNT(*) AS passed
+      |FROM orders
+      |UNION ALL
+      |SELECT 'in_range:o_totalprice',
+      |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+      |    AND (o_totalprice < 0.0 OR o_totalprice > 600000.0) THEN 1 ELSE 0 END) AS BIGINT),
+      |  COUNT(*),
+      |  SUM(CASE WHEN o_totalprice IS NOT NULL
+      |    AND (o_totalprice < 0.0 OR o_totalprice > 600000.0) THEN 1 ELSE 0 END) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'accepted:o_orderpriority',
+      |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN
+      |    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END) AS BIGINT),
+      |  COUNT(*),
+      |  SUM(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN
+      |    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'unique:o_orderkey',
+      |  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+      |  COUNT(o_orderkey),
+      |  COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey)
+      |FROM orders WHERE o_orderkey IS NOT NULL
+      |UNION ALL
+      |SELECT 'in_range:l_quantity',
+      |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+      |    AND (l_quantity < 1.0 OR l_quantity > 45.0) THEN 1 ELSE 0 END) AS BIGINT),
+      |  COUNT(*),
+      |  SUM(CASE WHEN l_quantity IS NOT NULL
+      |    AND (l_quantity < 1.0 OR l_quantity > 45.0) THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'unique:l_orderkey',
+      |  CAST(COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS BIGINT),
+      |  COUNT(l_orderkey),
+      |  COUNT(l_orderkey) = COUNT(DISTINCT l_orderkey)
+      |FROM lineitem WHERE l_orderkey IS NOT NULL
+      |UNION ALL
+      |SELECT 'fk:orders.o_custkey',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |   WHERE o.o_custkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+      |UNION ALL
+      |SELECT 'fk:lineitem.l_partkey',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |   WHERE l.l_partkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+      |  (SELECT COUNT(*) FROM lineitem l
+      |   WHERE l.l_partkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) = 0""".stripMargin
+
   private val q17Oracle: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
       |       COUNT(*) AS n_small
@@ -1069,6 +1154,7 @@ object RelationalQueries {
     "q19_disjunctive" -> (q19Disjunctive _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q20_excess_shipments" -> (q20ExcessShipments _),
+    "q_dq_report" -> (dqReport _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q22_idle_balance" -> (q22IdleBalance _),
     "q_hll_distinct" -> (hllDistinct _),
@@ -1325,6 +1411,7 @@ object RelationalQueries {
     "q19_disjunctive" -> q19Oracle,
     "q21_waiting_suppliers" -> q21Oracle,
     "q20_excess_shipments" -> q20Oracle,
+    "q_dq_report" -> dqOracle,
     "q18_large_orders" -> q18Oracle,
     "q22_idle_balance" -> q22Oracle,
     "q_hll_distinct" ->
