@@ -209,7 +209,27 @@ object EventQueries {
         col("obs_value"), col("filled_value"), col("is_gap"))
   }
 
+  /** Time-based RANGE frame windows — the frame kind ROWS cannot
+    * emulate on irregular events: per user, the trailing-24h event
+    * count and exact-decimal mean value AT EACH event. The frame is a
+    * physical range over the µs timestamp (ties share a frame — RANGE
+    * semantics are tie-deterministic by definition, no tiebreak column
+    * needed); the mean is the one-unrounded-division portable form. */
+  def rolling24h(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = Tables.events(s, dir).where(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"),
+        col("value"))
+    val w = Window.partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(-(DayUs - 1), Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("t_us"),
+      count(lit(1)).over(w).as("n_24h"),
+      (sum(col("value").cast("decimal(28,6)")).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double")).as("mean_24h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rolling_24h" -> (rolling24h _),
     "ev_gapfill" -> (gapFill _),
     "ev_funnel" -> (funnel _),
     "ev_between_rewrite" -> (betweenRewrite _),
@@ -226,6 +246,15 @@ object EventQueries {
     .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ev_rolling_24h" ->
+      """SELECT event_id, user_id, t_us,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w AS DOUBLE) AS mean_24h
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+        |      FROM events WHERE user_id < 50)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ev_gapfill" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us, value
         |  FROM events WHERE user_id < 50),
