@@ -785,6 +785,72 @@ object GraphAnalytics {
       .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Derandomized weighted NEGATIVE sampling (the word2vec noise draw,
+    * Mikolov 2013): k noise vertices per (center, context) training
+    * pair, drawn from the weight distribution (degree here; the ¾-power
+    * smoothing is a caller-supplied weight column — INTEGER weights keep
+    * every draw exact) — completing the walks → skip-gram pairs →
+    * negatives training-data pipeline.
+    *
+    * Mechanics, all integer and engine-portable:
+    *   1. Exclusive/inclusive cumulative weights per vertex via a
+    *      TWO-PHASE cumsum (range-repartition by vid, per-partition
+    *      window sums + broadcast partition offsets — no global
+    *      single-partition window; the result is partitioning-invariant).
+    *   2. Each draw hashes 'neg:center:context:i' to u ∈ [0, total).
+    *   3. Inverse-CDF lookup WITHOUT a range join (a non-equi interval
+    *      probe would be a broadcast nested loop over the whole
+    *      vocabulary): u-space splits into `buckets` fixed slots of
+    *      width ⌈total/buckets⌉; each cum interval explodes to the ≤
+    *      few slots it overlaps (Σ spans ≤ V + buckets rows) and draws
+    *      EQUI-join on the slot, then filter lo ≤ u < hi. Per-slot
+    *      candidate lists are ~V/buckets — nothing quadratic.
+    * Collisions with the pair's own vertices are marked, not redrawn —
+    * a deterministic redraw loop would data-depend the round count. */
+  def weightedNegativeSamples(pairs: DataFrame, weights: DataFrame, k: Int,
+      centerCol: String = "center", contextCol: String = "context",
+      vidCol: String = "vid", weightCol: String = "w",
+      buckets: Int = 4096, cumPartitions: Int = 32): DataFrame = {
+    require(k >= 1 && buckets >= 1)
+    val w0 = weights
+      .select(col(vidCol).cast("long").as("vid"), col(weightCol).cast("long").as("w"))
+      .where(col("w") > 0)
+    val parted = w0.repartitionByRange(cumPartitions, col("vid"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("vid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("pid").agg(sum(col("w")).as("psum"))
+      .select(col("pid"), coalesce(sum(col("psum")).over(wOff), lit(0L)).as("off"))
+    val cum = parted.join(broadcast(offsets), Seq("pid"))
+      .select(col("vid"), col("w"),
+        (sum(col("w")).over(wIn) + col("off")).as("hi"))
+      .select(col("vid"), (col("hi") - col("w")).as("lo"), col("hi"))
+      .localCheckpoint(true)
+    val totals = cum.agg(max(col("hi")).as("total"))
+      .select(col("total"), expr(s"(total + ${buckets - 1}) div $buckets").as("wd"))
+    val slots = cum.crossJoin(broadcast(totals))
+      .select(col("vid"), col("lo"), col("hi"),
+        explode(sequence(expr("lo div wd"), expr("(hi - 1) div wd"))).as("slot"))
+    val draws = pairs.select(col(centerCol).cast("long").as("center"),
+        col(contextCol).cast("long").as("context"))
+      .distinct()
+      .withColumn("draw_i", explode(sequence(lit(0), lit(k - 1))))
+      .crossJoin(broadcast(totals))
+      .select(col("center"), col("context"), col("draw_i"),
+        pmod(Dedup.md5Long(concat_ws(":", lit("neg"), col("center"),
+          col("context"), col("draw_i"))), col("total")).as("u"),
+        col("wd"))
+      .withColumn("slot", expr("u div wd"))
+    draws.join(slots, Seq("slot"))
+      .where(col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("center"), col("context"), col("draw_i").cast("int").as("draw_i"),
+        col("vid").as("neg_vid"),
+        (col("vid") === col("center") || col("vid") === col("context")).as("is_collision"))
+  }
+
   /** Node2vec-BIASED walks (Grover & Leskovec 2016): like
     * [[randomWalks]], but the neighbor choice is 2nd-order — biased by
     * where the walk came FROM. Candidate v of walk w at step t (previous

@@ -211,6 +211,29 @@ object AnalyticsQueries {
   }
 
   private val SkipgramWindow = 2
+  private val NegK = 3
+
+  /** Degree-weighted negative samples for the skip-gram pair corpus —
+    * the third stage of the embedding training-data pipeline (walks →
+    * pairs → negatives). Integer degree weights keep every inverse-CDF
+    * draw exact; the oracle replays the walks, the pair join, the
+    * cumulative weights and each md5 draw, then does the interval
+    * lookup as a plain range join (the bucketized equi-join is the
+    * ENGINE's scale mechanics, not part of the answer). */
+  def negativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val nationIdx = labels.indexOf("Nation").toLong
+    val starts = edges.select(col("src").as("vid"))
+      .unionAll(edges.select(col("dst").as("vid")))
+      .where(shiftright(col("vid"), 44) === nationIdx)
+    val walks = GraphAnalytics.randomWalks(edges, starts,
+      walksPerVertex = WalkCount, steps = WalkSteps)
+    val pairs = GraphAnalytics.skipGramPairs(walks, window = SkipgramWindow)
+    val deg = edges.select(col("src").as("vid"))
+      .unionAll(edges.select(col("dst").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("w"))
+    GraphAnalytics.weightedNegativeSamples(pairs, deg, k = NegK)
+  }
 
   private val BiasedWalkCount = 3
   private val BiasedWalkSteps = 6
@@ -692,6 +715,7 @@ object AnalyticsQueries {
     "g_random_walks" -> (randomWalks _),
     "g_biased_walks" -> (biasedWalks _),
     "g_skipgram" -> (skipgram _),
+    "g_negative_samples" -> (negativeSamples _),
     "g_pagerank_weighted" -> (pagerankWeighted _),
     "g_clustering_coeff" -> (clusteringCoeff _),
     "g_assortativity" -> (assortativity _),
@@ -991,6 +1015,38 @@ object AnalyticsQueries {
        |FROM pairs GROUP BY 1, 2, 3, 4""".stripMargin
   }
 
+  /** Negative-sampling oracle: walks + pair join (same CTEs as the
+    * skip-gram oracle), degree cumsum, one md5 draw per (pair, i), then
+    * a plain range join for the inverse-CDF lookup — the bucketed
+    * equi-join is engine mechanics, the answer is interval containment. */
+  private def negativeSamplesOracleSql(walksPerVertex: Int, steps: Int,
+      window: Int, k: Int): String = {
+    val (ctes, unions) = walkCteSql(walksPerVertex, steps)
+    s"""$ctes,
+       |wk AS MATERIALIZED (
+       |$unions),
+       |pairs AS (
+       |  SELECT DISTINCT a.vid AS center, b.vid AS context
+       |  FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+       |    AND a.step <> b.step AND abs(a.step - b.step) <= $window),
+       |deg AS (SELECT vid, COUNT(*) AS w FROM (
+       |    SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)
+       |  GROUP BY vid),
+       |cum AS MATERIALIZED (SELECT vid, w,
+       |    SUM(w) OVER (ORDER BY vid ROWS UNBOUNDED PRECEDING) AS hi
+       |  FROM deg WHERE w > 0),
+       |tot AS (SELECT MAX(hi) AS total FROM cum),
+       |draws AS (
+       |  SELECT center, context, CAST(i AS INTEGER) AS draw_i,
+       |    ('0x' || substring(md5('neg:' || CAST(center AS VARCHAR) || ':'
+       |      || CAST(context AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+       |      % (SELECT total FROM tot) AS u
+       |  FROM pairs, (SELECT unnest(generate_series(0, ${k - 1})) AS i))
+       |SELECT d.center, d.context, d.draw_i, c.vid AS neg_vid,
+       |  (c.vid = d.center OR c.vid = d.context) AS is_collision
+       |FROM draws d JOIN cum c ON d.u >= c.hi - c.w AND d.u < c.hi""".stripMargin
+  }
+
   /** PPR oracle: replay the source-teleport fixed-point rounds — r0 is
     * 10⁶ micro-units per source; round i full-outer-merges the source
     * set with the damped in-sums. HUGEINT `//` ≡ Spark's DECIMAL div;
@@ -1238,6 +1294,7 @@ object AnalyticsQueries {
     "g_link_features" -> linkFeaturesOracleSql(LinkTopK, LinkMinCommon),
     "g_biased_walks" -> biasedWalkOracleSql(BiasedWalkCount, BiasedWalkSteps, BiasedP, BiasedQ),
     "g_skipgram" -> skipgramOracleSql(WalkCount, WalkSteps, SkipgramWindow),
+    "g_negative_samples" -> negativeSamplesOracleSql(WalkCount, WalkSteps, SkipgramWindow, NegK),
     "g_ppr" -> pprOracleSql(PprRounds, PrReset),
     "g_random_walks" -> walkOracleSql(WalkCount, WalkSteps),
     "g_sssp" -> ssspOracleSql(SsspRounds),

@@ -3,7 +3,7 @@ package graft.operators
 import graft.SparkTestBase
 import graft.model.{GraphSchema, PropertyGraph, RelPattern}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit, sum}
+import org.apache.spark.sql.functions.{col, lit, pmod, sum}
 
 class GraphAnalyticsSpec extends SparkTestBase {
   import spark.implicits._
@@ -450,6 +450,46 @@ class GraphAnalyticsSpec extends SparkTestBase {
       .foreach { case (v, s) =>
         assert(math.abs(s / unit - want) / want < 0.03, s"H($v)=${s / unit}")
       }
+  }
+
+  test("weightedNegativeSamples: draws match hand-checked inverse-CDF intervals") {
+    // weights a=1 b=2 c=3 → cum a:[0,1) b:[1,3) c:[3,6), total 6
+    val weights = Seq((100L, 1L), (200L, 2L), (300L, 3L)).toDF("vid", "w")
+    val pairs = Seq((10L, 20L), (30L, 40L)).toDF("center", "context")
+    val out = GraphAnalytics.weightedNegativeSamples(pairs, weights, k = 4)
+      .as[(Long, Long, Int, Long, Boolean)].collect()
+    assert(out.length == 8) // 2 pairs × 4 draws, interval lookup total
+    assert(out.forall { case (_, _, _, neg, coll) =>
+      Seq(100L, 200L, 300L).contains(neg) && !coll })
+    // recompute each u with the same portable hash and map through the
+    // known intervals — the operator's bucketed join must agree
+    val expected = pairs.as[(Long, Long)].collect().flatMap { case (c1, c2) =>
+      (0 to 3).map { i =>
+        val u = Seq((s"neg:$c1:$c2:$i")).toDF("s")
+          .select(pmod(Dedup.md5Long(col("s")), lit(6L))).as[Long].head
+        val neg = if (u < 1) 100L else if (u < 3) 200L else 300L
+        ((c1, c2, i), neg)
+      }
+    }.toMap
+    out.foreach { case (c1, c2, i, neg, _) =>
+      assert(expected((c1, c2, i)) == neg, s"draw ($c1,$c2,$i)")
+    }
+    // partitioning-invariant: same result from a different layout
+    val again = GraphAnalytics.weightedNegativeSamples(
+      pairs.repartition(7), weights.repartition(5), k = 4, cumPartitions = 3)
+      .as[(Long, Long, Int, Long, Boolean)].collect()
+    assert(again.sortBy(r => (r._1, r._2, r._3)).toSeq ==
+      out.sortBy(r => (r._1, r._2, r._3)).toSeq)
+  }
+
+  test("weightedNegativeSamples: collisions flagged, zero/negative weights excluded") {
+    val weights = Seq((10L, 5L), (99L, 0L), (98L, -3L)).toDF("vid", "w")
+    val pairs = Seq((10L, 20L)).toDF("center", "context")
+    val out = GraphAnalytics.weightedNegativeSamples(pairs, weights, k = 2)
+      .as[(Long, Long, Int, Long, Boolean)].collect()
+    // only vid 10 has positive weight → every draw lands on it and collides
+    assert(out.length == 2 && out.forall { case (_, _, _, neg, coll) =>
+      neg == 10L && coll })
   }
 
   test("hyperAnf: rounds=0 is the vertex count (singleton balls)") {
