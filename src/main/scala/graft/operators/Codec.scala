@@ -37,6 +37,9 @@ object Codec {
       Some("audio/wav")
     else if (bytes.length >= 8 && (0 until 8).forall(i => (bytes(i) & 0xFF) == PngSignature(i)))
       Some("image/png")
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      Some("image/gif")
     else None
 
   // ------------------------------------------------------------------ BMP
@@ -454,4 +457,271 @@ object Codec {
       if (n == 0) 0.0 else mx.toDouble,
       if (n == 0) 0.0 else mn.toDouble)
   }
+
+  // ------------------------------------------------------------------ GIF
+
+  /** Decoded GIF: per-frame palette INDICES (full logical-screen rects)
+    * plus the global color table as packed 0xRRGGBB ints. The multi-frame
+    * container behind real frame sampling (GIF 89a, LZW §Appendix F). */
+  final case class Gif(width: Int, height: Int, palette: Array[Int],
+      frames: Vector[Array[Byte]])
+
+  /** LZW-compress palette indices (GIF variant: LSB-first bit packing,
+    * variable 9→12-bit codes, clear/eoi codes, dictionary reset at 4096).
+    * The width-advance rule mirrors [[lzwDecode]] position for position —
+    * the pair is round-trip spec-checked against the JDK's ImageIO GIF
+    * plugin in BOTH directions, so the bit-level details are pinned to an
+    * independent implementation, not to each other. */
+  private def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(indices.length / 2 + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = minCodeSize + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) { out.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    put(clear)
+    if (indices.nonEmpty) {
+      var cur = indices(0) & 0xFF
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xFF
+        val key: Integer = (cur << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          put(cur)
+          if (next < 4096) {
+            dict.put(key, next)
+            next += 1
+            // a future code `next-1` needs one more bit once it reaches
+            // 2^width — grow BEFORE it can be emitted (decoder mirror)
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          } else { // dictionary full: reset, like every mainstream writer
+            put(clear)
+            dict = new java.util.HashMap[Integer, Integer]()
+            next = eoi + 1
+            width = minCodeSize + 1
+          }
+          cur = k
+        }
+        i += 1
+      }
+      put(cur)
+    }
+    put(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** LZW-decompress exactly `expected` palette indices. Handles the
+    * KwKwK case (code == next), clear-code resets, and the deferred
+    * width growth matching [[lzwEncode]]. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    var c = 0
+    while (c < clear) { prefix(c) = -1; suffix(c) = c.toByte; length(c) = 1; c += 1 }
+    var next = eoi + 1
+    var width = minCodeSize + 1
+    val out = new Array[Byte](expected)
+    var oi = 0
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    def read(): Int = {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf |= (data(pos) & 0xFFL) << bitCnt; pos += 1; bitCnt += 8
+      }
+      require(bitCnt >= width, "LZW stream truncated")
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      code
+    }
+    // expand `code` into out; returns its FIRST index byte
+    def emit(code: Int): Byte = {
+      val l = length(code)
+      require(oi + l <= expected, s"LZW expansion overruns frame ($oi + $l > $expected)")
+      var cc = code
+      var j = oi + l - 1
+      while (cc >= 0) { out(j) = suffix(cc); j -= 1; cc = prefix(cc) }
+      oi += l
+      out(oi - l)
+    }
+    var prev = -1
+    var done = false
+    while (!done && oi < expected) {
+      val code = read()
+      if (code == clear) { next = eoi + 1; width = minCodeSize + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else if (prev < 0) {
+        require(code < clear, s"first LZW code $code after clear is not a root")
+        emit(code)
+        prev = code
+      } else {
+        require(code < next && code != eoi || code == next, s"LZW code $code out of range (next=$next)")
+        val first: Byte =
+          if (code == next) { // KwKwK: expansion = expand(prev) + first(prev)
+            require(next < 4096, "KwKwK with full dictionary")
+            val f = suffix(rootFirst(prefix, prev))
+            // temporary entry so emit() can expand it
+            prefix(next) = prev; suffix(next) = f; length(next) = length(prev) + 1
+            emit(code)
+          } else emit(code)
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          length(next) = length(prev) + 1
+          next += 1
+          // the decoder's dictionary lags the encoder's by ONE entry at
+          // equal stream positions (the encoder adds on emit, the decoder
+          // one code later), so its growth threshold is 2^w where the
+          // encoder's is 2^w + 1 — the classic GIF off-by-one
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    require(oi == expected, s"LZW decoded $oi of $expected indices")
+    out
+  }
+
+  /** Walk a code's prefix chain to its root (first-byte lookup). */
+  private def rootFirst(prefix: Array[Int], code: Int): Int = {
+    var c = code
+    while (prefix(c) >= 0) c = prefix(c)
+    c
+  }
+
+  /** Encode a multi-frame GIF89a: one global 256-entry color table,
+    * every frame a full logical-screen rect of palette indices, no
+    * transparency/disposal extensions (frames fully replace). */
+  def encodeGif(width: Int, height: Int, palette: Array[Int],
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF,
+      s"invalid GIF dimensions ${width}x$height")
+    require(palette.length == 256, s"palette must have 256 entries (got ${palette.length})")
+    require(frames.nonEmpty, "GIF needs at least one frame")
+    frames.foreach(f => require(f.length == width * height,
+      s"frame has ${f.length} indices for ${width}x$height"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xFF); out.write(width >> 8)
+    out.write(height & 0xFF); out.write(height >> 8)
+    out.write(0xF7) // GCT present, 8 bits/channel, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect
+    palette.foreach { rgb =>
+      out.write((rgb >> 16) & 0xFF); out.write((rgb >> 8) & 0xFF); out.write(rgb & 0xFF)
+    }
+    frames.foreach { frame =>
+      out.write(0x2C) // image descriptor
+      out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+      out.write(width & 0xFF); out.write(width >> 8)
+      out.write(height & 0xFF); out.write(height >> 8)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW min code size
+      val lzw = lzwEncode(frame, 8)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n)
+        out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Parse a GIF87a/89a — a REAL decoder: logical screen + global color
+    * table, extension blocks skipped by sub-block walk, every image
+    * descriptor LZW-decompressed (variable-width codes, KwKwK, clear
+    * resets). Restrictions (loud, not silent): no interlace, no local
+    * color tables, full-rect frames only — exactly what [[encodeGif]]
+    * and typical synthetic/screen-capture GIFs produce. */
+  def decodeGif(bytes: Array[Byte]): Gif = {
+    require(detectFormat(bytes).contains("image/gif"), "not a GIF payload")
+    var pos = 6
+    def u8g(): Int = { require(pos < bytes.length, "GIF truncated"); val v = bytes(pos) & 0xFF; pos += 1; v }
+    def u16g(): Int = { val lo = u8g(); val hi = u8g(); lo | (hi << 8) }
+    val width = u16g()
+    val height = u16g()
+    require(width > 0 && height > 0, s"invalid GIF dimensions ${width}x$height")
+    val packed = u8g()
+    u8g() // background index
+    u8g() // aspect
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    val palette = new Array[Int](256)
+    var i = 0
+    while (i < gctSize) {
+      palette(i) = (u8g() << 16) | (u8g() << 8) | u8g()
+      i += 1
+    }
+    val frames = Vector.newBuilder[Array[Byte]]
+    var done = false
+    while (!done) {
+      u8g() match {
+        case 0x3B => done = true
+        case 0x21 => // extension: label + sub-blocks
+          u8g()
+          var n = u8g()
+          while (n != 0) { pos += n; n = u8g() }
+        case 0x2C =>
+          val left = u16g(); val top = u16g()
+          val fw = u16g(); val fh = u16g()
+          val fpacked = u8g()
+          require(left == 0 && top == 0 && fw == width && fh == height,
+            s"only full-rect frames supported (got ${fw}x$fh at $left,$top)")
+          require((fpacked & 0x80) == 0, "local color tables not supported")
+          val interlaced = (fpacked & 0x40) != 0
+          val minCode = u8g()
+          require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+          val data = new java.io.ByteArrayOutputStream()
+          var n = u8g()
+          while (n != 0) {
+            require(pos + n <= bytes.length, "GIF image data truncated")
+            data.write(bytes, pos, n); pos += n
+            n = u8g()
+          }
+          val raw = lzwDecode(data.toByteArray, minCode, width * height)
+          frames += (if (interlaced) deinterlace(raw, width, height) else raw)
+        case other => throw new IllegalArgumentException(
+          f"unknown GIF block 0x$other%02X at ${pos - 1}")
+      }
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "GIF contains no image frames")
+    Gif(width, height, palette, fs)
+  }
+
+  /** Undo GIF 4-pass interlacing: stored row order is rows 0,8,16,… then
+    * 4,12,… then 2,6,10,… then 1,3,5,… (GIF89a spec, appendix E). */
+  private def deinterlace(raw: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](raw.length)
+    val passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
+    var src = 0
+    passes.foreach { case (start, step) =>
+      var y = start
+      while (y < height) {
+        System.arraycopy(raw, src * width, out, y * width, width)
+        src += 1
+        y += step
+      }
+    }
+    out
+  }
+
+  /** The standard 256-entry grayscale palette (index i → gray i,i,i). */
+  val GrayPalette: Array[Int] = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
 }

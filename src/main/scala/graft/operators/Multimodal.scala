@@ -141,7 +141,8 @@ object Multimodal {
   /** ==== STUB ==== Frame sampling for video-shaped payloads: split the
     * byte stream into fixed-size "frames" and keep every `stride`-th one.
     * Output is one row per sampled frame — the explode shape a real
-    * frame sampler produces. */
+    * frame sampler produces. (For actual multi-frame CONTAINERS use
+    * [[sampleGifFrames]], which decodes real GIF animations.) */
   def sampleFrames(df: DataFrame, idCol: String, frameBytes: Int, stride: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -152,5 +153,50 @@ object Multimodal {
           .map { case (frame, idx) => (id, idx.toLong, frame) }
       }
       .toDF("id", "frame_index", "frame")
+  }
+
+  /** REAL frame sampling over animated GIF payloads: LZW-decode every
+    * frame ([[Codec.decodeGif]]), keep every `stride`-th, and emit
+    * luminance statistics per kept frame — n_frames, frame dims, and
+    * exact integer pixel sums (palette-mapped red channel as luminance;
+    * all-integer so the row hashes portably). Non-GIF payloads produce
+    * no rows — the dispatch is the caller's filter, like decode. The
+    * mapPartitions shape matches the Pandas-UDF batch contract
+    * (SURVEY §2.9): per-task batch decode, no driver involvement. */
+  def sampleGifFrames(df: DataFrame, idCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (!Codec.detectFormat(bytes).contains("image/gif")) Iterator.empty
+        else {
+          val gif = Codec.decodeGif(bytes)
+          val lum = gif.palette.map(rgb => (rgb >> 16) & 0xFF)
+          gif.frames.iterator.zipWithIndex
+            .filter { case (_, idx) => idx % stride == 0 }
+            .map { case (frame, idx) =>
+              var sum = 0L
+              var mx = 0
+              var mn = 255
+              var i = 0
+              while (i < frame.length) {
+                val v = lum(frame(i) & 0xFF)
+                sum += v
+                if (v > mx) mx = v
+                if (v < mn) mn = v
+                i += 1
+              }
+              (id, idx, gif.frames.length, gif.width, gif.height, sum, mn, mx)
+            }
+        }
+      }
+      .toDF("id", "frame_index", "n_frames", "width", "height",
+        "lum_sum", "lum_min", "lum_max")
+      .select(col("id"), col("frame_index").cast("long").as("frame_index"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("lum_sum"), col("lum_min").cast("long").as("lum_min"),
+        col("lum_max").cast("long").as("lum_max"))
   }
 }

@@ -130,6 +130,28 @@ object PipelineQueries {
       frameBytes = 64, stride = 2)
       .select(col("id"), col("frame_index"), md5(hex(col("frame"))).as("frame_md5"))
 
+  /** REAL container frame sampling: deterministic multi-frame GIFs
+    * (pixel(d, f, i) = (31d + 7f + 13i) mod 256 — pure integer math the
+    * oracle recomputes directly) encoded through the LZW writer, decoded
+    * back by [[Multimodal.sampleGifFrames]], every 2nd frame kept with
+    * exact luminance statistics. A hash match PROVES the LZW
+    * encode→decode round trip: the oracle reaches the pixel values only
+    * through their formula, the engine only through the codec. */
+  def gifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gifs = Tables(s, dir, "documents").select(col("doc_id").cast("long"))
+      .where(pmod(col("doc_id"), lit(17)) === 0).as[Long]
+      .map { d =>
+        val nF = (4 + d % 3).toInt
+        val frames = (0 until nF).map { f =>
+          Array.tabulate(256)(i => ((d * 31 + f * 7 + i * 13) % 256).toByte)
+        }
+        (d, graft.operators.Codec.encodeGif(16, 16,
+          graft.operators.Codec.GrayPalette, frames))
+      }.toDF("doc_id", "content")
+    Multimodal.sampleGifFrames(gifs, "doc_id", stride = 2)
+  }
+
   /** Near-dup clustering end to end: n-gram Jaccard candidate pairs →
     * connected components (large-star/small-star) → one canonical doc per
     * cluster. Oracle: DuckDB recursive-CTE transitive closure over the
@@ -203,7 +225,8 @@ object PipelineQueries {
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_features" -> (decodeFeatures _),
     "mm_codec_features" -> (codecFeatures _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_gif_frames" -> (gifFrames _))
 
   /** tx_langid oracle is generated from TextAnalysis.LanguageProfiles so
     * the stopword lists cannot drift between engine and oracle. The CASE
@@ -578,7 +601,26 @@ object PipelineQueries {
        |FROM e""".stripMargin
   }
 
+  /** The GIF oracle reaches each pixel ONLY through its integer formula;
+    * the engine reaches it only through LZW decode of the encoded GIF —
+    * a hash match certifies the codec round trip. */
+  private val gifFramesOracle: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 17 = 0),
+      |f AS (SELECT id, 4 + id % 3 AS n_frames,
+      |    unnest(generate_series(0, 3 + id % 3)) AS frame_index FROM d),
+      |kept AS (SELECT * FROM f WHERE frame_index % 2 = 0),
+      |px AS (SELECT id, frame_index, n_frames,
+      |    (id*31 + frame_index*7 + i) % 256 AS val
+      |  FROM kept, (SELECT unnest(generate_series(0, 255)) * 13 AS i))
+      |SELECT id, frame_index, n_frames,
+      |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+      |  CAST(SUM(val) AS BIGINT) AS lum_sum,
+      |  CAST(MIN(val) AS BIGINT) AS lum_min,
+      |  CAST(MAX(val) AS BIGINT) AS lum_max
+      |FROM px GROUP BY id, frame_index, n_frames""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
+    "mm_gif_frames" -> gifFramesOracle,
     "ss_rp_reduce" -> rpReduceOracle,
     "dd_minhash_lsh" -> minhashOracle,
     "dd_simhash" -> simhashOracle,

@@ -245,4 +245,76 @@ class MultimodalSpec extends SparkTestBase {
       .as[(String, Option[Int], Option[Int])].head()
     assert(meta == (("image/png", Some(2), Some(2))))
   }
+
+  // frames sized/patterned to push the LZW dictionary through the 512,
+  // 1024 and 2048 width boundaries (64×64 = 4096 indices per frame)
+  private def gifFrames(n: Int): Seq[Array[Byte]] =
+    (0 until n).map { f =>
+      Array.tabulate(64 * 64) { i =>
+        (((i * (f + 3)) ^ (i >> 3) ^ (f * 41)) & 0xFF).toByte
+      }
+    }
+
+  test("GIF codec: multi-frame LZW round trip through width growth and KwKwK") {
+    val frames = gifFrames(4) :+
+      Array.fill(64 * 64)(7.toByte) :+               // constant frame → KwKwK chains
+      Array.tabulate(64 * 64)(i => (i & 1).toByte)   // two-symbol alternation
+    val bytes = Codec.encodeGif(64, 64, Codec.GrayPalette, frames)
+    assert(Codec.detectFormat(bytes).contains("image/gif"))
+    val gif = Codec.decodeGif(bytes)
+    assert(gif.width == 64 && gif.height == 64 && gif.frames.length == frames.length)
+    frames.zip(gif.frames).foreach { case (want, got) =>
+      assert(java.util.Arrays.equals(want, got))
+    }
+  }
+
+  test("GIF encoder output decodes identically under the JDK ImageIO reader") {
+    val frames = gifFrames(3)
+    val bytes = Codec.encodeGif(64, 64, Codec.GrayPalette, frames)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val n = reader.getNumImages(true)
+    assert(n == frames.length)
+    (0 until n).foreach { f =>
+      val img = reader.read(f)
+      assert(img.getWidth == 64 && img.getHeight == 64)
+      val want = frames(f)
+      var i = 0
+      while (i < 64 * 64) {
+        val gray = img.getRGB(i % 64, i / 64) & 0xFF // gray palette: B == index
+        assert(gray == (want(i) & 0xFF), s"frame $f pixel $i")
+        i += 1
+      }
+    }
+  }
+
+  test("GIF decoder reads a JDK-ImageIO-written GIF (independent encoder)") {
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    (0 until h).foreach { y =>
+      (0 until w).foreach(x => img.setRGB(x, y, ((x * 7 + y * 13) & 0xFF) * 0x010101))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val gif = Codec.decodeGif(bos.toByteArray)
+    assert(gif.width == w && gif.height == h && gif.frames.length == 1)
+    // compare through the palette: decoded index → RGB must equal the image
+    val idx = gif.frames.head
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val rgb = gif.palette(idx(y * w + x) & 0xFF)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == rgb, s"pixel $x,$y")
+      }
+    }
+  }
+
+  test("GIF: malformed payloads fail loudly") {
+    intercept[IllegalArgumentException](Codec.decodeGif(Array[Byte](1, 2, 3)))
+    val ok = Codec.encodeGif(8, 8, Codec.GrayPalette, Seq(Array.fill(64)(0.toByte)))
+    intercept[IllegalArgumentException](Codec.decodeGif(ok.dropRight(10))) // truncated
+    intercept[IllegalArgumentException](
+      Codec.encodeGif(8, 8, Codec.GrayPalette, Seq(Array.fill(63)(0.toByte))))
+  }
 }
