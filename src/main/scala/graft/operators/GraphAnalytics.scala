@@ -1133,6 +1133,54 @@ object GraphAnalytics {
     curve.reduce(_ unionAll _)
   }
 
+  /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
+    * EVERY edge closes ≥ k−2 triangles within the subgraph — the
+    * cohesion notion between "connected" and "clique", and unlike
+    * k-core it is triangle-based, so bipartite fluff dies immediately.
+    * Iterative support peeling: per round, per-edge support =
+    * |N(a) ∩ N(b)| via one wedge join (edges ⋈ adjacency on a,
+    * adjacency-membership semi-check on (b, c)) + one count groupBy;
+    * edges below k−2 drop; repeat to the FIXPOINT — which is unique
+    * (trajectory-independent), so an external oracle can replay peel
+    * rounds with identity padding and meet the exact same set. Returns
+    * (a, b, support) with canonical a < b and the support AT the
+    * fixpoint. Per round the shuffle carries (a, b, c) wedge rows —
+    * bounded by Σ_edge deg(a); the subgraph only shrinks. */
+  def kTruss(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 64): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3 (got $k)")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    var n = e.count()
+    var rounds = 0
+    var sup: DataFrame = null
+    var converged = n == 0L
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds, s"k-truss exceeded $maxRounds peel rounds")
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val wedges = e.join(und.as("x"), col("x.u") === col("a"))
+        .select(col("a"), col("b"), col("x.v").as("c"))
+      val closed = wedges.join(und.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"), "left_semi")
+      val s = closed.groupBy("a", "b").agg(count(lit(1)).as("support"))
+      sup = e.join(s, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+        .localCheckpoint(true)
+      e = sup.where(col("support") >= k - 2).select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val m = e.count()
+      converged = m == n
+      n = m
+    }
+    if (sup == null) e.withColumn("support", lit(0L)).limit(0)
+    else sup.where(col("support") >= k - 2)
+  }
+
   /** LCM(1..10): multiplying 1/t by this keeps every harmonic term
     * INTEGRAL for horizons ≤ 10 — the all-integer form that survives any
     * aggregation order and any engine. */

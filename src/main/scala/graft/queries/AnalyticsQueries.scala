@@ -212,6 +212,59 @@ object AnalyticsQueries {
 
   private val SkipgramWindow = 2
   private val NegK = 3
+  private val TrussK = 4
+  private val TrussRounds = 8
+
+  /** k-truss over the 1999-window part co-occurrence projection: the
+    * dense-cohesion subgraph (every surviving edge in ≥ k−2 triangles).
+    * The peel fixpoint lands in 3 rounds at every gate SF; the oracle
+    * replays [[TrussRounds]] identity-padded rounds (a converged round
+    * removes nothing) and recomputes support on the final set — the
+    * fixpoint is UNIQUE, so round counts never show in the result. */
+  def kTruss(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) >= lit("1999-01-01") &&
+        to_date(col("l_shipdate")) < lit("2000-01-01"))
+    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    GraphAnalytics.kTruss(edges, k = TrussK, srcCol = "item_a", dstCol = "item_b",
+      maxRounds = TrussRounds)
+  }
+
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { t =>
+      s"""t$t AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM t${t - 1} e
+         |  JOIN (SELECT e.a, e.b, COUNT(*) AS s
+         |    FROM t${t - 1} e
+         |    JOIN (SELECT a AS u, b AS v FROM t${t - 1}
+         |          UNION ALL SELECT b, a FROM t${t - 1}) x ON x.u = e.a
+         |    JOIN (SELECT a AS u, b AS v FROM t${t - 1}
+         |          UNION ALL SELECT b, a FROM t${t - 1}) y
+         |      ON y.u = e.b AND y.v = x.v
+         |    GROUP BY e.a, e.b) sup ON sup.a = e.a AND sup.b = e.b
+         |  WHERE sup.s >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE) >= DATE '1999-01-01'
+       |    AND CAST(l_shipdate AS DATE) < DATE '2000-01-01'),
+       |op AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM li),
+       |sz AS (SELECT o FROM op GROUP BY o HAVING COUNT(*) <= 10),
+       |t0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+       |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+       |  JOIN sz ON sz.o = x.o),
+       |$peels
+       |SELECT e.a, e.b, COALESCE(sup.s, 0) AS support
+       |FROM t$rounds e
+       |LEFT JOIN (SELECT e.a, e.b, COUNT(*) AS s
+       |  FROM t$rounds e
+       |  JOIN (SELECT a AS u, b AS v FROM t$rounds
+       |        UNION ALL SELECT b, a FROM t$rounds) x ON x.u = e.a
+       |  JOIN (SELECT a AS u, b AS v FROM t$rounds
+       |        UNION ALL SELECT b, a FROM t$rounds) y
+       |    ON y.u = e.b AND y.v = x.v
+       |  GROUP BY e.a, e.b) sup ON sup.a = e.a AND sup.b = e.b""".stripMargin
+  }
 
   /** Degree-weighted negative samples for the skip-gram pair corpus —
     * the third stage of the embedding training-data pipeline (walks →
@@ -716,6 +769,7 @@ object AnalyticsQueries {
     "g_biased_walks" -> (biasedWalks _),
     "g_skipgram" -> (skipgram _),
     "g_negative_samples" -> (negativeSamples _),
+    "g_ktruss" -> (kTruss _),
     "g_pagerank_weighted" -> (pagerankWeighted _),
     "g_clustering_coeff" -> (clusteringCoeff _),
     "g_assortativity" -> (assortativity _),
@@ -1295,6 +1349,7 @@ object AnalyticsQueries {
     "g_biased_walks" -> biasedWalkOracleSql(BiasedWalkCount, BiasedWalkSteps, BiasedP, BiasedQ),
     "g_skipgram" -> skipgramOracleSql(WalkCount, WalkSteps, SkipgramWindow),
     "g_negative_samples" -> negativeSamplesOracleSql(WalkCount, WalkSteps, SkipgramWindow, NegK),
+    "g_ktruss" -> kTrussOracleSql(TrussK, TrussRounds),
     "g_ppr" -> pprOracleSql(PprRounds, PrReset),
     "g_random_walks" -> walkOracleSql(WalkCount, WalkSteps),
     "g_sssp" -> ssspOracleSql(SsspRounds),

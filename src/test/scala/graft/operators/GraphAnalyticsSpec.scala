@@ -452,6 +452,35 @@ class GraphAnalyticsSpec extends SparkTestBase {
       }
   }
 
+  private def trussSet(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long, Long)] =
+    GraphAnalytics.kTruss(edges.toDF("src", "dst"), k)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("kTruss: K4 is a 4-truss (every edge closes two triangles)") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(trussSet(k4, 4) == k4.map { case (a, b) => (a, b, 2L) }.toSet)
+  }
+
+  test("kTruss: pendant edges die at k=3, the triangle survives") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L))
+    assert(trussSet(g, 3) == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)))
+  }
+
+  test("kTruss: bowtie cascade — peeling the wings starves the shared edge") {
+    // two triangles sharing edge (2,3): the shared edge has support 2 but
+    // every wing edge has 1; k=4 peels the wings, the NEXT round starves
+    // the shared edge — the cascade a single-pass support filter misses
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(trussSet(bowtie, 4).isEmpty)
+    assert(trussSet(bowtie, 3).size == 5) // all survive at k=3
+  }
+
+  test("kTruss: empty input, duplicate/reversed edges canonicalized") {
+    assert(trussSet(Seq.empty, 3).isEmpty)
+    val dup = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+    assert(trussSet(dup, 3).map(e => (e._1, e._2)) == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+  }
+
   test("weightedNegativeSamples: draws match hand-checked inverse-CDF intervals") {
     // weights a=1 b=2 c=3 → cum a:[0,1) b:[1,3) c:[3,6), total 6
     val weights = Seq((100L, 1L), (200L, 2L), (300L, 3L)).toDF("vid", "w")
