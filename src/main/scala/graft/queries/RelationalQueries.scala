@@ -798,6 +798,212 @@ object RelationalQueries {
       ORDER BY s_suppkey""")
   }
 
+  /** TPC-H Q2 shape — minimum-cost supplier: a derived supplier⋈part
+    * "cost" relation (the slim schema has no partsupp, so supply cost is
+    * the MINIMUM observed unit price per (part, supplier) from lineitem
+    * — a single IEEE division then MIN, both engine-exact) consumed
+    * twice: once in the outer 5-way join, once under a correlated
+    * scalar-MIN subquery restricted to the same region. Catalyst
+    * decorrelates the MIN to a per-part aggregate join; the CTE is
+    * referenced twice at ONE level, which both engines materialize or
+    * inline safely (the exponential-CTE trap needs chained
+    * self-references, SURVEY §7a). */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q2")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q2")
+    Tables(s, dir, "part").createOrReplaceTempView("part_q2")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_q2")
+    Tables(s, dir, "region").createOrReplaceTempView("region_q2")
+    s.sql(sqlQ2("lineitem_q2", "supplier_q2", "part_q2", "nation_q2", "region_q2"))
+  }
+
+  private def sqlQ2(l: String, su: String, p: String, n: String, r: String): String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+       |  FROM $l GROUP BY l_partkey, l_suppkey)
+       |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type, p.p_size,
+       |       ps.ps_supplycost
+       |FROM $p p
+       |JOIN ps ON p.p_partkey = ps.ps_partkey
+       |JOIN $su s ON s.s_suppkey = ps.ps_suppkey
+       |JOIN $n n ON s.s_nationkey = n.n_nationkey
+       |JOIN $r r ON n.n_regionkey = r.r_regionkey
+       |WHERE p.p_size = 25 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+       |  AND ps.ps_supplycost =
+       |    (SELECT MIN(ps2.ps_supplycost)
+       |     FROM ps ps2
+       |     JOIN $su s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |     JOIN $n n2 ON s2.s_nationkey = n2.n_nationkey
+       |     JOIN $r r2 ON n2.n_regionkey = r2.r_regionkey
+       |     WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q7 shape — volume shipping between two nations: the 6-way
+    * join with TWO roles of the nation dimension (supplier side and
+    * customer side) and the symmetric either-direction pair predicate
+    * that must stay a join residual. Revenue is the exact-DECIMAL sum
+    * cast to DOUBLE once; the year is extracted post-cast and emitted
+    * BIGINT for cross-engine repr equality. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q7")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q7")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_q7")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q7")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_q7")
+    s.sql(sqlQ7("lineitem_q7", "orders_q7", "customer_q7", "supplier_q7", "nation_q7"))
+  }
+
+  private def sqlQ7(l: String, o: String, c: String, su: String, n: String): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+       |       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |            * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       |       COUNT(*) AS n_lines
+       |FROM $su s
+       |JOIN $l l ON s.s_suppkey = l.l_suppkey
+       |JOIN $o o ON o.o_orderkey = l.l_orderkey
+       |JOIN $c c ON c.c_custkey = o.o_custkey
+       |JOIN $n n1 ON s.s_nationkey = n1.n_nationkey
+       |JOIN $n n2 ON c.c_nationkey = n2.n_nationkey
+       |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+       |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
+       |  AND CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+       |  AND CAST(l.l_shipdate AS DATE) < DATE '2000-01-01'
+       |GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE))""".stripMargin
+
+  /** TPC-H Q8 shape — national market share: a conditional share-of-
+    * total per year. Both the NATION_3 slice and the denominator are
+    * exact DECIMAL sums; the share is ONE double division of their
+    * casts (a single correctly-rounded op, the q14 lesson), so no
+    * rounding tricks are needed. Customers restricted to region EUROPE,
+    * parts to type PROMO — the market definition. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q8")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q8")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_q8")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q8")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_q8")
+    Tables(s, dir, "region").createOrReplaceTempView("region_q8")
+    Tables(s, dir, "part").createOrReplaceTempView("part_q8")
+    s.sql(sqlQ8("lineitem_q8", "orders_q8", "customer_q8", "supplier_q8",
+      "nation_q8", "region_q8", "part_q8"))
+  }
+
+  private def sqlQ8(l: String, o: String, c: String, su: String, n: String,
+      r: String, p: String): String =
+    s"""WITH all_sales AS (
+       |  SELECT CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |           * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6)) AS volume,
+       |         n1.n_name AS supp_nation
+       |  FROM $p pt
+       |  JOIN $l l ON pt.p_partkey = l.l_partkey
+       |  JOIN $su s ON s.s_suppkey = l.l_suppkey
+       |  JOIN $o o ON o.o_orderkey = l.l_orderkey
+       |  JOIN $c c ON c.c_custkey = o.o_custkey
+       |  JOIN $n n2 ON c.c_nationkey = n2.n_nationkey
+       |  JOIN $r r ON n2.n_regionkey = r.r_regionkey
+       |  JOIN $n n1 ON s.s_nationkey = n1.n_nationkey
+       |  WHERE r.r_name = 'EUROPE' AND pt.p_type = 'PROMO')
+       |SELECT o_year,
+       |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+       |                     ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+       |         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       |       COUNT(*) AS n_lines
+       |FROM all_sales
+       |GROUP BY o_year""".stripMargin
+
+  /** TPC-H Q9 shape — product-line profit by nation and year: the
+    * part-name LIKE filter driving a 5-way join, grouped on a dimension
+    * attribute plus a derived year. Profit is the discounted amount
+    * (the slim schema has no supply cost to subtract); the sum is
+    * exact DECIMAL cast to DOUBLE once. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q9")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q9")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q9")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_q9")
+    Tables(s, dir, "part").createOrReplaceTempView("part_q9")
+    s.sql(sqlQ9("lineitem_q9", "orders_q9", "supplier_q9", "nation_q9", "part_q9"))
+  }
+
+  private def sqlQ9(l: String, o: String, su: String, n: String, p: String): String =
+    s"""SELECT n.n_name AS nation,
+       |       CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       |       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |            * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit,
+       |       COUNT(*) AS n_lines
+       |FROM $p p
+       |JOIN $l l ON p.p_partkey = l.l_partkey
+       |JOIN $su s ON s.s_suppkey = l.l_suppkey
+       |JOIN $o o ON o.o_orderkey = l.l_orderkey
+       |JOIN $n n ON s.s_nationkey = n.n_nationkey
+       |WHERE p.p_name LIKE '%bolt%'
+       |GROUP BY n.n_name, EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE))""".stripMargin
+
+  /** TPC-H Q11 shape — important parts in one nation's supply: grouped
+    * part values gated by an UNCORRELATED scalar-aggregate threshold.
+    * The original's fraction-of-total cutoff is not scale-stable on
+    * near-uniform synthetic data (part count grows with sf, so a fixed
+    * fraction empties out); the threshold here is half the MAX per-part
+    * value — same plan shape (grouped agg + scalar subquery over a
+    * second grouped agg), and 0.5·DECIMAL is exact in both engines so
+    * the HAVING comparison never touches doubles. */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q11")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q11")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_q11")
+    s.sql(sqlQ11("lineitem_q11", "supplier_q11", "nation_q11"))
+  }
+
+  private def sqlQ11(l: String, su: String, n: String): String =
+    s"""SELECT l.l_partkey,
+       |       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |            * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))) AS DOUBLE) AS part_value
+       |FROM $l l
+       |JOIN $su s ON l.l_suppkey = s.s_suppkey
+       |JOIN $n n ON s.s_nationkey = n.n_nationkey
+       |WHERE n.n_name = 'NATION_3'
+       |GROUP BY l.l_partkey
+       |HAVING SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |       * (1 - CAST(l.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))) >
+       |  0.5 * (SELECT MAX(pv) FROM
+       |          (SELECT SUM(CAST(CAST(l2.l_extendedprice AS DECIMAL(18,2))
+       |                 * (1 - CAST(l2.l_discount AS DECIMAL(7,4))) AS DECIMAL(27,6))) AS pv
+       |           FROM $l l2
+       |           JOIN $su s2 ON l2.l_suppkey = s2.s_suppkey
+       |           JOIN $n n2 ON s2.s_nationkey = n2.n_nationkey
+       |           WHERE n2.n_name = 'NATION_3'
+       |           GROUP BY l2.l_partkey) t)
+       |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q16 shape — supplier diversity per part class: COUNT
+    * DISTINCT over a join, a NOT-LIKE/inequality prefilter pack, and a
+    * NOT IN supplier subquery (negative-balance suppliers stand in for
+    * the reference's complaint-comment scan; s_suppkey is non-null so
+    * NOT IN is null-safe). The supplier-part relation derives from
+    * lineitem — the slim schema's partsupp. */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q16")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q16")
+    Tables(s, dir, "part").createOrReplaceTempView("part_q16")
+    s.sql(sqlQ16("lineitem_q16", "supplier_q16", "part_q16"))
+  }
+
+  private def sqlQ16(l: String, su: String, p: String): String =
+    s"""SELECT p.p_brand, p.p_type, p.p_size,
+       |       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM $p p
+       |JOIN $l l ON p.p_partkey = l.l_partkey
+       |WHERE p.p_brand <> 'Brand#5'
+       |  AND p.p_type <> 'MEDIUM'
+       |  AND p.p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+       |  AND l.l_suppkey NOT IN
+       |    (SELECT s_suppkey FROM $su WHERE s_acctbal < 0)
+       |GROUP BY p.p_brand, p.p_type, p.p_size""".stripMargin
+
   private val q20Oracle: String =
     """SELECT s.s_suppkey, s.s_name, d.n_dominant_parts
       |FROM supplier s
@@ -1146,6 +1352,12 @@ object RelationalQueries {
     "q_kmv_setops" -> (kmvSetOps _),
     "q_window_funcs" -> (windowFuncs _),
     "q17_small_quantity" -> (q17SmallQuantity _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q12_priority_class" -> (q12PriorityClass _),
     "q13_custdist" -> (q13CustDist _),
@@ -1403,6 +1615,13 @@ object RelationalQueries {
     "q_kmv_setops" -> kmvSetOpsOracle,
     "q_window_funcs" -> windowFuncsOracle,
     "q17_small_quantity" -> q17Oracle,
+    "q2_min_cost_supplier" -> sqlQ2("lineitem", "supplier", "part", "nation", "region"),
+    "q7_volume_shipping" -> sqlQ7("lineitem", "orders", "customer", "supplier", "nation"),
+    "q8_market_share" -> sqlQ8("lineitem", "orders", "customer", "supplier",
+      "nation", "region", "part"),
+    "q9_product_profit" -> sqlQ9("lineitem", "orders", "supplier", "nation", "part"),
+    "q11_important_parts" -> sqlQ11("lineitem", "supplier", "nation"),
+    "q16_supplier_cnt" -> sqlQ16("lineitem", "supplier", "part"),
     "q4_priority_exists" -> q4Oracle,
     "q12_priority_class" -> q12Oracle,
     "q13_custdist" -> q13Oracle,
