@@ -15,6 +15,54 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene-form
+    * idf = ln((N − df + ½)/(df + ½) + 1), which never goes negative):
+    * score the corpus against a fixed bag of query terms and return the
+    * top-N documents. Every per-term score is 6dp-rounded then cast
+    * DECIMAL(18,6) so the per-document sum is ORDER-INDEPENDENT (the
+    * tx_unigram lesson — a double sum's last ulp depends on reduction
+    * order) and the ranking comparison is exact in both engines; the
+    * unrounded double chain before it is a fixed parse tree of
+    * single-rounded IEEE ops replayed verbatim in the oracle.
+    *
+    * Scale shape: explode → (doc, term) counts map-side combined, but
+    * only for rows matching the query terms (the `isin` filter sits
+    * under the aggregation, so the shuffle carries matched terms only);
+    * df and the corpus stats are broadcast scalars; doc length joins by
+    * id. The global top-N goes through [[TopK.perKey]]'s local-heap
+    * prune, so the final window sees ≤ partitions·N rows — no
+    * corpus-sized single-partition sort. */
+  def bm25Retrieval(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 50): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_t",
+        round((log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            * (col("tf") * lit(k1p1)))
+          / (col("tf") + lit(k1) * (lit(oneMinusB)
+             + lit(b) * col("dl") / (col("total_dl") / col("n_docs")))), 6)
+          .cast("decimal(18,6)"))
+    val totals = scored.groupBy("doc_id")
+      .agg(sum(col("score_t")).as("bm25_dec"), count(lit(1)).as("n_matched"))
+    TopK.perKey(totals.withColumn("__g", lit(1)), "__g", "bm25_dec", topN,
+        tieBreak = Seq("doc_id"))
+      .select(col("doc_id"), col("bm25_dec").cast("double").as("bm25"),
+        col("n_matched"))
+  }
+
   /** Corpus TF-IDF: per document, the top-k terms by tf · ln((1+N)/(1+df))
     * (add-one smoothed idf — no div-by-zero, no negative weights for
     * corpus-universal terms beyond −ln overshoot). Ranking compares the

@@ -20,6 +20,17 @@ object TextQueries {
   def tfidf(s: SparkSession, dir: String): DataFrame =
     TA.tfIdf(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
 
+  /** BM25 top-50 documents for a fixed 3-term query (k1=1.2, b=0.75) —
+    * ranked retrieval over the corpus, decimal-exact ranking (see
+    * TextAnalysis.bm25Retrieval). */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    TA.bm25Retrieval(Tables(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, k1 = Bm25K1, b = Bm25B, topN = 50)
+
+  private val Bm25Terms = Seq("spark", "hash", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   /** 50 documents sampled without replacement ∝ length (A-Res keys over
     * derandomized uniforms — reproducible, engine-exact). */
   def weightedSample(s: SparkSession, dir: String): DataFrame =
@@ -224,6 +235,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tfidf" -> (tfidf _),
+    "tx_bm25" -> (bm25 _),
     "tx_weighted_sample" -> (weightedSample _),
     "tx_chunk" -> (chunk _),
     "tx_unigram_logprob" -> (unigramLogprob _),
@@ -512,6 +524,33 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "tx_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${Bm25K1 + 1.0}))
+         |      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / (total_dl / n_docs))), 6)
+         |      AS DECIMAL(18,6)) AS score_t
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |totals AS (
+         |  SELECT doc_id, SUM(score_t) AS bm25_dec, COUNT(*) AS n_matched
+         |  FROM scored GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT doc_id, bm25_dec, n_matched,
+         |    row_number() OVER (ORDER BY bm25_dec DESC, doc_id) AS rn
+         |  FROM totals)
+         |SELECT doc_id, CAST(bm25_dec AS DOUBLE) AS bm25,
+         |       CAST(n_matched AS BIGINT) AS n_matched
+         |FROM ranked WHERE rn <= 50""".stripMargin,
     "tx_chunk" -> chunkOracle,
     "tx_unigram_logprob" -> unigramLogprobOracle,
     "tx_bigram_logprob" -> bigramLogprobOracle,

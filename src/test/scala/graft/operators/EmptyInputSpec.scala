@@ -97,6 +97,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Sketches.cmsLookup(Sketches.cmsTable(noDocs, col("text")), noDocs, "text").count() == 0)
 
     assert(TextAnalysis.tfIdf(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(TextAnalysis.bm25Retrieval(noDocs, "doc_id", "text", Seq("q")).count() == 0)
     assert(TextAnalysis.weightedSample(
       Seq.empty[(Long, Long)].toDF("doc_id", "w"), "doc_id", col("w"), 5).count() == 0)
 

@@ -116,4 +116,30 @@ class WalksTfidfSpec extends SparkTestBase {
     // score is 6dp-rounded: tf=2, idf=ln(2) → 1.386294
     assert(d1(0).getDouble(2) == 1.386294)
   }
+
+  test("bm25Retrieval matches a scalar replay of the formula") {
+    val docs = Seq(
+      (1L, "spark spark spark joins data"),   // tf(spark)=3, dl=5
+      (2L, "spark is a data engine"),         // tf(spark)=1, dl=5
+      (3L, "hash hash spark"),                // tf(hash)=2, tf(spark)=1, dl=3
+      (4L, "unrelated words only here")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Retrieval(docs, "doc_id", "text",
+      Seq("spark", "hash"), k1 = 1.2, b = 0.75, topN = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    // independent scalar replay (plain Scala math, not DataFrame code)
+    val n = 4.0; val totalDl = 17.0; val avgdl = totalDl / n
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, df: Double, dl: Double) =
+      BigDecimal(math.round((idf(df) * (tf * 2.2)) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) / 1e6)
+        .setScale(6)
+    val exp1 = term(3, 3, 5)                  // doc 1: spark only
+    val exp3 = term(1, 3, 3) + term(2, 1, 3)  // doc 3: spark + hash
+    assert(got(1L)._1 == exp1.toDouble && got(1L)._2 == 1L)
+    assert(got(3L)._1 == exp3.toDouble && got(3L)._2 == 2L)
+    // doc 4 matches nothing and is absent; doc 3's rare 'hash' outranks all
+    assert(!got.contains(4L))
+    assert(got(3L)._1 > got(1L)._1 && got(1L)._1 > got(2L)._1)
+  }
 }
