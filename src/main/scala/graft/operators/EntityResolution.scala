@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy-matching entity resolution (SURVEY §2.6): candidate
+  * pairs from a cheap deterministic blocking key, verified with a
+  * THRESHOLDED edit distance — the classic record-linkage shape
+  * (Fellegi–Sunter blocking; sorted-neighborhood's fixed-window cousin).
+  *
+  * Scale shape mirrors the round-2 minhash refactor: the self-join runs
+  * on (block, id, name) only — never full records — and pathological
+  * blocks are dropped by the same windowed `maxBucketSize` guard (a hot
+  * block of k rows would otherwise emit k² candidates). Verification
+  * uses Spark's bounded `levenshtein(l, r, threshold)`, which
+  * short-circuits the DP at `maxDist` band width — O(len·d) per pair,
+  * not O(len²) — and the filter runs inside the join's codegen stage,
+  * so non-matches never materialize.
+  */
+object EntityResolution {
+
+  /** Candidate pairs (id_a < id_b) whose `nameCol` values sit within
+    * `maxDist` edits, blocked by `blockExpr`. Returns
+    * (id_a, id_b, name_a, name_b, dist). */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockExpr: Column, maxDist: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      blockExpr.as("blk"))
+    // skew guard: a boilerplate block of k rows emits k^2 candidates
+    val sized = base.withColumn("blk_n",
+      count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .where(col("blk_n") <= maxBucketSize)
+    val l = sized.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+    val r = sized.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
+    l.join(r, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .where(col("dist") >= 0) // threshold form returns -1 above maxDist
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
+  }
+
+  /** Entity clusters over the verified pairs: connected components via
+    * the existing large-star/small-star machinery, canonical (minimum)
+    * id per cluster, unmatched entities canonical to themselves — the
+    * merge step of an ER pipeline. Returns (id, canonical_id,
+    * is_canonical). */
+  def resolve(df: DataFrame, idCol: String, nameCol: String,
+      blockExpr: Column, maxDist: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = fuzzyPairs(df, idCol, nameCol, blockExpr, maxDist, maxBucketSize)
+    Dedup.nearDupClusters(df.select(col(idCol)), idCol, pairs)
+      .select(col("doc_id").as("id"), col("canonical_id"), col("is_canonical"))
+  }
+}

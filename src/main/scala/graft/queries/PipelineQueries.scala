@@ -200,7 +200,27 @@ object PipelineQueries {
   def minhashBands(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.minHashBandsMd5(Tables(s, dir, "documents"), "doc_id", "text")
 
+  /** Blocked fuzzy-match ER over customer names: block on the name
+    * minus its last two digits (~100 entities/block), verify with
+    * thresholded levenshtein ≤ 1 — every pair differing in one digit. */
+  def erFuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.fuzzyPairs(
+      Tables(s, dir, "customer"), "c_custkey", "c_name",
+      blockExpr = expr("substr(c_name, 1, length(c_name)-2)"), maxDist = 1)
+
+  /** The merge step: connected components over the verified fuzzy
+    * pairs, canonical minimum id per cluster, singletons canonical to
+    * themselves. Restricted to custkey < 300 so the recursive-CTE
+    * oracle's transitive closure stays small at every SF. */
+  def erResolve(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.resolve(
+      Tables(s, dir, "customer").where(col("c_custkey") < 300),
+      "c_custkey", "c_name",
+      blockExpr = expr("substr(c_name, 1, length(c_name)-2)"), maxDist = 1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fuzzy_pairs" -> (erFuzzyPairs _),
+    "er_resolve" -> (erResolve _),
     "dd_simhash" -> (simhash _),
     "dd_minhash_lsh" -> (minhashBands _),
     "ss_quant_topk" -> (quantizedTopK _),
@@ -623,6 +643,34 @@ object PipelineQueries {
     "mm_gif_frames" -> gifFramesOracle,
     "ss_rp_reduce" -> rpReduceOracle,
     "dd_minhash_lsh" -> minhashOracle,
+    "er_fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name,
+        |  substr(c_name, 1, length(c_name)-2) AS blk FROM customer),
+        |ok AS (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 1000),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+        |    levenshtein(a.name, b.name) AS dist
+        |  FROM c a JOIN c b ON a.blk = b.blk JOIN ok ON ok.blk = a.blk
+        |  WHERE a.id < b.id)
+        |SELECT id_a, id_b, name_a, name_b, CAST(dist AS BIGINT) AS dist
+        |FROM p WHERE dist <= 1""".stripMargin,
+    "er_resolve" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name,
+        |  substr(c_name, 1, length(c_name)-2) AS blk
+        |  FROM customer WHERE c_custkey < 300),
+        |ok AS (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 1000),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM c a JOIN c b ON a.blk = b.blk JOIN ok ON ok.blk = a.blk
+        |  WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1),
+        |und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a)
+        |SELECT d.id,
+        |  LEAST(d.id, COALESCE(MIN(r.dst), d.id)) AS canonical_id,
+        |  (LEAST(d.id, COALESCE(MIN(r.dst), d.id)) = d.id) AS is_canonical
+        |FROM c d LEFT JOIN reach r ON r.src = d.id
+        |GROUP BY d.id""".stripMargin,
     "dd_simhash" -> simhashOracle,
     "mm_decode_features" -> decodeFeaturesOracle,
     "mm_codec_features" -> codecFeaturesOracle,
