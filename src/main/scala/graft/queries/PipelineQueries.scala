@@ -218,7 +218,17 @@ object PipelineQueries {
       "c_custkey", "c_name",
       blockExpr = expr("substr(c_name, 1, length(c_name)-2)"), maxDist = 1)
 
+  /** Exact Jaccard set-similarity self-join (PPJoin prefix filtering,
+    * no false negatives) at t=0.7 — the exact twin of dd_minhash_lsh's
+    * probabilistic candidates. doc_id < 1000 keeps the oracle's
+    * quadratic verify bounded at every SF. */
+  def setsimJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin.jaccardJoin(
+      Tables(s, dir, "documents").where(col("doc_id") < 1000),
+      "doc_id", "text", threshold = 0.7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_setsim_join" -> (setsimJoin _),
     "er_fuzzy_pairs" -> (erFuzzyPairs _),
     "er_resolve" -> (erResolve _),
     "dd_simhash" -> (simhash _),
@@ -643,6 +653,29 @@ object PipelineQueries {
     "mm_gif_frames" -> gifFramesOracle,
     "ss_rp_reduce" -> rpReduceOracle,
     "dd_minhash_lsh" -> minhashOracle,
+    "dd_setsim_join" ->
+      """WITH toks0 AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 1000),
+        |tok2 AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
+        |freq AS (SELECT tok, COUNT(*) AS tf FROM tok2 GROUP BY tok),
+        |pl AS (
+        |  SELECT doc_id, list(t.tok ORDER BY f.tf, t.tok) AS toks, COUNT(*) AS n,
+        |    CAST(COUNT(*) - ceil(0.7 * COUNT(*)) + 1 AS BIGINT) AS p
+        |  FROM tok2 t JOIN freq f USING (tok) GROUP BY doc_id),
+        |pre AS (SELECT doc_id, n, unnest(toks[1:p]) AS tok FROM pl),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pre a JOIN pre b ON a.tok = b.tok
+        |  WHERE a.doc_id < b.doc_id
+        |    AND 0.7 * a.n <= b.n AND 0.7 * b.n <= a.n),
+        |v AS (
+        |  SELECT id_a, id_b, la.n AS n_a, lb.n AS n_b,
+        |    CAST(len(list_intersect(la.toks, lb.toks)) AS BIGINT) AS inter
+        |  FROM cand JOIN pl la ON la.doc_id = id_a JOIN pl lb ON lb.doc_id = id_b)
+        |SELECT id_a, id_b, n_a, n_b, inter,
+        |  CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+        |FROM v WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.7""".stripMargin,
     "er_fuzzy_pairs" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS name,
         |  substr(c_name, 1, length(c_name)-2) AS blk FROM customer),
