@@ -43,6 +43,39 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
   }
 
+  /** Sorted-neighborhood matching (Hernández–Stolfo 1995), the
+    * complementary classic to hash blocking: order entities by a sort
+    * key inside each partition block and compare each row to its next
+    * `window − 1` neighbors only — O(n·w) comparisons, and typo classes
+    * the blocking key cannot see (e.g. a LEADING-digit error under a
+    * prefix block) become adjacent under the right sort (e.g. a
+    * reversed-name suffix sort).
+    *
+    * Scale shape: ONE hash exchange on the block key and a per-block
+    * sort — never a global single-partition window; all `window − 1`
+    * leads compute in one WindowExec pass and explode to pairs, with
+    * the thresholded-levenshtein verify inside the same stage. Returns
+    * (id_a, id_b, dist) with id_a < id_b. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, nameCol: String,
+      sortExpr: Column, blockExpr: Column, window: Int = 4,
+      maxDist: Int = 1): DataFrame = {
+    require(window >= 2, "window must be at least 2")
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      sortExpr.as("sk"), blockExpr.as("blk"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("id"))
+    val neighbors = array((1 until window).map(j =>
+      struct(lead(col("id"), j).over(w).as("id_b"),
+        lead(col("name"), j).over(w).as("name_b"))): _*)
+    base.select(col("id"), col("name"), neighbors.as("nbs"))
+      .select(col("id"), col("name"), explode(col("nbs")).as("nb"))
+      .where(col("nb.id_b").isNotNull)
+      .withColumn("dist",
+        levenshtein(col("name"), col("nb.name_b"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
+      .select(least(col("id"), col("nb.id_b")).as("id_a"),
+        greatest(col("id"), col("nb.id_b")).as("id_b"), col("dist"))
+  }
+
   /** Entity clusters over the verified pairs: connected components via
     * the existing large-star/small-star machinery, canonical (minimum)
     * id per cluster, unmatched entities canonical to themselves — the

@@ -227,7 +227,18 @@ object PipelineQueries {
       Tables(s, dir, "documents").where(col("doc_id") < 1000),
       "doc_id", "text", threshold = 0.7)
 
+  /** Sorted-neighborhood ER pass: reversed-name suffix sort within
+    * nation blocks, window 4 — adjacent reversed names differ in
+    * LEADING digits, exactly the typo class the prefix block of
+    * er_fuzzy_pairs cannot see. */
+  def erSortedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.sortedNeighborPairs(
+      Tables(s, dir, "customer"), "c_custkey", "c_name",
+      sortExpr = reverse(col("c_name")), blockExpr = col("c_nationkey"),
+      window = 4, maxDist = 1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_sorted_pairs" -> (erSortedPairs _),
     "dd_setsim_join" -> (setsimJoin _),
     "er_fuzzy_pairs" -> (erFuzzyPairs _),
     "er_resolve" -> (erResolve _),
@@ -676,6 +687,26 @@ object PipelineQueries {
         |SELECT id_a, id_b, n_a, n_b, inter,
         |  CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
         |FROM v WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.7""".stripMargin,
+    "er_sorted_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name,
+        |  reverse(c_name) AS sk, c_nationkey AS blk FROM customer),
+        |nb AS (
+        |  SELECT id, name,
+        |    lead(id, 1) OVER (PARTITION BY blk ORDER BY sk, id) AS id_b,
+        |    lead(name, 1) OVER (PARTITION BY blk ORDER BY sk, id) AS name_b FROM c
+        |  UNION ALL
+        |  SELECT id, name,
+        |    lead(id, 2) OVER (PARTITION BY blk ORDER BY sk, id),
+        |    lead(name, 2) OVER (PARTITION BY blk ORDER BY sk, id) FROM c
+        |  UNION ALL
+        |  SELECT id, name,
+        |    lead(id, 3) OVER (PARTITION BY blk ORDER BY sk, id),
+        |    lead(name, 3) OVER (PARTITION BY blk ORDER BY sk, id) FROM c),
+        |v AS (SELECT id, id_b, levenshtein(name, name_b) AS dist
+        |  FROM nb WHERE id_b IS NOT NULL)
+        |SELECT LEAST(id, id_b) AS id_a, GREATEST(id, id_b) AS id_b,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM v WHERE dist <= 1""".stripMargin,
     "er_fuzzy_pairs" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS name,
         |  substr(c_name, 1, length(c_name)-2) AS blk FROM customer),

@@ -40,6 +40,28 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(uncapped.count() == 20L * 19 / 2)
   }
 
+  test("sortedNeighborPairs: window-adjacent matches only, normalized ids") {
+    // sort ascending by name inside one block: ann, bob, bobb, carl, zed
+    val ents = Seq(
+      (10L, "ann"), (2L, "bob"), (7L, "bobb"), (4L, "carl"), (5L, "zed"))
+      .toDF("id", "name")
+    val got = EntityResolution.sortedNeighborPairs(ents, "id", "name",
+      sortExpr = col("name"), blockExpr = lit(1), window = 2, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // only adjacent-in-sort pairs are compared: bob~bobb is the sole match
+    assert(got == Set((2L, 7L, 1L)))
+    // window=3 also compares (ann,bobb), (bob,carl), (bobb,zed), (carl,?)... none within dist 1
+    val w3 = EntityResolution.sortedNeighborPairs(ents, "id", "name",
+      sortExpr = col("name"), blockExpr = lit(1), window = 3, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w3 == Set((2L, 7L, 1L)))
+    // different blocks never compare
+    val blocked = EntityResolution.sortedNeighborPairs(ents, "id", "name",
+      sortExpr = col("name"), blockExpr = col("id") % 2, window = 5, maxDist = 99)
+    assert(!blocked.as[(Long, Long, Long)].collect()
+      .exists(p => (p._1 % 2) != (p._2 % 2)))
+  }
+
   test("resolve: clusters merge transitively, singletons self-canonical") {
     val resolved = EntityResolution.resolve(people, "id", "name", firstChar, maxDist = 1)
       .as[(Long, Long, Boolean)].collect()
