@@ -467,6 +467,52 @@ object AnalyticsQueries {
   private val SccRingSize = 8
   private val AnfRounds = 10
 
+  /** WL color refinement over the cyclic fixture (rings + hub bridges):
+    * 3 rounds separate the hub, its bridge targets, near-bridge ring
+    * vertices and interior ring vertices by neighborhood-tree shape —
+    * every round's 60-bit md5 relabeling replays as a chained CTE. */
+  def wlColors(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WlRefinement.wlColors(sccFixtureEdges(s, dir), WlRounds)
+      .select(col("vid").as("s_suppkey"), col("color"))
+
+  private val WlRounds = 3
+
+  private def wlOracleSql(ringSize: Int, rounds: Int): String = {
+    val rds = (1 to rounds).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT u.src AS vid,
+         |    ('0x' || substring(md5(CAST(c.color AS VARCHAR) || '|' ||
+         |      array_to_string(list(cn.color ORDER BY cn.color), ',')), 1, 15))::BIGINT AS color
+         |  FROM und u JOIN c${t - 1} cn ON cn.vid = u.dst JOIN c${t - 1} c ON c.vid = u.src
+         |  GROUP BY u.src, c.color)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ringed AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS sk, CAST(s_nationkey AS BIGINT) AS nk,
+       |    (row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1) // $ringSize AS bk
+       |  FROM supplier),
+       |ring_edges AS (
+       |  SELECT sk AS src,
+       |    COALESCE(lead(sk) OVER (PARTITION BY nk, bk ORDER BY sk),
+       |             first_value(sk) OVER (PARTITION BY nk, bk ORDER BY sk)) AS dst
+       |  FROM ringed),
+       |mins AS (SELECT nk, bk, MIN(sk) AS msk FROM ringed GROUP BY nk, bk),
+       |hub AS (SELECT nk AS hnk, bk AS hbk, msk AS hsk FROM mins ORDER BY nk, bk LIMIT 1),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM ring_edges
+       |    UNION ALL
+       |    SELECT h.hsk, m.msk FROM mins m, hub h WHERE NOT (m.nk = h.hnk AND m.bk = h.hbk))
+       |  WHERE src <> dst),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |c0 AS MATERIALIZED (
+       |  SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS color FROM und GROUP BY src),
+       |$rds
+       |SELECT vid AS s_suppkey, color FROM c$rounds""".stripMargin
+  }
+
   /** HyperANF over the same cyclic fixture SCC uses — rings give every
     * vertex a genuine multi-hop ball and the hub bridges give a few
     * vertices large ones, so the NF(t) curve actually climbs. The exact
@@ -754,6 +800,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_scc" -> (scc _),
+    "g_wl_colors" -> (wlColors _),
     "g_hyperanf" -> (hyperAnf _),
     "g_anf_summary" -> (anfSummary _),
     "g_harmonic" -> (harmonic _),
@@ -1340,6 +1387,7 @@ object AnalyticsQueries {
         |  END AS clustering_coeff
         |FROM deg d LEFT JOIN tcnt t ON t.vid = d.vid""".stripMargin,
     "g_scc" -> sccOracleSql(SccRingSize),
+    "g_wl_colors" -> wlOracleSql(SccRingSize, WlRounds),
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),
     "g_anf_summary" -> anfSummaryOracleSql(SccRingSize, AnfRounds),
