@@ -467,6 +467,51 @@ object AnalyticsQueries {
   private val SccRingSize = 8
   private val AnfRounds = 10
 
+  /** Butterfly statistics of the customer×part bipartite graph (edges
+    * via orders⋈lineitem, parts capped to < 2000 so the oracle's wedge
+    * join stays bounded at every SF). */
+  def butterflies(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Butterflies.globalCount(
+      butterflyEdges(s, dir), "l", "r")
+
+  /** Per-customer butterfly participation over the same bipartite
+    * projection. */
+  def butterflyVertices(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Butterflies.perLeftVertex(
+      butterflyEdges(s, dir), "l", "r")
+      .select(col("vid").as("c_custkey"), col("butterflies"))
+
+  private def butterflyEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(s, dir, "orders")
+    val li = graft.Tables(s, dir, "lineitem").where(col("l_partkey") < 2000)
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").as("l"), col("l_partkey").as("r"))
+  }
+
+  private val butterflyEdgeCte: String =
+    """e AS (SELECT DISTINCT o.o_custkey AS l, li.l_partkey AS r
+      |  FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+      |  WHERE li.l_partkey < 2000),
+      |deg AS (SELECT r FROM e GROUP BY r HAVING COUNT(*) <= 10000),
+      |ec AS (SELECT e.l, e.r FROM e JOIN deg USING (r)),
+      |wed AS (SELECT x.l AS a, y.l AS b, COUNT(*) AS w
+      |  FROM ec x JOIN ec y ON x.r = y.r AND x.l < y.l GROUP BY x.l, y.l)""".stripMargin
+
+  private val butterfliesOracle: String =
+    s"""WITH $butterflyEdgeCte
+       |SELECT (SELECT COUNT(*) FROM ec) AS n_edges,
+       |  CAST(COALESCE(SUM(w), 0) AS BIGINT) AS n_wedges,
+       |  CAST(COALESCE(SUM((w * (w - 1)) // 2), 0) AS BIGINT) AS n_butterflies
+       |FROM wed""".stripMargin
+
+  private val butterflyVerticesOracle: String =
+    s"""WITH $butterflyEdgeCte
+       |SELECT vid AS c_custkey, CAST(SUM(bf) AS BIGINT) AS butterflies FROM (
+       |  SELECT a AS vid, (w * (w - 1)) // 2 AS bf FROM wed
+       |  UNION ALL
+       |  SELECT b, (w * (w - 1)) // 2 FROM wed)
+       |GROUP BY vid HAVING SUM(bf) > 0""".stripMargin
+
   /** WL color refinement over the cyclic fixture (rings + hub bridges):
     * 3 rounds separate the hub, its bridge targets, near-bridge ring
     * vertices and interior ring vertices by neighborhood-tree shape —
@@ -801,6 +846,8 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_scc" -> (scc _),
     "g_wl_colors" -> (wlColors _),
+    "g_butterflies" -> (butterflies _),
+    "g_butterfly_vertices" -> (butterflyVertices _),
     "g_hyperanf" -> (hyperAnf _),
     "g_anf_summary" -> (anfSummary _),
     "g_harmonic" -> (harmonic _),
@@ -1388,6 +1435,8 @@ object AnalyticsQueries {
         |FROM deg d LEFT JOIN tcnt t ON t.vid = d.vid""".stripMargin,
     "g_scc" -> sccOracleSql(SccRingSize),
     "g_wl_colors" -> wlOracleSql(SccRingSize, WlRounds),
+    "g_butterflies" -> butterfliesOracle,
+    "g_butterfly_vertices" -> butterflyVerticesOracle,
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),
     "g_anf_summary" -> anfSummaryOracleSql(SccRingSize, AnfRounds),
