@@ -962,6 +962,48 @@ object GraphAnalytics {
       .select(col("u").as("vid"), col("core_degree"))
   }
 
+  /** FULL coreness decomposition via iterated neighborhood h-index
+    * (Lü–Chen–Zhang–Zhou, Nature Physics 2016): c₀(v) = degree,
+    * cᵣ(v) = h-index of {cᵣ₋₁(u) : u ∈ N(v)}; the sequence is
+    * monotone non-increasing per vertex and its fixpoint is exactly
+    * coreness — every k-core membership (the single-k [[kCore]])
+    * follows as coreness ≥ k, without re-peeling per k.
+    *
+    * The h-index is MAX over desc-sorted neighbor values of
+    * min(rank, value) — per round one edge⋈value equi-join ((vid,
+    * value) pairs on the wire, never adjacency) and one per-vertex
+    * window + max-agg, partitioned BY VERTEX (a hash exchange, not a
+    * global sort). Deterministic per round, so a fixed generous round
+    * count replays in SQL; like [[ssspDistances]], a convergence
+    * SENTINEL row (vid = −1, the count of still-moving vertices) makes
+    * an unconverged round count loudly diagnosable instead of silently
+    * wrong — the fixpoint round is the identity, so the sentinel row
+    * is absent exactly when the result is the true coreness. */
+  def coreness(edges: DataFrame, rounds: Int = 12,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 2, "rounds must be >= 2 (the sentinel needs two)")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var c = und.groupBy("u").agg(count(lit(1)).cast("long").as("cv"))
+    var prev: DataFrame = null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("cv").desc, col("v"))
+    for (i <- 1 to rounds) {
+      prev = c
+      val nv = und.join(c.select(col("u").as("v"), col("cv")), "v")
+      c = nv.withColumn("rn", row_number().over(w))
+        .groupBy("u").agg(max(least(col("rn"), col("cv"))).cast("long").as("cv"))
+      if (i % 2 == 0 || i == rounds) c = c.localCheckpoint(true)
+    }
+    val moved = c.join(prev.select(col("u"), col("cv").as("pv")), "u")
+      .where(col("cv") =!= col("pv"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 0)
+      .select(lit(-1L).as("vid"), col("n").cast("long").as("coreness"))
+    c.select(col("u").as("vid"), col("cv").as("coreness")).unionAll(moved)
+  }
+
   /** Strongly connected components — deterministic multi-pivot
     * forward-backward coloring (the FW-BW family of Fleischer et al.
     * 2000 with Orzan's 2004 per-color parallel pivots; the standard

@@ -467,6 +467,44 @@ object AnalyticsQueries {
   private val SccRingSize = 8
   private val AnfRounds = 10
 
+  /** Full coreness decomposition of the unified TPC-H graph via
+    * h-index iteration — 16 rounds converge at every gate SF (probed;
+    * the sentinel row would appear otherwise). The dense part
+    * co-occurrence graph is the slow-convergence case (≈60 rounds at
+    * sf0.1) — the layered unified graph is the honest fast one. */
+  def corenessQuery(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = GraphAnalytics.unifiedEdges(graft.model.TpchGraph.load(s, dir))
+    GraphAnalytics.coreness(edges, rounds = CorenessRounds)
+  }
+
+  private val CorenessRounds = 16
+
+  private def corenessOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$WeightedEdgesSql\n),\n"
+    sb ++= """und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+             |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+             |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+             |c0 AS MATERIALIZED (
+             |  SELECT u, CAST(COUNT(*) AS BIGINT) AS cv FROM und GROUP BY u)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |c$i AS MATERIALIZED (
+                |  SELECT u, CAST(MAX(LEAST(rn, cv)) AS BIGINT) AS cv FROM (
+                |    SELECT und.u AS u, c.cv AS cv,
+                |      row_number() OVER (PARTITION BY und.u ORDER BY c.cv DESC, und.v) AS rn
+                |    FROM und JOIN c${i - 1} c ON c.u = und.v) t
+                |  GROUP BY u)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT u AS vid, cv AS coreness FROM c$rounds
+              |UNION ALL
+              |SELECT -1, CAST(COUNT(*) AS BIGINT)
+              |FROM c$rounds a JOIN c${rounds - 1} b ON a.u = b.u AND a.cv <> b.cv
+              |HAVING COUNT(*) > 0""".stripMargin
+    sb.toString
+  }
+
   /** Butterfly statistics of the customer×part bipartite graph (edges
     * via orders⋈lineitem, parts capped to < 2000 so the oracle's wedge
     * join stays bounded at every SF). */
@@ -847,6 +885,7 @@ object AnalyticsQueries {
     "g_scc" -> (scc _),
     "g_wl_colors" -> (wlColors _),
     "g_butterflies" -> (butterflies _),
+    "g_coreness" -> (corenessQuery _),
     "g_butterfly_vertices" -> (butterflyVertices _),
     "g_hyperanf" -> (hyperAnf _),
     "g_anf_summary" -> (anfSummary _),
@@ -1436,6 +1475,7 @@ object AnalyticsQueries {
     "g_scc" -> sccOracleSql(SccRingSize),
     "g_wl_colors" -> wlOracleSql(SccRingSize, WlRounds),
     "g_butterflies" -> butterfliesOracle,
+    "g_coreness" -> corenessOracleSql(CorenessRounds),
     "g_butterfly_vertices" -> butterflyVerticesOracle,
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),
