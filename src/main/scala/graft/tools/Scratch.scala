@@ -15,8 +15,10 @@ object Scratch {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val (edges0, _) = graft.operators.GraphAnalytics.unifiedEdges(graft.model.TpchGraph.load(spark, dir))
     val edges = edges0
+    val t0 = System.nanoTime()
     val r = graft.operators.GraphAnalytics.coreness(edges, rounds = args.drop(1).headOption.map(_.toInt).getOrElse(12), "src", "dst")
       .localCheckpoint(true)
+    println("ELAPSED:" + (System.nanoTime() - t0) / 1e9)
     println("SENTINEL:" + r.where(col("vid") === -1L).collect().mkString(","))
     println("TOP:" + r.groupBy("coreness").count().orderBy(desc("coreness")).limit(6).collect().mkString(" "))
     spark.stop()
