@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal independent set via Luby's algorithm (Luby 1986) with
+  * DERANDOMIZED priorities — the foundational symmetry-breaking
+  * primitive (graph coloring, scheduling, correlation clustering all
+  * reduce to repeated MIS).
+  *
+  * Priorities are the portable 60-bit md5 of (seed, vid) instead of
+  * per-round randomness: the classic analysis only needs priorities
+  * independent of the adjacency structure, hashes give that, and the
+  * whole run becomes a pure function of (graph, seed) — reproducible
+  * across runs, reshards, and engines, so every round replays in SQL.
+  * Per round every active vertex whose priority is a strict local
+  * minimum among its ACTIVE neighbors joins the set; it and its
+  * neighbors retire. Isolated-in-the-active-subgraph vertices have no
+  * active neighbor and join immediately. Expected O(log n) rounds; an
+  * under-provisioned round count surfaces as the sentinel row
+  * (vid = −1, still-active count) rather than a silently non-maximal
+  * set — the [[GraphAnalytics.coreness]] recipe.
+  *
+  * Scale shape per round: one edge⋈priority join restricted to the
+  * active subgraph (priorities are 16 B/vertex on the wire), one
+  * map-side-combined min per vertex, two anti-joins on vertex keys.
+  * The active set only shrinks — in expectation by a constant fraction
+  * of EDGES per round (Luby's bound), so late rounds are cheap.
+  */
+object Mis {
+
+  /** (vid, mis_round) for every selected vertex; `mis_round` is the
+    * 1-based round the vertex entered the set. Sentinel row
+    * (−1, n_still_active) appears iff `rounds` did not finish the
+    * graph. */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 12,
+      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var active = und.select(col("u")).distinct()
+      .withColumn("p", Dedup.md5Long(concat(lit(s"$seed:"), col("u").cast("string"))))
+      .localCheckpoint(true)
+    var selected: DataFrame = null
+    for (i <- 1 to rounds) {
+      val prio = active.select(col("u").as("v"), col("p").as("pv"))
+      val nbrMin = und
+        .join(active.select(col("u")), "u")
+        .join(prio, "v")
+        .groupBy("u").agg(min(col("pv")).as("mp"))
+      val sel = active.join(nbrMin, Seq("u"), "left")
+        .where(col("mp").isNull || col("p") < col("mp"))
+        .select(col("u"), lit(i.toLong).as("mis_round"))
+        .localCheckpoint(true)
+      val closed = sel.select(col("u"))
+        .unionAll(und.join(sel.select(col("u")), "u").select(col("v").as("u")))
+        .distinct()
+      active = active.join(closed, Seq("u"), "left_anti").localCheckpoint(true)
+      selected = if (selected == null) sel else selected.unionAll(sel)
+    }
+    val leftover = active.agg(count(lit(1)).as("n")).where(col("n") > 0)
+      .select(lit(-1L).as("vid"), col("n").cast("long").as("mis_round"))
+    selected.select(col("u").as("vid"), col("mis_round")).unionAll(leftover)
+  }
+}

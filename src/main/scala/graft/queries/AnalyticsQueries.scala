@@ -505,6 +505,47 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** Luby MIS over the unified graph with derandomized md5 priorities:
+    * 8 rounds converge at every gate SF (4 used at sf0.1, probed); the
+    * sentinel row would surface an unfinished run. */
+  def misQuery(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = GraphAnalytics.unifiedEdges(graft.model.TpchGraph.load(s, dir))
+    graft.operators.Mis.maximalIndependentSet(edges, rounds = MisRounds, seed = MisSeed)
+  }
+
+  private val MisRounds = 8
+  private val MisSeed = 7L
+
+  private def misOracleSql(rounds: Int, seed: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$WeightedEdgesSql\n),\n"
+    sb ++= s"""und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+              |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+              |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+              |a0 AS MATERIALIZED (
+              |  SELECT u, ('0x' || substring(md5('$seed:' || CAST(u AS VARCHAR)), 1, 15))::BIGINT AS p
+              |  FROM (SELECT DISTINCT u FROM und))""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |nm$i AS (SELECT und.u, MIN(a2.p) AS mp
+                |  FROM und JOIN a${i - 1} a1 ON a1.u = und.u JOIN a${i - 1} a2 ON a2.u = und.v
+                |  GROUP BY und.u),
+                |s$i AS MATERIALIZED (SELECT a.u FROM a${i - 1} a LEFT JOIN nm$i n ON n.u = a.u
+                |  WHERE n.mp IS NULL OR a.p < n.mp),
+                |a$i AS MATERIALIZED (SELECT a.u, a.p FROM a${i - 1} a
+                |  WHERE NOT EXISTS (SELECT 1 FROM s$i s WHERE s.u = a.u)
+                |    AND NOT EXISTS (SELECT 1 FROM und e2 JOIN s$i s ON s.u = e2.u
+                |                    WHERE e2.v = a.u))""".stripMargin
+    }
+    val union = (1 to rounds).map(i =>
+      s"SELECT u AS vid, CAST($i AS BIGINT) AS mis_round FROM s$i").mkString("\nUNION ALL ")
+    sb ++= s"""
+              |$union
+              |UNION ALL
+              |SELECT -1, CAST(COUNT(*) AS BIGINT) FROM a$rounds HAVING COUNT(*) > 0""".stripMargin
+    sb.toString
+  }
+
   /** Butterfly statistics of the customer×part bipartite graph (edges
     * via orders⋈lineitem, parts capped to < 2000 so the oracle's wedge
     * join stays bounded at every SF). */
@@ -886,6 +927,7 @@ object AnalyticsQueries {
     "g_wl_colors" -> (wlColors _),
     "g_butterflies" -> (butterflies _),
     "g_coreness" -> (corenessQuery _),
+    "g_mis" -> (misQuery _),
     "g_butterfly_vertices" -> (butterflyVertices _),
     "g_hyperanf" -> (hyperAnf _),
     "g_anf_summary" -> (anfSummary _),
@@ -1476,6 +1518,7 @@ object AnalyticsQueries {
     "g_wl_colors" -> wlOracleSql(SccRingSize, WlRounds),
     "g_butterflies" -> butterfliesOracle,
     "g_coreness" -> corenessOracleSql(CorenessRounds),
+    "g_mis" -> misOracleSql(MisRounds, MisSeed),
     "g_butterfly_vertices" -> butterflyVerticesOracle,
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),

@@ -16,11 +16,11 @@ object Scratch {
     val (edges0, _) = graft.operators.GraphAnalytics.unifiedEdges(graft.model.TpchGraph.load(spark, dir))
     val edges = edges0
     val t0 = System.nanoTime()
-    val r = graft.operators.GraphAnalytics.coreness(edges, rounds = args.drop(1).headOption.map(_.toInt).getOrElse(12), "src", "dst")
+    val r = graft.operators.Mis.maximalIndependentSet(edges, rounds = args.drop(1).headOption.map(_.toInt).getOrElse(12), srcCol = "src", dstCol = "dst")
       .localCheckpoint(true)
     println("ELAPSED:" + (System.nanoTime() - t0) / 1e9)
     println("SENTINEL:" + r.where(col("vid") === -1L).collect().mkString(","))
-    println("TOP:" + r.groupBy("coreness").count().orderBy(desc("coreness")).limit(6).collect().mkString(" "))
+    println("TOP:" + r.groupBy("mis_round").count().orderBy(desc("mis_round")).limit(6).collect().mkString(" "))
     spark.stop()
   }
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class MisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(edges: Seq[(Long, Long)], seed: Long = 7L): Set[Long] = {
+    val out = Mis.maximalIndependentSet(edges.toDF("src", "dst"), rounds = 12, seed = seed)
+      .as[(Long, Long)].collect()
+    assert(!out.exists(_._1 == -1L), "did not converge in 12 rounds")
+    val mis = out.map(_._1).toSet
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.filter(e => e._1 != e._2)
+    // independence: no selected pair is adjacent
+    assert(!und.exists(e => mis(e._1) && mis(e._2)), "not independent")
+    // maximality: every unselected vertex has a selected neighbor
+    val verts = und.map(_._1).toSet
+    val uncovered = (verts -- mis).filterNot(v =>
+      und.exists(e => e._1 == v && mis(e._2)))
+    assert(uncovered.isEmpty, s"not maximal: $uncovered")
+    mis
+  }
+
+  test("independence + maximality on path, star, clique, two components") {
+    check((1L until 10L).map(i => (i, i + 1)))              // path
+    check((2L to 8L).map(i => (1L, i)))                     // star: either hub or all leaves
+    check(for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)) // K5: exactly one
+    val k5 = check(for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b))
+    assert(k5.size == 1)
+    check(Seq((1L, 2L), (2L, 3L), (10L, 11L)))              // disconnected
+  }
+
+  test("pure function of (graph, seed): reproducible, seed-sensitive") {
+    val g = (for { a <- 1L to 30L; b <- 1L to 30L if a < b && (a + b) % 3 == 0 } yield (a, b)).toSeq
+    val s1 = check(g, seed = 7L)
+    val s2 = check(g, seed = 7L)
+    assert(s1 == s2)
+    // a different seed reprioritizes; on this graph the set differs
+    val s3 = check(g, seed = 99L)
+    assert(s1 != s3)
+  }
+}
