@@ -15,6 +15,30 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Feature hashing (the hashing trick — Weinberger et al., ICML 2009):
+    * fixed-dimension bag-of-words vectors with NO vocabulary pass or
+    * driver-side dictionary — bucket = md5(token) mod D, sign = a second
+    * independent md5 bit (the signed variant keeps collision noise
+    * zero-mean). One explode + one map-side-combined conditional-sum
+    * aggregation per document; dimensions emitted as D scalar columns
+    * (engine-sortable, unlike array outputs). Deterministic across
+    * engines via the portable md5. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= 64, "dims must be in [2, 64]")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("bucket", Dedup.md5Long(col("tok")) % dims)
+      .withColumn("sgn",
+        when(Dedup.md5Long(concat(lit("s:"), col("tok"))) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)))
+    val sums = (0 until dims).map(d =>
+      sum(when(col("bucket") === d, col("sgn")).otherwise(lit(0L)))
+        .cast("long").as(s"f$d"))
+    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+  }
+
   /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene-form
     * idf = ln((N − df + ½)/(df + ½) + 1), which never goes negative):
     * score the corpus against a fixed bag of query terms and return the

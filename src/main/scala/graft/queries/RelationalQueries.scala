@@ -798,6 +798,37 @@ object RelationalQueries {
       ORDER BY s_suppkey""")
   }
 
+  /** Leave-one-out target encoding (the CatBoost/Kaggle mean-encoding
+    * primitive, LOO variant — excludes the row's own target so the
+    * feature never leaks it): encode o_orderpriority by the mean
+    * o_totalprice of the OTHER rows in the category,
+    * (Σ_grp − own)/(n_grp − 1). Exact-DECIMAL group sums and one double
+    * division per row keep it engine-exact. Scale shape: a
+    * category-sized aggregate (5 rows) broadcast-joined back — NOT a
+    * per-category window, whose 5-key partitioning would put the whole
+    * fact table through 5 skewed reducers. */
+  def looTargetEnc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val g = o.groupBy(col("o_orderpriority").as("pr"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("gs"),
+        count(lit(1)).as("gn"))
+    o.join(broadcast(g), o("o_orderpriority") === g("pr"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        when(col("gn") > 1,
+          (col("gs") - col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / (col("gn") - 1).cast("double")).as("loo_enc"))
+  }
+
+  private val looOracle: String =
+    """WITH g AS (SELECT o_orderpriority AS pr,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS gs, COUNT(*) AS gn
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o.o_orderkey, o.o_orderpriority,
+      |  CASE WHEN g.gn > 1
+      |       THEN CAST(g.gs - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      |            / CAST(g.gn - 1 AS DOUBLE) END AS loo_enc
+      |FROM orders o JOIN g ON g.pr = o.o_orderpriority""".stripMargin
+
   /** TPC-H Q2 shape — minimum-cost supplier: a derived supplier⋈part
     * "cost" relation (the slim schema has no partsupp, so supply cost is
     * the MINIMUM observed unit price per (part, supplier) from lineitem
@@ -1353,6 +1384,7 @@ object RelationalQueries {
     "q_window_funcs" -> (windowFuncs _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q_loo_target_enc" -> (looTargetEnc _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -1615,6 +1647,7 @@ object RelationalQueries {
     "q_kmv_setops" -> kmvSetOpsOracle,
     "q_window_funcs" -> windowFuncsOracle,
     "q17_small_quantity" -> q17Oracle,
+    "q_loo_target_enc" -> looOracle,
     "q2_min_cost_supplier" -> sqlQ2("lineitem", "supplier", "part", "nation", "region"),
     "q7_volume_shipping" -> sqlQ7("lineitem", "orders", "customer", "supplier", "nation"),
     "q8_market_share" -> sqlQ8("lineitem", "orders", "customer", "supplier",

@@ -31,6 +31,31 @@ object TextQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** 16-dim signed hashed bag-of-words per document — the
+    * no-vocabulary featurizer (see TextAnalysis.featureHash). */
+  def featureHash(s: SparkSession, dir: String): DataFrame =
+    TA.featureHash(Tables(s, dir, "documents"), "doc_id", "text", dims = FhDims)
+
+  private val FhDims = 16
+
+  private def featureHashOracle(dims: Int): String = {
+    val sums = (0 until dims).map(d =>
+      s"CAST(SUM(CASE WHEN bucket = $d THEN sgn ELSE 0 END) AS BIGINT) AS f$d")
+      .mkString(",\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % $dims AS bucket,
+       |    CASE WHEN ('0x' || substring(md5('s:' || tok), 1, 15))::BIGINT % 2 = 0
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM toks WHERE tok <> '')
+       |SELECT doc_id,
+       |  $sums
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
+
   /** 50 documents sampled without replacement ∝ length (A-Res keys over
     * derandomized uniforms — reproducible, engine-exact). */
   def weightedSample(s: SparkSession, dir: String): DataFrame =
@@ -236,6 +261,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tfidf" -> (tfidf _),
     "tx_bm25" -> (bm25 _),
+    "tx_feature_hash" -> (featureHash _),
     "tx_weighted_sample" -> (weightedSample _),
     "tx_chunk" -> (chunk _),
     "tx_unigram_logprob" -> (unigramLogprob _),
@@ -524,6 +550,7 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "tx_feature_hash" -> featureHashOracle(FhDims),
     "tx_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term

@@ -12,6 +12,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.toSeq == Seq(3, 0, 0, 1))
   }
 
+  test("featureHash: fixed dims, signed counts, deterministic") {
+    val df = Seq((1L, "alpha alpha beta"), (2L, "alpha alpha beta"),
+      (3L, "gamma")).toDF("doc_id", "text")
+    val rows = TextAnalysis.featureHash(df, "doc_id", "text", dims = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    // identical docs hash identically
+    assert(rows(1L) == rows(2L))
+    // the L1 norm is at most the token count (equal absent sign-cancel
+    // collisions; 'alpha'/'beta' land somewhere with weight 2 and 1)
+    assert(rows(1L).map(math.abs).sum <= 3 && rows(1L).map(math.abs).sum >= 1)
+    assert(rows(1L).count(_ != 0L) <= 2)
+    // single-token doc: exactly one dimension at ±1
+    assert(rows(3L).map(math.abs).sum == 1)
+  }
+
   test("bpe-ish token count splits words, digits, punctuation") {
     val df = Seq("hello, world 42!").toDF("t")
     // tokens: hello , world 42 ! → 5
