@@ -145,6 +145,15 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train IVF quantizer on an empty corpus")
+    IvfModel(kMeans(sample, nCells, seed, iters))
+  }
+
+  /** k-means++ seeding + `iters` Lloyd iterations — deterministic for a
+    * given (sample, seed). Shared by the IVF coarse quantizer and the PQ
+    * per-subspace codebooks (byte-identical to trainIvf's original
+    * inline body, so trained IVF centroids are unchanged). */
+  private def kMeans(sample: Array[Array[Double]], nCells: Int,
+      seed: Long, iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
     val k = math.min(nCells, sample.length)
@@ -185,7 +194,104 @@ object Similarity {
       }
       it += 1
     }
-    IvfModel(cs)
+    cs
+  }
+
+  /** Product-quantization model: `codebooks(j)(c)` is centroid c of
+    * subspace j. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def nCentroids: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+  }
+
+  /** Train PQ codebooks (Jégou et al., TPAMI 2011): the vector space
+    * splits into `m` subspaces of dim/m dims; each gets its own k-means
+    * codebook over the SAME content-hash-ordered deterministic sample
+    * trainIvf uses (per-subspace seed = seed + j). A vector compresses
+    * to m small codes — 64 dims × 8 B → 8 codes, an 8× compression at
+    * 16 centroids — and asymmetric-distance queries (see [[pqTopK]])
+    * score against codes without decompressing. */
+  def trainPq(corpus: DataFrame, vecCol: String, m: Int, nCentroids: Int,
+      seed: Long = 42L, sampleRows: Int = 100000, iters: Int = 10): PqModel = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col("__v")).asc)
+      .limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { j =>
+      val sub = sample.map(_.slice(j * subDim, (j + 1) * subDim))
+      kMeans(sub, nCentroids, seed + j, iters)
+    }.toArray
+    PqModel(codebooks)
+  }
+
+  /** PQ code columns: per subspace the 1-BASED index of the nearest
+    * centroid (squared L2; `array_position(dists, array_min(dists))`
+    * takes the FIRST minimum — the tie-break DuckDB's `list_position`
+    * replays exactly). Distances are PICO-GRID integers — each term
+    * floor((v[i]−c)²·10¹² + 0.5) summed as BIGINT — because float `+`
+    * chains are NOT association-proof across engines (DuckDB rebalances
+    * even explicit left-deep chains; the VecDotFixedPoint lesson), and
+    * a last-ulp flip near an argmin tie would silently re-code a
+    * vector. Codebook literals fold into the plan, so encoding is pure
+    * codegen'd column math over the scan. */
+  private[graft] def pqCodeCols(v: Column, model: PqModel): Seq[Column] =
+    model.codebooks.zipWithIndex.map { case (cb, j) =>
+      val dists = array(cb.map { c =>
+        c.zipWithIndex.map { case (cv, i) =>
+          val t = v.getItem(j * model.subDim + i) - lit(cv)
+          floor(t * t * lit(1e12) + lit(0.5)).cast("long")
+        }.reduce(_ + _)
+      }: _*)
+      array_position(dists, array_min(dists)).as(s"code_$j")
+    }
+
+  /** PQ/ADC approximate top-k (asymmetric distance computation): the
+    * corpus is ENCODED (m code columns — at rest this is the 8×
+    * compressed index), each query precomputes one m×nCentroids
+    * partial-dot lookup table against the codebook literals, and the
+    * approximate dot of (query, neighbor) is m table lookups summed —
+    * no per-pair floating vector math at all. Scale shape: the encoded
+    * corpus is the only big operand; queries broadcast with their
+    * lookup tables; scoring is a codegen'd expression over the code
+    * columns. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PqModel): DataFrame = {
+    val codes = corpus.select(
+      col(idCol).as("neighbor_id") +:
+        pqCodeCols(col(vecCol).cast("array<double>"), model): _*)
+    // partial dots on the same pico grid: centroid values pre-scaled to
+    // 10¹² in SCALA (so neither engine constant-folds differently),
+    // each term floored to BIGINT — integer sums are association-proof
+    val partials = model.codebooks.zipWithIndex.map { case (cb, j) =>
+      array(cb.map { c =>
+        c.zipWithIndex.map { case (cv, i) =>
+          floor(col("__qv").getItem(j * model.subDim + i) * lit(cv * 1e12) + lit(0.5))
+            .cast("long")
+        }.reduce(_ + _)
+      }: _*).as(s"p_$j")
+    }
+    val qp = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .select(col("query_id") +: partials: _*)
+    val approxPico = (0 until model.m).map(j =>
+      element_at(col(s"p_$j"), col(s"code_$j").cast("int"))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_pico").desc, col("neighbor_id"))
+    broadcast(qp).crossJoin(codes)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_pico", approxPico)
+      .withColumn("approx_dot", col("approx_pico").cast("double") / lit(1e12))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_dot"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** IVF-style approximate top-k: the coarse quantizer's cells partition

@@ -31,6 +31,68 @@ object PipelineQueries {
   private val SdCells = 16
   private val SdThreshold = 0.3
 
+  /** Trained PQ codebooks keyed by corpus dir (see trainPq). */
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
+
+  private val PqM = 8
+  private val PqK = 16
+
+  /** PQ/ADC approximate top-5: the corpus encoded to 8 codes/vector
+    * (8× compression), queries scored by table lookup only. Codebooks
+    * trained once per corpus on the deterministic content-hash sample;
+    * the oracle embeds them as literals post-training (the ss_ivf_topk
+    * technique). */
+  def pqTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = pqModels.getOrElseUpdate(dir,
+      Similarity.trainPq(e, "embedding", m = PqM, nCentroids = PqK,
+        seed = 42L, sampleRows = 4096))
+    Similarity.pqTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, model)
+  }
+
+  private def pqOracle(model: Similarity.PqModel, k: Int): String = {
+    val sub = model.subDim
+    // pico-grid integers, mirroring pqCodeCols/pqTopK term for term
+    def distList(j: Int): String = model.codebooks(j).map { c =>
+      c.zipWithIndex.map { case (cv, i) =>
+        val x = s"(v[${j * sub + i + 1}] - $cv)"
+        s"CAST(floor($x * $x * 1e12 + 0.5) AS BIGINT)"
+      }.mkString(" + ")
+    }.mkString("[", ",\n      ", "]")
+    def partialList(j: Int): String = model.codebooks(j).map { c =>
+      c.zipWithIndex.map { case (cv, i) =>
+        s"CAST(floor(qv[${j * sub + i + 1}] * ${cv * 1e12} + 0.5) AS BIGINT)"
+      }.mkString(" + ")
+    }.mkString("[", ",\n      ", "]")
+    val dCols = (0 until model.m).map(j => s"${distList(j)} AS d$j").mkString(",\n    ")
+    val codeCols = (0 until model.m)
+      .map(j => s"list_position(d$j, list_min(d$j)) AS code_$j").mkString(", ")
+    val pCols = (0 until model.m).map(j => s"${partialList(j)} AS p_$j").mkString(",\n    ")
+    val approxPico = (0 until model.m)
+      .map(j => s"list_extract(p_$j, code_$j)").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cd AS (SELECT neighbor_id,
+       |    $dCols
+       |  FROM c),
+       |codes AS (SELECT neighbor_id, $codeCols FROM cd),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |qp AS (SELECT query_id,
+       |    $pCols
+       |  FROM q),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $approxPico AS approx_pico
+       |  FROM qp, codes WHERE query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, approx_pico,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY approx_pico DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id,
+       |  CAST(approx_pico AS DOUBLE) / 1e12 AS approx_dot, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** SemDeDup semantic dedup over the embeddings corpus: k-means cluster
     * assignment + within-cluster cosine pruning (keep the lowest id of
     * every duplicate pair). Oracle: trained-centroid literals, the
@@ -260,6 +322,7 @@ object PipelineQueries {
         k = 5, model, nProbe = 4)
     }),
     "dd_semantic" -> (semanticDedup _),
+    "ss_pq_topk" -> (pqTopKQuery _),
     "dd_embed_cosine" -> (embedCosinePairs _),
     "tx_langid" -> (langId _),
     "tx_fingerprint" -> (fingerprint _),
@@ -614,9 +677,13 @@ object PipelineQueries {
       if (ivfModels.size == 1)
         staticOracles + ("ss_ivf_topk" -> ivfOracle(ivfModels.values.head, nProbe = 4, k = 5))
       else staticOracles
-    if (sdModels.size == 1)
-      withIvf + ("dd_semantic" -> semanticDedupOracle(sdModels.values.head, SdThreshold))
-    else withIvf
+    val withSd =
+      if (sdModels.size == 1)
+        withIvf + ("dd_semantic" -> semanticDedupOracle(sdModels.values.head, SdThreshold))
+      else withIvf
+    if (pqModels.size == 1)
+      withSd + ("ss_pq_topk" -> pqOracle(pqModels.values.head, k = 5))
+    else withSd
   }
 
   /** The JL projection in SQL: the same pico-grid plane literals, each

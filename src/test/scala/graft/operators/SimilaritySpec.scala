@@ -146,6 +146,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("PQ: codes in range, identical vectors coded identically, ADC finds the duplicate") {
+    // three well-separated clusters in 16 dims + an exact duplicate of v0
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c0 = Array.fill(16)(1.0f); val c1 = Array.fill(16)(-1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecs = (Seq((0L, c0), (100L, c0.clone())) ++
+      (1L to 20L).map(i => (i, jitter(if (i % 3 == 0) c0 else if (i % 3 == 1) c1 else c2))))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.trainPq(vecs, "embedding", m = 4, nCentroids = 4,
+      seed = 42L, sampleRows = 1000, iters = 5)
+    assert(model.m == 4 && model.subDim == 4)
+    val codes = vecs.select(col("vec_id") +:
+      Similarity.pqCodeCols(col("embedding").cast("array<double>"), model): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong(_))).toMap
+    assert(codes.values.flatten.forall(c => c >= 1 && c <= 4))
+    assert(codes(0L) == codes(100L)) // identical vectors -> identical codes
+    // ADC resolves at CODE granularity: every vector sharing v0's codes
+    // ties at the maximal score (the duplicate cannot outrank same-code
+    // cluster-mates — ids break the tie), so the top-k must all come
+    // from v0's own cluster {multiples of 3} ∪ {100}
+    val c0Cluster = (1L to 20L).filter(_ % 3 == 0).toSet + 100L
+    val top = Similarity.pqTopK(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, model)
+      .orderBy(col("rank")).select("neighbor_id").as[Long].collect()
+    assert(top.forall(c0Cluster), s"non-cluster neighbor in ${top.toSeq}")
+    // and the duplicate's score ties the rank-1 score exactly
+    val scores = Similarity.pqTopK(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 21, model)
+      .select("neighbor_id", "approx_dot").as[(Long, Double)].collect().toMap
+    assert(scores(100L) == scores(top.head))
+  }
+
   test("fixed-point dot: matches a double dot to the grid and is exactly integer picos") {
     val vecs = Seq((1L, Array(0.5f, -0.25f, 0.125f))).toDF("vec_id", "embedding")
     val w = Array(1.0, 2.0, 4.0)
