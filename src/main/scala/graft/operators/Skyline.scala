@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skyline (Pareto-front) queries — Börzsönyi et al., ICDE 2001: the
+  * rows no other row dominates, where q dominates p iff q is at least
+  * as good on EVERY criterion and strictly better on at least one.
+  * The multi-objective shortlist operator ("cheap AND recent AND
+  * high-quality") relational engines lack as a primitive.
+  *
+  * Naive evaluation is an O(n²) dominance anti-join. The distributed
+  * plan here prunes first with a GRID summary: each point lands in a
+  * cell (per-criterion buckets); a cell whose best corner is dominated
+  * by some other cell's WORST corner cannot contain any skyline point,
+  * so its points drop before the quadratic step. The cell summary is
+  * tiny (≤ buckets^dims rows) and broadcasts; at web scale the
+  * surviving candidate set is a thin Pareto shell, and only that shell
+  * pays the anti-join. Both the pruning corner comparison and the
+  * final dominance predicate are integer/exact comparisons over the
+  * caller's criteria — no float hazards.
+  */
+object Skyline {
+
+  /** A skyline criterion: `expr` is the value, `maximize` its
+    * direction. */
+  final case class Criterion(name: String, expr: Column, maximize: Boolean)
+
+  /** The skyline of `df` under `criteria`, with `buckets` grid cells
+    * per criterion for the pruning pass. Duplicate criterion vectors
+    * all survive (none strictly dominates its twin). */
+  def skyline(df: DataFrame, criteria: Seq[Criterion],
+      buckets: Int = 16): DataFrame = {
+    require(criteria.nonEmpty, "need at least one criterion")
+    // orient every criterion as MAXIMIZE: negate minimized ones
+    val vals = criteria.map(c =>
+      (if (c.maximize) c.expr else -c.expr).as(s"__c_${c.name}"))
+    val base = df.select(col("*") +: vals: _*)
+    val cNames = criteria.map(c => s"__c_${c.name}")
+
+    // grid cells: per-criterion equi-width buckets over the observed range
+    val rangeAgg = cNames.flatMap(n =>
+      Seq(min(col(n)).as(s"__min_$n"), max(col(n)).as(s"__max_$n")))
+    val ranges = base.agg(rangeAgg.head, rangeAgg.tail: _*)
+    val withCell = base.crossJoin(broadcast(ranges))
+      .select(col("*") +: cNames.map { n =>
+        val span = col(s"__max_$n") - col(s"__min_$n")
+        when(span === 0, lit(0))
+          .otherwise(least(
+            floor((col(n) - col(s"__min_$n")) * buckets / span).cast("int"),
+            lit(buckets - 1))).as(s"__b_$n")
+      }: _*)
+
+    // cell summary: per cell, the worst corner (min per criterion) of its
+    // members; a cell C is pruned when some cell D's worst corner
+    // dominates C's best corner (max per criterion) — strictly better on
+    // one axis, ≥ on all
+    val cellCols = cNames.map(n => col(s"__b_$n"))
+    val aggs = cNames.map(n => min(col(n)).as(s"__lo_$n")) ++
+      cNames.map(n => max(col(n)).as(s"__hi_$n"))
+    val summary = withCell.groupBy(cellCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val d = summary.select(
+      cNames.map(n => col(s"__lo_$n").as(s"__dlo_$n")): _*)
+    val dominatedCells = summary.join(broadcast(d),
+        cNames.map(n => col(s"__dlo_$n") >= col(s"__hi_$n")).reduce(_ && _) &&
+          cNames.map(n => col(s"__dlo_$n") > col(s"__hi_$n")).reduce(_ || _),
+        "left_semi")
+      .select(cellCols: _*)
+    val candidates = withCell.join(dominatedCells,
+      cNames.map(n => s"__b_$n"), "left_anti")
+
+    // exact dominance anti-join over the surviving shell
+    val l = candidates
+    val r = candidates.select(cNames.map(n => col(n).as(s"__r_$n")): _*)
+    val dominates =
+      cNames.map(n => col(s"__r_$n") >= col(n)).reduce(_ && _) &&
+        cNames.map(n => col(s"__r_$n") > col(n)).reduce(_ || _)
+    l.join(broadcast(r), dominates, "left_anti")
+      .select(df.columns.map(col).toSeq: _*)
+  }
+}

@@ -798,6 +798,26 @@ object RelationalQueries {
       ORDER BY s_suppkey""")
   }
 
+  /** Skyline of parts under (size MAX, retail price MIN) — the
+    * big-and-cheap Pareto front; grid-pruned before the exact dominance
+    * anti-join (see operators.Skyline). The oracle states the
+    * DEFINITION (NOT EXISTS a dominator): pruning is result-invariant,
+    * so the gate checks semantics, not the optimization. */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skyline
+    Skyline.skyline(Tables(s, dir, "part"), Seq(
+      Skyline.Criterion("size", col("p_size"), maximize = true),
+      Skyline.Criterion("price", col("p_retailprice"), maximize = false)))
+  }
+
+  private val skylineOracle: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+      |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))""".stripMargin
+
   /** Leave-one-out target encoding (the CatBoost/Kaggle mean-encoding
     * primitive, LOO variant — excludes the row's own target so the
     * feature never leaks it): encode o_orderpriority by the mean
@@ -1385,6 +1405,7 @@ object RelationalQueries {
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q_loo_target_enc" -> (looTargetEnc _),
+    "q_skyline_parts" -> (skylineParts _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -1648,6 +1669,7 @@ object RelationalQueries {
     "q_window_funcs" -> windowFuncsOracle,
     "q17_small_quantity" -> q17Oracle,
     "q_loo_target_enc" -> looOracle,
+    "q_skyline_parts" -> skylineOracle,
     "q2_min_cost_supplier" -> sqlQ2("lineitem", "supplier", "part", "nation", "region"),
     "q7_volume_shipping" -> sqlQ7("lineitem", "orders", "customer", "supplier", "nation"),
     "q8_market_share" -> sqlQ8("lineitem", "orders", "customer", "supplier",
