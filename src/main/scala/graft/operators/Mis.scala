@@ -29,6 +29,65 @@ import org.apache.spark.sql.functions._
   */
 object Mis {
 
+  /** Greedy distributed graph coloring (Jones–Plassmann 1993) under the
+    * same derandomized md5 priorities: an uncolored vertex colors
+    * itself once every HIGHER-priority neighbor is colored, taking the
+    * minimum excluded color (mex) of its already-colored neighbors —
+    * so the color count is bounded by degeneracy+1-ish greedy quality,
+    * and rounds are bounded by the longest decreasing-priority path
+    * (O(log n / log log n) w.h.p. for random priorities). Priority
+    * comparison is explicitly (p, vid) lexicographic in BOTH engines —
+    * no reliance on hash tie-freedom. The mex computes distributively:
+    * distinct neighbor colors ranked ascending per vertex; the first
+    * rank where color ≠ rank−1 is the gap, else the color count.
+    * Sentinel row (−1, still-uncolored count) guards the round budget.
+    * Returns (vid, color), colors 0-based. */
+  def jpColoring(edges: DataFrame, rounds: Int = 16,
+      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var uncolored = und.select(col("u")).distinct()
+      .withColumn("p", Dedup.md5Long(concat(lit(s"$seed:"), col("u").cast("string"))))
+      .localCheckpoint(true)
+    var colors: DataFrame = null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("c")
+    for (_ <- 1 to rounds) {
+      val nbrP = uncolored.select(col("u").as("v"), col("p").as("pn"))
+      // a higher-priority UNCOLORED neighbor blocks v this round
+      val blocked = und
+        .join(uncolored.select(col("u"), col("p")), "u")
+        .join(nbrP, "v")
+        .where(col("pn") > col("p") || (col("pn") === col("p") && col("v") > col("u")))
+        .select(col("u")).distinct()
+      val ready = uncolored.join(blocked, Seq("u"), "left_anti")
+        .select(col("u")).localCheckpoint(true)
+      // mex of already-colored neighbor colors
+      val mex =
+        if (colors == null) ready.select(col("u"), lit(0L).as("color"))
+        else {
+          val nbrC = und.join(ready, "u")
+            .join(colors.select(col("vid").as("v"), col("color").as("c")), "v")
+            .select(col("u"), col("c")).distinct()
+          val gaps = nbrC.withColumn("rn", row_number().over(w))
+            .groupBy("u")
+            .agg(coalesce(min(when(col("c") =!= col("rn") - 1, col("rn") - 1)),
+              count(lit(1))).cast("long").as("color"))
+          ready.join(gaps, Seq("u"), "left")
+            .select(col("u"), coalesce(col("color"), lit(0L)).as("color"))
+        }
+      val newColors = mex.select(col("u").as("vid"), col("color")).localCheckpoint(true)
+      colors = if (colors == null) newColors else colors.unionAll(newColors)
+      uncolored = uncolored.join(ready, Seq("u"), "left_anti").localCheckpoint(true)
+    }
+    val leftover = uncolored.agg(count(lit(1)).as("n")).where(col("n") > 0)
+      .select(lit(-1L).as("vid"), col("n").cast("long").as("color"))
+    colors.unionAll(leftover)
+  }
+
   /** (vid, mis_round) for every selected vertex; `mis_round` is the
     * 1-based round the vertex entered the set. Sentinel row
     * (−1, n_still_active) appears iff `rounds` did not finish the

@@ -444,7 +444,7 @@ object AnalyticsQueries {
     GraphAnalytics.stronglyConnectedComponents(sccFixtureEdges(s, dir))
       .select(col("vid").as("s_suppkey"), col("scc_id"))
 
-  private[queries] def sccFixtureEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sccFixtureEdges(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sup = graft.Tables(s, dir, "supplier")
       .select(col("s_suppkey").cast("long").as("sk"), col("s_nationkey").cast("long").as("nk"))
@@ -502,6 +502,72 @@ object AnalyticsQueries {
               |SELECT -1, CAST(COUNT(*) AS BIGINT)
               |FROM c$rounds a JOIN c${rounds - 1} b ON a.u = b.u AND a.cv <> b.cv
               |HAVING COUNT(*) > 0""".stripMargin
+    sb.toString
+  }
+
+  /** Jones–Plassmann greedy coloring over the cyclic fixture (the
+    * bounded-degree graph where JP's ready-fraction is ~⅓/round; on the
+    * dense unified graph 16 rounds color only ~30% — probed, the known
+    * JP shape): 12 rounds converge at every SF (10 probed), 4 colors. */
+  def jpColoring(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mis.jpColoring(sccFixtureEdges(s, dir),
+      rounds = JpRounds, seed = MisSeed)
+      .select(col("vid").as("s_suppkey"), col("color"))
+
+  private val JpRounds = 12
+
+  private def jpOracleSql(ringSize: Int, rounds: Int, seed: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ringed AS (
+              |  SELECT CAST(s_suppkey AS BIGINT) AS sk, CAST(s_nationkey AS BIGINT) AS nk,
+              |    (row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1) // $ringSize AS bk
+              |  FROM supplier),
+              |ring_edges AS (
+              |  SELECT sk AS src,
+              |    COALESCE(lead(sk) OVER (PARTITION BY nk, bk ORDER BY sk),
+              |             first_value(sk) OVER (PARTITION BY nk, bk ORDER BY sk)) AS dst
+              |  FROM ringed),
+              |mins AS (SELECT nk, bk, MIN(sk) AS msk FROM ringed GROUP BY nk, bk),
+              |hub AS (SELECT nk AS hnk, bk AS hbk, msk AS hsk FROM mins ORDER BY nk, bk LIMIT 1),
+              |edges AS (
+              |  SELECT src, dst FROM (
+              |    SELECT src, dst FROM ring_edges
+              |    UNION ALL
+              |    SELECT h.hsk, m.msk FROM mins m, hub h WHERE NOT (m.nk = h.hnk AND m.bk = h.hbk))
+              |  WHERE src <> dst),
+              |und AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v FROM (
+              |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)
+              |  WHERE src <> dst),
+              |unc0 AS MATERIALIZED (
+              |  SELECT u, ('0x' || substring(md5('$seed:' || CAST(u AS VARCHAR)), 1, 15))::BIGINT AS p
+              |  FROM (SELECT DISTINCT u FROM und)),
+              |col0 AS (SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS BIGINT) AS color WHERE FALSE)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |blocked$i AS (SELECT DISTINCT und.u FROM und
+                |  JOIN unc${i - 1} a ON a.u = und.u JOIN unc${i - 1} b ON b.u = und.v
+                |  WHERE b.p > a.p OR (b.p = a.p AND und.v > und.u)),
+                |ready$i AS MATERIALIZED (SELECT a.u FROM unc${i - 1} a
+                |  WHERE NOT EXISTS (SELECT 1 FROM blocked$i x WHERE x.u = a.u)),
+                |nbrc$i AS (SELECT DISTINCT und.u, c.color AS c FROM und
+                |  JOIN ready$i r ON r.u = und.u JOIN col${i - 1} c ON c.vid = und.v),
+                |gaps$i AS (SELECT u,
+                |    COALESCE(MIN(CASE WHEN c <> rn - 1 THEN rn - 1 END), COUNT(*)) AS color
+                |  FROM (SELECT u, c, row_number() OVER (PARTITION BY u ORDER BY c) AS rn FROM nbrc$i)
+                |  GROUP BY u),
+                |col$i AS MATERIALIZED (
+                |  SELECT vid, color FROM col${i - 1}
+                |  UNION ALL
+                |  SELECT r.u, CAST(COALESCE(g.color, 0) AS BIGINT)
+                |  FROM ready$i r LEFT JOIN gaps$i g ON g.u = r.u),
+                |unc$i AS MATERIALIZED (SELECT a.u, a.p FROM unc${i - 1} a
+                |  WHERE NOT EXISTS (SELECT 1 FROM ready$i r WHERE r.u = a.u))""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT vid AS s_suppkey, color FROM col$rounds
+              |UNION ALL
+              |SELECT -1, CAST(COUNT(*) AS BIGINT) FROM unc$rounds HAVING COUNT(*) > 0""".stripMargin
     sb.toString
   }
 
@@ -928,6 +994,7 @@ object AnalyticsQueries {
     "g_butterflies" -> (butterflies _),
     "g_coreness" -> (corenessQuery _),
     "g_mis" -> (misQuery _),
+    "g_coloring" -> (jpColoring _),
     "g_butterfly_vertices" -> (butterflyVertices _),
     "g_hyperanf" -> (hyperAnf _),
     "g_anf_summary" -> (anfSummary _),
@@ -1519,6 +1586,7 @@ object AnalyticsQueries {
     "g_butterflies" -> butterfliesOracle,
     "g_coreness" -> corenessOracleSql(CorenessRounds),
     "g_mis" -> misOracleSql(MisRounds, MisSeed),
+    "g_coloring" -> jpOracleSql(SccRingSize, JpRounds, MisSeed),
     "g_butterfly_vertices" -> butterflyVerticesOracle,
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),

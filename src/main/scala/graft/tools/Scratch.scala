@@ -13,14 +13,13 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val (edges0, _) = graft.operators.GraphAnalytics.unifiedEdges(graft.model.TpchGraph.load(spark, dir))
-    val edges = edges0
+    val edges = graft.queries.AnalyticsQueries.sccFixtureEdges(spark, dir)
     val t0 = System.nanoTime()
-    val r = graft.operators.Mis.maximalIndependentSet(edges, rounds = args.drop(1).headOption.map(_.toInt).getOrElse(12), srcCol = "src", dstCol = "dst")
+    val r = graft.operators.Mis.jpColoring(edges, rounds = args.drop(1).headOption.map(_.toInt).getOrElse(12), srcCol = "src", dstCol = "dst")
       .localCheckpoint(true)
     println("ELAPSED:" + (System.nanoTime() - t0) / 1e9)
     println("SENTINEL:" + r.where(col("vid") === -1L).collect().mkString(","))
-    println("TOP:" + r.groupBy("mis_round").count().orderBy(desc("mis_round")).limit(6).collect().mkString(" "))
+    println("TOP:" + r.groupBy("color").count().orderBy(desc("color")).limit(6).collect().mkString(" "))
     spark.stop()
   }
 }

@@ -30,6 +30,30 @@ class MisSpec extends SparkTestBase {
     check(Seq((1L, 2L), (2L, 3L), (10L, 11L)))              // disconnected
   }
 
+  test("jpColoring: proper, greedy-tight, reproducible") {
+    def checkColoring(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val out = Mis.jpColoring(edges.toDF("src", "dst"), rounds = 16)
+        .as[(Long, Long)].collect()
+      assert(!out.exists(_._1 == -1L), "uncolored vertices left")
+      val c = out.toMap
+      val und = edges.filter(e => e._1 != e._2)
+      assert(!und.exists(e => c(e._1) == c(e._2)), "improper coloring")
+      c
+    }
+    // even cycle: 2 colors suffice and greedy mex can't exceed 3
+    val c6 = checkColoring(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L)))
+    assert(c6.values.max <= 2)
+    // K4 needs exactly 4 colors {0,1,2,3}
+    val k4 = checkColoring(for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+    assert(k4.values.toSet == Set(0L, 1L, 2L, 3L))
+    // star: hub one color, leaves share the other
+    val star = checkColoring((2L to 9L).map(i => (1L, i)))
+    assert(star.values.toSet.size == 2)
+    // reproducible
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(checkColoring(g) == checkColoring(g))
+  }
+
   test("pure function of (graph, seed): reproducible, seed-sensitive") {
     val g = (for { a <- 1L to 30L; b <- 1L to 30L if a < b && (a + b) % 3 == 0 } yield (a, b)).toSeq
     val s1 = check(g, seed = 7L)
