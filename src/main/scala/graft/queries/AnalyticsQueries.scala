@@ -667,7 +667,17 @@ object AnalyticsQueries {
 
   private val WlRounds = 3
 
-  private def wlOracleSql(ringSize: Int, rounds: Int): String = {
+  /** The WL-kernel feature map over the same fixture: color → vertex
+    * count. Two graphs' histograms join on color for the kernel
+    * product (colors are cross-graph-comparable by construction). */
+  def wlHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WlRefinement.wlHistogram(sccFixtureEdges(s, dir), WlRounds)
+
+  private def wlHistogramOracleSql(ringSize: Int, rounds: Int): String =
+    wlOracleSql(ringSize, rounds, finalSelect =
+      s"SELECT color, COUNT(*) AS n_vertices FROM c$rounds GROUP BY color")
+
+  private def wlOracleSql(ringSize: Int, rounds: Int, finalSelect: String = ""): String = {
     val rds = (1 to rounds).map { t =>
       s"""c$t AS MATERIALIZED (
          |  SELECT u.src AS vid,
@@ -700,7 +710,7 @@ object AnalyticsQueries {
        |c0 AS MATERIALIZED (
        |  SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS color FROM und GROUP BY src),
        |$rds
-       |SELECT vid AS s_suppkey, color FROM c$rounds""".stripMargin
+       |${if (finalSelect.nonEmpty) finalSelect else s"SELECT vid AS s_suppkey, color FROM c$rounds"}""".stripMargin
   }
 
   /** HyperANF over the same cyclic fixture SCC uses — rings give every
@@ -991,6 +1001,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_scc" -> (scc _),
     "g_wl_colors" -> (wlColors _),
+    "g_wl_histogram" -> (wlHistogram _),
     "g_butterflies" -> (butterflies _),
     "g_coreness" -> (corenessQuery _),
     "g_mis" -> (misQuery _),
@@ -1583,6 +1594,7 @@ object AnalyticsQueries {
         |FROM deg d LEFT JOIN tcnt t ON t.vid = d.vid""".stripMargin,
     "g_scc" -> sccOracleSql(SccRingSize),
     "g_wl_colors" -> wlOracleSql(SccRingSize, WlRounds),
+    "g_wl_histogram" -> wlHistogramOracleSql(SccRingSize, WlRounds),
     "g_butterflies" -> butterfliesOracle,
     "g_coreness" -> corenessOracleSql(CorenessRounds),
     "g_mis" -> misOracleSql(MisRounds, MisSeed),
