@@ -505,6 +505,60 @@ object AnalyticsQueries {
     sb.toString
   }
 
+  /** Landmark hop-distance features over the cyclic fixture: 4
+    * md5-minimum landmarks, one labeled BFS (state keyed (vid,
+    * landmark)), 12 rounds ≥ the fixture diameter. Sparse: unreached
+    * pairs absent. */
+  def landmarkDist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Landmarks.landmarkDistances(sccFixtureEdges(s, dir),
+      nLandmarks = LmCount, rounds = LmRounds, seed = MisSeed)
+      .select(col("vid").as("s_suppkey"), col("landmark"), col("dist"))
+
+  private val LmCount = 4
+  private val LmRounds = 12
+
+  private def landmarkOracleSql(ringSize: Int, n: Int, rounds: Int, seed: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ringed AS (
+              |  SELECT CAST(s_suppkey AS BIGINT) AS sk, CAST(s_nationkey AS BIGINT) AS nk,
+              |    (row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) - 1) // $ringSize AS bk
+              |  FROM supplier),
+              |ring_edges AS (
+              |  SELECT sk AS src,
+              |    COALESCE(lead(sk) OVER (PARTITION BY nk, bk ORDER BY sk),
+              |             first_value(sk) OVER (PARTITION BY nk, bk ORDER BY sk)) AS dst
+              |  FROM ringed),
+              |mins AS (SELECT nk, bk, MIN(sk) AS msk FROM ringed GROUP BY nk, bk),
+              |hub AS (SELECT nk AS hnk, bk AS hbk, msk AS hsk FROM mins ORDER BY nk, bk LIMIT 1),
+              |edges AS (
+              |  SELECT src, dst FROM (
+              |    SELECT src, dst FROM ring_edges
+              |    UNION ALL
+              |    SELECT h.hsk, m.msk FROM mins m, hub h WHERE NOT (m.nk = h.hnk AND m.bk = h.hbk))
+              |  WHERE src <> dst),
+              |und AS MATERIALIZED (
+              |  SELECT src AS u, dst AS v FROM (
+              |    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)
+              |  WHERE src <> dst),
+              |lm AS MATERIALIZED (SELECT u AS landmark FROM (
+              |  SELECT u, ('0x' || substring(md5('$seed:' || CAST(u AS VARCHAR)), 1, 15))::BIGINT AS p
+              |  FROM (SELECT DISTINCT u FROM und))
+              |  ORDER BY p, u LIMIT $n),
+              |d0 AS MATERIALIZED (
+              |  SELECT landmark AS vid, landmark, CAST(0 AS BIGINT) AS dist FROM lm)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |d$i AS MATERIALIZED (SELECT vid, landmark, MIN(dist) AS dist FROM (
+                |  SELECT vid, landmark, dist FROM d${i - 1}
+                |  UNION ALL
+                |  SELECT und.v, d.landmark, d.dist + 1 FROM und JOIN d${i - 1} d ON d.vid = und.u)
+                |  GROUP BY vid, landmark)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT vid AS s_suppkey, landmark, dist FROM d$rounds""".stripMargin
+    sb.toString
+  }
+
   /** Jones–Plassmann greedy coloring over the cyclic fixture (the
     * bounded-degree graph where JP's ready-fraction is ~⅓/round; on the
     * dense unified graph 16 rounds color only ~30% — probed, the known
@@ -1006,6 +1060,7 @@ object AnalyticsQueries {
     "g_coreness" -> (corenessQuery _),
     "g_mis" -> (misQuery _),
     "g_coloring" -> (jpColoring _),
+    "g_landmark_dist" -> (landmarkDist _),
     "g_butterfly_vertices" -> (butterflyVertices _),
     "g_hyperanf" -> (hyperAnf _),
     "g_anf_summary" -> (anfSummary _),
@@ -1599,6 +1654,7 @@ object AnalyticsQueries {
     "g_coreness" -> corenessOracleSql(CorenessRounds),
     "g_mis" -> misOracleSql(MisRounds, MisSeed),
     "g_coloring" -> jpOracleSql(SccRingSize, JpRounds, MisSeed),
+    "g_landmark_dist" -> landmarkOracleSql(SccRingSize, LmCount, LmRounds, MisSeed),
     "g_butterfly_vertices" -> butterflyVerticesOracle,
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),
