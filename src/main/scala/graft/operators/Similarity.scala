@@ -261,11 +261,22 @@ object Similarity {
     * corpus is the only big operand; queries broadcast with their
     * lookup tables; scoring is a codegen'd expression over the code
     * columns. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, model: PqModel): DataFrame = {
-    val codes = corpus.select(
+  /** Encode a corpus to its PQ code columns (neighbor_id, code_0..m) —
+    * the at-rest compressed index; do this ONCE and persist (the codes
+    * are what a production deployment stores and re-reads). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    corpus.select(
       col(idCol).as("neighbor_id") +:
         pqCodeCols(col(vecCol).cast("array<double>"), model): _*)
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PqModel): DataFrame =
+    pqTopKEncoded(pqEncode(corpus, idCol, vecCol, model), queries, idCol, vecCol, k, model)
+
+  /** ADC top-k over an already-encoded corpus (see [[pqEncode]]). */
+  def pqTopKEncoded(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PqModel): DataFrame = {
     // partial dots on the same pico grid: centroid values pre-scaled to
     // 10¹² in SCALA (so neither engine constant-folds differently),
     // each term floored to BIGINT — integer sums are association-proof
