@@ -517,7 +517,20 @@ object AnalyticsQueries {
   private val LmCount = 4
   private val LmRounds = 12
 
-  private def landmarkOracleSql(ringSize: Int, n: Int, rounds: Int, seed: Long): String = {
+  /** Eccentricity summary from the landmark BFS (horizon ≥ fixture
+    * diameter, so each landmark's eccentricity is exact): diameter ≥
+    * max landmark ecc, radius ≤ min — the classic landmark bounds. */
+  def graphRadius(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Landmarks.landmarkDistances(sccFixtureEdges(s, dir),
+      nLandmarks = LmCount, rounds = LmRounds, seed = MisSeed)
+      .groupBy("landmark").agg(max(col("dist")).as("ecc"), count(lit(1)).as("reached"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        max(col("ecc")).as("diameter_lower_bound"),
+        min(col("ecc")).as("radius_upper_bound"),
+        sum(col("reached")).cast("long").as("n_reached_pairs"))
+
+  private def landmarkOracleSql(ringSize: Int, n: Int, rounds: Int, seed: Long,
+      finalSelect: String = ""): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH ringed AS (
               |  SELECT CAST(s_suppkey AS BIGINT) AS sk, CAST(s_nationkey AS BIGINT) AS nk,
@@ -554,8 +567,8 @@ object AnalyticsQueries {
                 |  SELECT und.v, d.landmark, d.dist + 1 FROM und JOIN d${i - 1} d ON d.vid = und.u)
                 |  GROUP BY vid, landmark)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT vid AS s_suppkey, landmark, dist FROM d$rounds""".stripMargin
+    sb ++= "\n" + (if (finalSelect.nonEmpty) finalSelect
+      else s"SELECT vid AS s_suppkey, landmark, dist FROM d$rounds")
     sb.toString
   }
 
@@ -1061,6 +1074,7 @@ object AnalyticsQueries {
     "g_mis" -> (misQuery _),
     "g_coloring" -> (jpColoring _),
     "g_landmark_dist" -> (landmarkDist _),
+    "g_graph_radius" -> (graphRadius _),
     "g_butterfly_vertices" -> (butterflyVertices _),
     "g_hyperanf" -> (hyperAnf _),
     "g_anf_summary" -> (anfSummary _),
@@ -1655,6 +1669,12 @@ object AnalyticsQueries {
     "g_mis" -> misOracleSql(MisRounds, MisSeed),
     "g_coloring" -> jpOracleSql(SccRingSize, JpRounds, MisSeed),
     "g_landmark_dist" -> landmarkOracleSql(SccRingSize, LmCount, LmRounds, MisSeed),
+    "g_graph_radius" -> landmarkOracleSql(SccRingSize, LmCount, LmRounds, MisSeed,
+      finalSelect = s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_landmarks,
+        |  MAX(ecc) AS diameter_lower_bound, MIN(ecc) AS radius_upper_bound,
+        |  CAST(SUM(reached) AS BIGINT) AS n_reached_pairs
+        |FROM (SELECT landmark, MAX(dist) AS ecc, COUNT(*) AS reached
+        |      FROM d$LmRounds GROUP BY landmark)""".stripMargin),
     "g_butterfly_vertices" -> butterflyVerticesOracle,
     "g_hyperanf" -> hyperAnfOracleSql(SccRingSize, AnfRounds),
     "g_harmonic" -> harmonicOracleSql(SccRingSize, AnfRounds),
