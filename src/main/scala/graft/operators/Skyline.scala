@@ -30,7 +30,16 @@ object Skyline {
     * per criterion for the pruning pass. Duplicate criterion vectors
     * all survive (none strictly dominates its twin). */
   def skyline(df: DataFrame, criteria: Seq[Criterion],
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16): DataFrame =
+    skylinePerKey(df, Nil, criteria, buckets)
+
+  /** Per-group skyline: one independent Pareto front per `keyCols`
+    * value. With keys the exact dominance step becomes an EQUI-join on
+    * the key with the theta predicate as a residual — hash-partitioned
+    * by group, not a broadcast nested loop — and the grid pruning
+    * compares cells within a group only. */
+  def skylinePerKey(df: DataFrame, keyCols: Seq[String],
+      criteria: Seq[Criterion], buckets: Int = 16): DataFrame = {
     require(criteria.nonEmpty, "need at least one criterion")
     // orient every criterion as MAXIMIZE: negate minimized ones
     val vals = criteria.map(c =>
@@ -38,7 +47,9 @@ object Skyline {
     val base = df.select(col("*") +: vals: _*)
     val cNames = criteria.map(c => s"__c_${c.name}")
 
-    // grid cells: per-criterion equi-width buckets over the observed range
+    // grid cells: per-criterion equi-width buckets over the GLOBAL
+    // observed range (a per-key range would be tighter but needs a
+    // second aggregate; global ranges keep pruning correct either way)
     val rangeAgg = cNames.flatMap(n =>
       Seq(min(col(n)).as(s"__min_$n"), max(col(n)).as(s"__max_$n")))
     val ranges = base.agg(rangeAgg.head, rangeAgg.tail: _*)
@@ -51,33 +62,40 @@ object Skyline {
             lit(buckets - 1))).as(s"__b_$n")
       }: _*)
 
-    // cell summary: per cell, the worst corner (min per criterion) of its
-    // members; a cell C is pruned when some cell D's worst corner
-    // dominates C's best corner (max per criterion) — strictly better on
-    // one axis, ≥ on all
-    val cellCols = cNames.map(n => col(s"__b_$n"))
+    // cell summary: per (key, cell), the worst corner (min per
+    // criterion) of its members; a cell C is pruned when some same-key
+    // cell D's worst corner dominates C's best corner (max per
+    // criterion) — strictly better on one axis, ≥ on all
+    val bNames = keyCols ++ cNames.map(n => s"__b_$n")
+    val cellCols = bNames.map(col)
     val aggs = cNames.map(n => min(col(n)).as(s"__lo_$n")) ++
       cNames.map(n => max(col(n)).as(s"__hi_$n"))
     val summary = withCell.groupBy(cellCols: _*)
       .agg(aggs.head, aggs.tail: _*)
       .localCheckpoint(true)
     val d = summary.select(
-      cNames.map(n => col(s"__lo_$n").as(s"__dlo_$n")): _*)
+      keyCols.map(k => col(k).as(s"__dk_$k")) ++
+        cNames.map(n => col(s"__lo_$n").as(s"__dlo_$n")): _*)
+    val sameKey = keyCols.map(k => col(s"__dk_$k") === col(k))
+    val cellDom =
+      cNames.map(n => col(s"__dlo_$n") >= col(s"__hi_$n")).reduce(_ && _) &&
+        cNames.map(n => col(s"__dlo_$n") > col(s"__hi_$n")).reduce(_ || _)
     val dominatedCells = summary.join(broadcast(d),
-        cNames.map(n => col(s"__dlo_$n") >= col(s"__hi_$n")).reduce(_ && _) &&
-          cNames.map(n => col(s"__dlo_$n") > col(s"__hi_$n")).reduce(_ || _),
-        "left_semi")
+        (sameKey :+ cellDom).reduce(_ && _), "left_semi")
       .select(cellCols: _*)
-    val candidates = withCell.join(dominatedCells,
-      cNames.map(n => s"__b_$n"), "left_anti")
+    val candidates = withCell.join(dominatedCells, bNames, "left_anti")
 
-    // exact dominance anti-join over the surviving shell
-    val l = candidates
-    val r = candidates.select(cNames.map(n => col(n).as(s"__r_$n")): _*)
+    // exact dominance anti-join over the surviving shell: with keys an
+    // equi-join on the key (theta residual), keyless a broadcast loop
+    val r = candidates.select(
+      keyCols.map(k => col(k).as(s"__rk_$k")) ++
+        cNames.map(n => col(n).as(s"__r_$n")): _*)
     val dominates =
-      cNames.map(n => col(s"__r_$n") >= col(n)).reduce(_ && _) &&
-        cNames.map(n => col(s"__r_$n") > col(n)).reduce(_ || _)
-    l.join(broadcast(r), dominates, "left_anti")
+      (keyCols.map(k => col(s"__rk_$k") === col(k)) :+
+        (cNames.map(n => col(s"__r_$n") >= col(n)).reduce(_ && _) &&
+          cNames.map(n => col(s"__r_$n") > col(n)).reduce(_ || _))).reduce(_ && _)
+    val rSide = if (keyCols.isEmpty) broadcast(r) else r
+    candidates.join(rSide, dominates, "left_anti")
       .select(df.columns.map(col).toSeq: _*)
   }
 }

@@ -810,6 +810,36 @@ object RelationalQueries {
       Skyline.Criterion("price", col("p_retailprice"), maximize = false)))
   }
 
+  /** Per-priority-class skyline of orders under (totalprice MAX,
+    * orderdate MAX): the undominated price/recency front within each
+    * class — the keyed variant whose dominance step is an equi-join on
+    * the key with a theta residual. */
+  def skylineOrders(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skyline
+    Skyline.skylinePerKey(
+      Tables(s, dir, "orders")
+        .withColumn("o_orderdate_d", to_date(col("o_orderdate"))),
+      keyCols = Seq("o_orderpriority"),
+      criteria = Seq(
+        Skyline.Criterion("price", col("o_totalprice"), maximize = true),
+        Skyline.Criterion("recency", datediff(col("o_orderdate_d"),
+          lit("1990-01-01").cast("date")), maximize = true)))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderdate_d").cast("date").as("o_orderdate"))
+  }
+
+  private val skylineOrdersOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |    CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT o_orderkey, o_orderpriority, o_totalprice, od AS o_orderdate
+      |FROM o p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM o q
+      |  WHERE q.o_orderpriority = p.o_orderpriority
+      |    AND q.o_totalprice >= p.o_totalprice AND q.od >= p.od
+      |    AND (q.o_totalprice > p.o_totalprice OR q.od > p.od))""".stripMargin
+
   private val skylineOracle: String =
     """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
       |FROM part p
@@ -1406,6 +1436,7 @@ object RelationalQueries {
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q_loo_target_enc" -> (looTargetEnc _),
     "q_skyline_parts" -> (skylineParts _),
+    "q_skyline_orders" -> (skylineOrders _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -1670,6 +1701,7 @@ object RelationalQueries {
     "q17_small_quantity" -> q17Oracle,
     "q_loo_target_enc" -> looOracle,
     "q_skyline_parts" -> skylineOracle,
+    "q_skyline_orders" -> skylineOrdersOracle,
     "q2_min_cost_supplier" -> sqlQ2("lineitem", "supplier", "part", "nation", "region"),
     "q7_volume_shipping" -> sqlQ7("lineitem", "orders", "customer", "supplier", "nation"),
     "q8_market_share" -> sqlQ8("lineitem", "orders", "customer", "supplier",

@@ -39,6 +39,21 @@ class SkylineSpec extends SparkTestBase {
     assert(b16 == brute)
   }
 
+  test("skylinePerKey: independent fronts per group") {
+    // group g1 front = {(5,1),(1,5)}; g2's (3,3) survives because the
+    // dominating (5,5) sits in ANOTHER group
+    val pts = Seq(
+      ("g1", 1L, 5, 1), ("g1", 2L, 1, 5), ("g1", 3L, 1, 1),
+      ("g2", 4L, 3, 3), ("g1", 5L, 5, 5))
+      .toDF("g", "id", "a", "b")
+    val got = Skyline.skylinePerKey(pts, Seq("g"), crits())
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(4L, 5L))
+    val noKey = Skyline.skylinePerKey(pts, Nil, crits())
+      .select("id").as[Long].collect().toSet
+    assert(noKey == Set(5L)) // keyless: (5,5) dominates everything
+  }
+
   test("single criterion degenerates to max (with ties)") {
     val df = Seq((1L, 3), (2L, 7), (3L, 7)).toDF("id", "a")
     val got = Skyline.skyline(df, Seq(Skyline.Criterion("a", col("a"), maximize = true)))
