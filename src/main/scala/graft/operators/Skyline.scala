@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** A skyline criterion: `expr` is the value, `maximize` its
-    * direction. */
+    * direction. A MINIMIZED criterion is negated internally, so it must
+    * be numeric (dates/strings: maximize a numeric projection instead,
+    * e.g. datediff from an epoch — see q_skyline_orders). */
   final case class Criterion(name: String, expr: Column, maximize: Boolean)
 
   /** The skyline of `df` under `criteria`, with `buckets` grid cells
