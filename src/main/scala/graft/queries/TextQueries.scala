@@ -31,6 +31,62 @@ object TextQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** BM25 retrieval over OVERLAPPING CHUNKS (size 200, stride 150) —
+    * the RAG shape: the retrieval unit is the passage, not the
+    * document, built by composing the chunker with the same
+    * bm25Retrieval operator (chunk ids packed doc_id·10⁴+idx and
+    * unpacked in the output). */
+  def chunkBm25(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("__t"))
+      .where(length(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")), lit(ChunkStride))).as("__start"))
+      .select(
+        (col("doc_id") * 10000 +
+          ((col("__start") - 1) / ChunkStride).cast("long")).as("cid"),
+        col("__t").substr(col("__start"), lit(ChunkSize)).as("chunk_text"))
+    TA.bm25Retrieval(chunks, "cid", "chunk_text", Bm25Terms,
+      k1 = Bm25K1, b = Bm25B, topN = 50)
+      .select(expr("doc_id div 10000").as("doc_id"),
+        (col("doc_id") % 10000).as("chunk_id"), col("bm25"), col("n_matched"))
+  }
+
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+
+  private val chunkBm25Oracle: String =
+    s"""WITH d AS (SELECT doc_id, text AS t FROM documents WHERE length(text) > 0),
+       |st AS (SELECT doc_id, unnest(generate_series(1, length(t), $ChunkStride)) AS s, t FROM d),
+       |chunks AS (SELECT doc_id*10000 + (s-1)//$ChunkStride AS cid,
+       |  substring(t, s, $ChunkSize) AS ct FROM st),
+       |toks AS (
+       |  SELECT cid, unnest(string_split_regex(trim(lower(ct)), '\\s+')) AS term FROM chunks),
+       |tok AS (SELECT cid, term FROM toks WHERE term <> ''),
+       |dl AS (SELECT cid, COUNT(*) AS dl FROM tok GROUP BY cid),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+       |tf AS (SELECT cid, term, COUNT(*) AS tf FROM tok
+       |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY cid, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT cid,
+       |    CAST(round((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${Bm25K1 + 1.0}))
+       |      / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / (total_dl / n_docs))), 6)
+       |      AS DECIMAL(18,6)) AS score_t
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (cid) CROSS JOIN stats),
+       |totals AS (
+       |  SELECT cid, SUM(score_t) AS bm25_dec, COUNT(*) AS n_matched
+       |  FROM scored GROUP BY cid),
+       |ranked AS (
+       |  SELECT cid, bm25_dec, n_matched,
+       |    row_number() OVER (ORDER BY bm25_dec DESC, cid) AS rn
+       |  FROM totals)
+       |SELECT cid // 10000 AS doc_id, cid % 10000 AS chunk_id,
+       |       CAST(bm25_dec AS DOUBLE) AS bm25,
+       |       CAST(n_matched AS BIGINT) AS n_matched
+       |FROM ranked WHERE rn <= 50""".stripMargin
+
   /** 16-dim signed hashed bag-of-words per document — the
     * no-vocabulary featurizer (see TextAnalysis.featureHash). */
   def featureHash(s: SparkSession, dir: String): DataFrame =
@@ -262,6 +318,7 @@ object TextQueries {
     "tx_tfidf" -> (tfidf _),
     "tx_bm25" -> (bm25 _),
     "tx_feature_hash" -> (featureHash _),
+    "tx_chunk_bm25" -> (chunkBm25 _),
     "tx_weighted_sample" -> (weightedSample _),
     "tx_chunk" -> (chunk _),
     "tx_unigram_logprob" -> (unigramLogprob _),
@@ -551,6 +608,7 @@ object TextQueries {
         |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
     "tx_feature_hash" -> featureHashOracle(FhDims),
+    "tx_chunk_bm25" -> chunkBm25Oracle,
     "tx_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
