@@ -13,6 +13,11 @@ package graft.operators
   */
 object Codec {
 
+  /** Ceiling on any single decoded image/audio buffer (pixels + per-row
+    * filter bytes): executors decode a BATCH of cells per task, so one
+    * cell claiming gigabytes is an input error, not a workload. */
+  private[operators] val MaxDecodedBytes: Long = 256L * 1024 * 1024
+
   // little-endian readers/writers over byte arrays
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
@@ -256,7 +261,13 @@ object Codec {
           require(bitDepth == 8 && (colorType == 2 || colorType == 6) && interlace == 0,
             s"only 8-bit RGB/RGBA non-interlaced PNG (depth=$bitDepth color=$colorType interlace=$interlace)")
           channels = if (colorType == 2) 3 else 4
-          require(width.toLong * height * channels <= Int.MaxValue, s"PNG too large (${width}x$height)")
+          // cap the DECODED size (pixels + one filter byte per row —
+          // the raw buffer is (stride+1)*height, so a pixel-only cap at
+          // Int.MaxValue could overflow the allocation size negative
+          // and a hostile header could demand a ~2 GiB buffer before
+          // the zlib stream validates a single byte)
+          require(width.toLong * height * channels + height <= MaxDecodedBytes,
+            s"PNG too large (${width}x$height x$channels > $MaxDecodedBytes decoded bytes)")
           haveIhdr = true
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => sawIend = true

@@ -29,6 +29,12 @@ object GraphAnalytics {
     * failure at scale. */
   val MaxBroadcastVertices: Long = 50L * 1000 * 1000
 
+  /** [[coreness]] switches from dense to frontier rounds once the
+    * changed set falls below V / this factor: above it the candidate
+    * neighborhoods cover ~everything and the frontier joins are pure
+    * overhead; below it per-round work tracks the changed set. */
+  private[graft] val FrontierSwitchFactor = 32L
+
   /** Unified edge list of a PropertyGraph: one DataFrame of encoded
     * (src, dst) global vertex ids. Labels are indexed in sorted order for
     * determinism. */
@@ -969,47 +975,143 @@ object GraphAnalytics {
     * coreness — every k-core membership (the single-k [[kCore]])
     * follows as coreness ≥ k, without re-peeling per k.
     *
-    * The h-index is MAX over desc-sorted neighbor values of
-    * min(rank, value) — per round one edge⋈value equi-join ((vid,
-    * value) pairs on the wire, never adjacency) and one per-vertex
-    * window + max-agg, partitioned BY VERTEX (a hash exchange, not a
-    * global sort). Deterministic per round, so a fixed generous round
-    * count replays in SQL; like [[ssspDistances]], a convergence
-    * SENTINEL row (vid = −1, the count of still-moving vertices) makes
-    * an unconverged round count loudly diagnosable instead of silently
-    * wrong — the fixpoint round is the identity, so the sentinel row
-    * is absent exactly when the result is the true coreness. */
+    * FRONTIER-DRIVEN rounds: a vertex's h-index can change in round r
+    * only if some NEIGHBOR's value changed in round r−1 (monotonicity),
+    * so after round 1 only the changed set's neighborhoods are
+    * re-ranked — the edge⋈value join and the per-vertex window run over
+    * Σ deg(candidates), not Σ deg(V), and unchanged vertices pass
+    * through an anti-join untouched. Values are identical to the
+    * full-recompute form round for round (a non-candidate's recompute
+    * would reproduce its old value), so the SQL oracle replays the
+    * dense textbook rounds and still meets the same hashes; the plan,
+    * not the function, changed. Late rounds touch a geometrically
+    * shrinking frontier — the property that makes 60-round dense-graph
+    * fixpoints affordable at 100× instead of 60 full-graph windows.
+    * An empty frontier short-circuits remaining rounds (the fixpoint
+    * round is the identity).
+    *
+    * Deterministic per round, so a fixed generous round count replays
+    * in SQL; like [[ssspDistances]], a convergence SENTINEL row
+    * (vid = −1, the count of still-moving vertices) makes an
+    * unconverged round count loudly diagnosable instead of silently
+    * wrong — the sentinel row is absent exactly when the result is the
+    * true coreness. With `toFixpoint = true` the operator instead
+    * CONTINUES past `rounds` until the frontier empties (capped at
+    * `maxRounds` total), so a denser-than-expected graph degrades to
+    * extra cheap frontier rounds rather than a wrong answer; the
+    * rounds actually used beyond `rounds` surface as an extra row
+    * (vid = −2, extra_rounds) so the overrun is observable. Registered
+    * oracle queries keep the replayable fixed count. */
   def coreness(edges: DataFrame, rounds: Int = 12,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      toFixpoint: Boolean = false, maxRounds: Int = 96): DataFrame =
+    corenessWithStats(edges, rounds, srcCol, dstCol, toFixpoint, maxRounds)._1
+
+  /** [[coreness]] plus the per-round frontier sizes (|changed| after
+    * each executed round) — spec hook proving per-round work tracks the
+    * changed set, not V. */
+  private[graft] def corenessWithStats(edges: DataFrame, rounds: Int = 12,
+      srcCol: String = "src", dstCol: String = "dst",
+      toFixpoint: Boolean = false, maxRounds: Int = 96): (DataFrame, Seq[Long]) = {
     require(rounds >= 2, "rounds must be >= 2 (the sentinel needs two)")
+    require(maxRounds >= rounds, "maxRounds must be >= rounds")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
     // vertex values broadcast under the guard (the SSSP bake-off
-    // shape): the per-round join never shuffles edges, leaving one
-    // window exchange per round. Measured at sf0.1/16 rounds the
-    // remaining cost is per-round scheduler floor (~1.1 s/round local),
-    // not data volume — cadence/partitioning variants moved <10%.
+    // shape): the per-round join never shuffles edges; the one window
+    // exchange per round now carries only the candidates' adjacency.
+    // the adjacency is hash-partitioned BY VERTEX once, up front: every
+    // per-round operator (broadcast value join, the (u, cv) combine, the
+    // cumulative window, the final per-vertex agg, frontier semi/anti
+    // joins) then runs on that partitioning with ZERO per-round
+    // exchange. persist (NOT localCheckpoint) on purpose: an
+    // InMemoryRelation keeps the cached plan's outputPartitioning while
+    // a checkpoint's LogicalRDD forgets it — checkpointing here would
+    // silently re-insert two exchanges into every round
     val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-    val useBroadcast =
-      und.select(col("u")).distinct().count() <= MaxBroadcastVertices
+      .distinct().repartition(col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVerts = und.select(col("u")).distinct().count()
+    val useBroadcast = nVerts <= MaxBroadcastVertices
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     var c = und.groupBy("u").agg(count(lit(1)).cast("long").as("cv"))
-    var prev: DataFrame = null
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("u").orderBy(col("cv").desc, col("v"))
-    for (i <- 1 to rounds) {
-      prev = c
+      .localCheckpoint(true)
+    // frontier after round r = vertices whose value changed in round r;
+    // before round 1 every vertex counts as changed (c₀ is new)
+    var changed: DataFrame = null
+    val frontierSizes = scala.collection.mutable.ListBuffer.empty[Long]
+    var lastMoved = nVerts
+    val budget = if (toFixpoint) maxRounds else rounds
+    var r = 0
+    var done = false
+    // h-index over (vertex, neighbor-value) pairs COMPRESSED to distinct
+    // values with multiplicity: ties in the desc order land on one row,
+    // so the wire carries |distinct (u, cv)| rows with map-side combine
+    // instead of Σ deg adjacency rows — h = max over value runs of
+    // min(run-end cumulative count, value), identical to the ranked
+    // form (the h-index is a multiset function; tie order never matters)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("cv").desc)
+    def hIndexOf(nv: DataFrame): DataFrame =
+      nv.groupBy("u", "cv").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .groupBy("u").agg(max(least(col("cum"), col("cv"))).cast("long").as("cv"))
+    def withOld(nvals: DataFrame): DataFrame =
+      c.select(col("u"), col("cv").as("pv")).join(maybeBroadcast(nvals), "u")
+        .select(col("u"), col("cv"), col("pv")).localCheckpoint(true)
+    while (r < budget && !done) {
+      r += 1
+      val tRound = System.nanoTime()
+      // dense rounds while the frontier is a large fraction of V (the
+      // candidate discovery joins would touch ~everything anyway);
+      // frontier rounds once it shrinks — on slow fixpoints (the dense
+      // co-occurrence ~60-round case) that is almost all rounds
+      val frontierMode = r > 1 && lastMoved * FrontierSwitchFactor < nVerts
       val cv = c.select(col("u").as("v"), col("cv"))
-      val nv = und.join(if (useBroadcast) broadcast(cv) else cv, "v")
-      c = nv.withColumn("rn", row_number().over(w))
-        .groupBy("u").agg(max(least(col("rn"), col("cv"))).cast("long").as("cv"))
-      c = c.localCheckpoint(false)
+      if (!frontierMode) {
+        val upd = withOld(hIndexOf(
+          und.join(maybeBroadcast(cv), "v").select(col("u"), col("cv"))))
+        changed = upd.where(col("cv") =!= col("pv")).select(col("u"))
+        c = upd.select(col("u"), col("cv")).localCheckpoint(false)
+      } else {
+        // candidates: vertices with a neighbor in last round's frontier
+        val cand = und.join(maybeBroadcast(changed.select(col("u").as("v"))), "v")
+          .select(col("u")).distinct().localCheckpoint(true)
+        val candEdges = und.join(maybeBroadcast(cand), Seq("u"), "left_semi")
+        val upd = withOld(hIndexOf(
+          candEdges.join(maybeBroadcast(cv), "v").select(col("u"), col("cv"))))
+        changed = upd.where(col("cv") =!= col("pv")).select(col("u"))
+        c = c.join(maybeBroadcast(cand), Seq("u"), "left_anti")
+          .unionAll(upd.select(col("u"), col("cv"))).localCheckpoint(false)
+      }
+      lastMoved = changed.count()
+      frontierSizes += lastMoved
+      done = lastMoved == 0L
+      if (sys.props.contains("graft.coreness.debug"))
+        println(s"[coreness] round $r mode=${if (frontierMode) "frontier" else "dense"} " +
+          s"moved=$lastMoved elapsed=${(System.nanoTime() - tRound) / 1e9}")
     }
-    val moved = c.join(prev.select(col("u"), col("cv").as("pv")), "u")
-      .where(col("cv") =!= col("pv"))
-      .agg(count(lit(1)).as("n")).where(col("n") > 0)
-      .select(lit(-1L).as("vid"), col("n").cast("long").as("coreness"))
-    c.select(col("u").as("vid"), col("cv").as("coreness")).unionAll(moved)
+    // pin the final state eagerly, then release the cached adjacency —
+    // the caller's actions must not re-derive it from the source scans
+    c = c.localCheckpoint(true)
+    und.unpersist(false)
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val extraSchema = StructType(Seq(
+      StructField("vid", LongType, nullable = false),
+      StructField("coreness", LongType, nullable = false)))
+    val extras = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    if (lastMoved > 0L) // ran out of budget while still moving
+      extras += org.apache.spark.sql.Row(-1L, lastMoved)
+    if (toFixpoint && r > rounds)
+      extras += org.apache.spark.sql.Row(-2L, (r - rounds).toLong)
+    val base = c.select(col("u").as("vid"), col("cv").as("coreness"))
+    val out =
+      if (extras.isEmpty) base
+      else base.unionAll(spark.createDataFrame(
+        spark.sparkContext.parallelize(extras.toSeq, 1), extraSchema))
+    (out, frontierSizes.toSeq)
   }
 
   /** Strongly connected components — deterministic multi-pivot

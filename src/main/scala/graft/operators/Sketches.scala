@@ -355,7 +355,19 @@ object Sketches {
     * one — survivors move up a level (weight doubles). Rank-preserving
     * halving of a weight-2^ℓ run costs ≤ 2^ℓ/2 ranks (Munro–Paterson
     * 1980; the MRL96 "collapse" step), and compacting the lowest level
-    * first keeps that cost geometric. */
+    * first keeps that cost geometric.
+    *
+    * ODD-RUN accounting: an odd-length min-level run keeps ⌈m/2⌉ or
+    * ⌊m/2⌋ rows depending on the parity bit — in the ⌊⌋ case the run's
+    * total weight drops by 2^ℓ (the extreme being a single-row run
+    * vanishing entirely). KLL carries the unmatched element; this
+    * sketch instead accepts one extra 2^ℓ of one-sided rank slack per
+    * compaction so that survivorship stays a pure parity function of
+    * (group, level) — the property the SQL oracle replays row-for-row.
+    * The documented error budget is therefore Σ(2^ℓ/2 + 2^ℓ) = Σ 3·2^ℓ/2
+    * over compactions, still geometric and still o(1/√k)-class; the
+    * estimate side renormalizes by realized total weight, so dropped
+    * weight biases ranks, never the weight ledger. */
   private def mpCompactOnce(cur: DataFrame, groupCol: String, k: Int): DataFrame = {
     val wAll = Window.partitionBy(groupCol)
     val wRank = Window.partitionBy(col(groupCol), col("level"))
@@ -444,6 +456,16 @@ object Sketches {
       cur = mpCompactOnce(cur, groupCol, k)
       if (r % 4 == 0) cur = cur.localCheckpoint(true)
     }
+    // the spread+log2(maxN/k) round budget is heuristic for adversarial
+    // level mixes: estimates stay valid on an oversized sketch, but an
+    // overrun must be VISIBLE (the graph operators' sentinel-row
+    // convention — a sketch row can't carry a sentinel, so log instead)
+    cur = cur.localCheckpoint(true)
+    val oversized = cur.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .where(col("n") > k).count()
+    if (oversized > 0)
+      System.err.println(s"[graft] mpMerge: $oversized group(s) still over k=$k rows " +
+        s"after $rounds compaction rounds (estimates remain valid; sketch oversized)")
     mpFinish(cur, groupCol)
   }
 

@@ -30,7 +30,13 @@ object Skyline {
 
   /** The skyline of `df` under `criteria`, with `buckets` grid cells
     * per criterion for the pruning pass. Duplicate criterion vectors
-    * all survive (none strictly dominates its twin). */
+    * all survive (none strictly dominates its twin). Rows with a NULL
+    * criterion value are EXCLUDED up front: under three-valued logic a
+    * NULL row can neither dominate nor be dominated (the predicate is
+    * null), so it would vacuously surface as a "skyline" member —
+    * dominance over missing data is undefined, and silently promoting
+    * incomparable rows is the wrong default. Callers who want NULLs
+    * ranked should coalesce them to an explicit worst value first. */
   def skyline(df: DataFrame, criteria: Seq[Criterion],
       buckets: Int = 16): DataFrame =
     skylinePerKey(df, Nil, criteria, buckets)
@@ -43,10 +49,13 @@ object Skyline {
   def skylinePerKey(df: DataFrame, keyCols: Seq[String],
       criteria: Seq[Criterion], buckets: Int = 16): DataFrame = {
     require(criteria.nonEmpty, "need at least one criterion")
-    // orient every criterion as MAXIMIZE: negate minimized ones
+    // orient every criterion as MAXIMIZE: negate minimized ones;
+    // NULL-criterion rows drop here (see scaladoc — three-valued
+    // dominance would otherwise keep them all, undominated by anything)
     val vals = criteria.map(c =>
       (if (c.maximize) c.expr else -c.expr).as(s"__c_${c.name}"))
-    val base = df.select(col("*") +: vals: _*)
+    val base = df.where(criteria.map(_.expr.isNotNull).reduce(_ && _))
+      .select(col("*") +: vals: _*)
     val cNames = criteria.map(c => s"__c_${c.name}")
 
     // grid cells: per-criterion equi-width buckets over the GLOBAL
