@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] benchmarks need real heap: the r7 driver run was silently
+  // capped at 4 GB and its medians showed 4× contention spreads. The
+  // bench JSON records Runtime.maxMemory as jvm_max_heap so a capped run
+  // is diagnosable from the artifact alone.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

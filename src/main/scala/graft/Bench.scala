@@ -95,6 +95,16 @@ object Bench {
             spilledBytes = after._2 - before._2
           }
         }
+        // Release every persisted/localCheckpointed RDD the query left in
+        // the block manager (iterative operators cache edge/value tables;
+        // non-broadcast paths keep them alive for the caller's action).
+        // Across a 170+-query single-JVM suite those blocks ACCUMULATE and
+        // slow later queries — r6→r7 like-for-like drift (+12%, worst +48%
+        // on g_biased_walks) clustered in exactly the localCheckpoint-heavy
+        // family that runs late in the alphabetical order. Results are
+        // discarded after count(), so nothing recomputes from these RDDs.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val sorted = times.sorted
         name -> QueryStats(sorted(reps / 2), sorted.head, shuffleBytes, spilledBytes, errors)
       }
@@ -111,8 +121,11 @@ object Bench {
     // printed the full ~4 KB detail map inline and the collected artifact
     // ended up with a clipped, unparseable line every time.
     val detailFile = "BENCH_DETAIL.json"
+    // contended/capped runs must be diagnosable from the artifact alone:
+    // record the real heap ceiling (the r7 driver run was silently 4 GB)
+    val jvmMaxHeap = Runtime.getRuntime.maxMemory
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries_detail":$detail,"reps":$reps,"errors":$totalErrors,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_detail":$detail,"reps":$reps,"errors":$totalErrors,"jvm_max_heap":$jvmMaxHeap,"sf":"$sfDir"}""")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // Compact line: slowest queries first, greedily packed into a byte
     // budget that fits the tail with room for the runner's trailing lines.
@@ -126,7 +139,7 @@ object Bench {
         packed.append(entry)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$packed},"n_queries":${results.size},"queries_omitted":$omitted,"errors":$totalErrors,"reps":$reps,"detail_file":"$detailFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$packed},"n_queries":${results.size},"queries_omitted":$omitted,"errors":$totalErrors,"reps":$reps,"jvm_max_heap":$jvmMaxHeap,"detail_file":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1229,6 +1229,96 @@ object GraphAnalytics {
     else assignedParts.reduce(_ unionAll _)
   }
 
+  /** Shared HyperBall register propagation with a CHANGED-VERTEX
+    * (systolic) frontier — the Boldi–Vigna optimization both
+    * [[hyperAnf]] and [[hyperBallHarmonic]] run on.
+    *
+    * Registers only GROW (max-merge), which yields the invariant
+    * regs_t(v) ≥ regs_{t−1}(w) for every edge (v, w): an unchanged
+    * neighbor's registers were absorbed in an earlier round, so round
+    * t+1 only needs contributions from neighbors whose registers
+    * changed in round t. Per round the edge⋈register join, the
+    * max-combine, and the estimate recompute therefore run over the
+    * CHANGED set's registers, not V·2^b — state shrinks geometrically
+    * once the effective diameter is passed (most balls saturate), which
+    * is exactly when the dense form was re-shuffling the whole register
+    * table for no-op rounds. Unchanged state passes through broadcast
+    * anti-joins (guarded by [[MaxBroadcastVertices]]; past the guard
+    * they degrade to shuffled joins, still frontier-proportional on the
+    * build side). An empty frontier short-circuits remaining rounds
+    * (the fixpoint round is the identity).
+    *
+    * Register values are IDENTICAL to the dense textbook rounds, round
+    * for round (induction over the invariant above) — so per-vertex
+    * estimates, and every downstream frozen-decimal total, replay
+    * bit-for-bit in the same SQL oracle; the plan changed, the function
+    * did not.
+    *
+    * Returns one per-round ESTIMATE table (vid, approx_distinct) for
+    * t ∈ [0, rounds] — estimates are maintained incrementally (changed
+    * vertices recomputed, unchanged rows pass through), V rows each,
+    * never V·2^b — plus the per-round changed-set sizes (the spec hook
+    * proving per-round work tracks the frontier). */
+  private[graft] def hllBallEstimates(edges: DataFrame, rounds: Int, b: Int,
+      srcCol: String, dstCol: String): (Seq[DataFrame], Seq[Long]) = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val verts = e.select(col("src").as("vid")).unionAll(e.select(col("dst").as("vid")))
+      .distinct()
+    var regs = Sketches.hllRegistersGrouped(verts, "vid", col("vid"), b).localCheckpoint(true)
+    var est = Sketches.hllEstimateGrouped(regs, "vid", b).localCheckpoint(true)
+    val nVerts = est.count()
+    val useBroadcast = nVerts <= MaxBroadcastVertices
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    // round 0: every ball is brand new — the whole vertex set is the frontier
+    var changedRegs = regs
+    var frontierEmpty = false
+    val ests = scala.collection.mutable.ListBuffer(est)
+    val frontierSizes = scala.collection.mutable.ListBuffer.empty[Long]
+    (1 to rounds).foreach { t =>
+      if (!frontierEmpty) {
+        // contributions from CHANGED neighbors only (see invariant above)
+        val contrib = e.join(changedRegs, e("dst") === changedRegs("vid"))
+          .select(e("src").as("vid"), changedRegs("bucket"), changedRegs("register"))
+        val cand = contrib.select("vid").distinct().localCheckpoint(true)
+        val candOld = regs.join(maybeBroadcast(cand), Seq("vid"), "left_semi")
+        val candRegs = candOld.unionAll(contrib)
+          .groupBy("vid", "bucket").agg(max(col("register")).as("register"))
+          .localCheckpoint(true)
+        // a bucket appeared or a register strictly grew ⇒ the ball changed
+        // (registers never shrink and sparse rows never disappear, so an
+        // unchanged candidate's row set is bit-identical to its old one)
+        val changedVids = candRegs
+          .join(candOld.withColumnRenamed("register", "old_register"),
+            Seq("vid", "bucket"), "left")
+          .where(col("old_register").isNull || col("register") > col("old_register"))
+          .select("vid").distinct().localCheckpoint(true)
+        val nChanged = changedVids.count()
+        frontierSizes += nChanged
+        if (nChanged == 0L) frontierEmpty = true
+        else {
+          changedRegs = candRegs.join(maybeBroadcast(changedVids), Seq("vid"), "left_semi")
+            .localCheckpoint(true)
+          regs = regs.join(maybeBroadcast(changedVids), Seq("vid"), "left_anti")
+            .unionAll(changedRegs)
+          // checkpoint every OTHER round: an eager checkpoint is a whole
+          // job of fixed scheduling cost, and one round of broadcast
+          // anti-join + union lineage re-derives cheaply (measured — see
+          // the pre-frontier cadence note in git history)
+          if (t % 2 == 0 || t == rounds) regs = regs.localCheckpoint(true)
+          est = est.join(maybeBroadcast(changedVids), Seq("vid"), "left_anti")
+            .unionAll(Sketches.hllEstimateGrouped(changedRegs, "vid", b))
+            .localCheckpoint(true)
+        }
+      } else frontierSizes += 0L
+      // at the fixpoint est is frozen — later rounds reuse the same table
+      ests += est
+    }
+    (ests.toSeq, frontierSizes.toSeq)
+  }
+
   /** HyperANF (Boldi, Rosa & Vigna 2011): the NEIGHBORHOOD FUNCTION
     * NF(t) = |{(v, u) : u reachable from v in ≤ t hops}| — estimated in
     * O(V · 2^b) state instead of the O(V²) worst case of exact
@@ -1252,37 +1342,19 @@ object GraphAnalytics {
     *
     * Balls only grow, so regs_t(v) is EXACTLY the HLL of the true
     * t-ball (spec-checked against registers built directly from the
-    * closure) — the estimate error is HLL's 1.04/√m, nothing more. */
+    * closure) — the estimate error is HLL's 1.04/√m, nothing more.
+    * Propagation is the CHANGED-VERTEX frontier of
+    * [[hllBallEstimates]]: per-round work tracks the still-growing
+    * balls, not V·2^b, with identical estimates. */
   def hyperAnf(edges: DataFrame, rounds: Int, b: Int = Sketches.HllBits,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(rounds >= 0 && rounds <= 64, s"hyperAnf rounds=$rounds outside [0, 64]")
-    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint(true)
-    val verts = e.select(col("src").as("vid")).unionAll(e.select(col("dst").as("vid")))
-      .distinct()
-    def nf(t: Int, regs: DataFrame): DataFrame =
-      Sketches.hllEstimateGrouped(regs, "vid", b)
-        .agg(coalesce(sum(col("approx_distinct").cast("decimal(38,6)")),
+    val (ests, _) = hllBallEstimates(edges, rounds, b, srcCol, dstCol)
+    def nf(t: Int, est: DataFrame): DataFrame =
+      est.agg(coalesce(sum(col("approx_distinct").cast("decimal(38,6)")),
           lit(0).cast("decimal(38,6)")).cast("decimal(38,6)").as("approx_pairs"))
         .select(lit(t).cast("int").as("t"), col("approx_pairs"))
-    // B_0(v) = {v}: the singleton's registers
-    var regs = Sketches.hllRegistersGrouped(verts, "vid", col("vid"), b).localCheckpoint(true)
-    val curve = scala.collection.mutable.ListBuffer(nf(0, regs))
-    (1 to rounds).foreach { t =>
-      val contrib = e.join(regs, e("dst") === regs("vid"))
-        .select(e("src").as("vid"), regs("bucket"), regs("register"))
-      regs = regs.unionAll(contrib)
-        .groupBy("vid", "bucket").agg(max(col("register")).as("register"))
-      // checkpoint every OTHER round: an eager checkpoint is a whole job
-      // of fixed scheduling cost, and one round of lineage (join +
-      // max-combine) re-derives cheaply inside the next consumer —
-      // measured medians 6.5 → 5.6 s (harmonic) / 5.6 → 5.4 s (anf) on
-      // the sf0.1 fixture vs per-round checkpoints
-      if (t % 2 == 0 || t == rounds) regs = regs.localCheckpoint(true)
-      curve += nf(t, regs)
-    }
-    curve.reduce(_ unionAll _)
+    ests.zipWithIndex.map { case (est, t) => nf(t, est) }.reduce(_ unionAll _)
   }
 
   /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
@@ -1365,27 +1437,15 @@ object GraphAnalytics {
       dstCol: String = "dst"): DataFrame = {
     require(rounds >= 1 && rounds <= 10,
       s"hyperBallHarmonic rounds=$rounds outside [1, 10] (HarmonicScale covers 1..10)")
-    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint(true)
-    val verts = e.select(col("src").as("vid")).unionAll(e.select(col("dst").as("vid")))
-      .distinct()
-    def estMicro(t: Int, regs: DataFrame): DataFrame =
-      Sketches.hllEstimateGrouped(regs, "vid", b)
-        .select(col("vid"), lit(t).cast("int").as("t"),
-          (col("approx_distinct").cast("decimal(32,6)") * lit(1000000))
-            .cast("long").as("m"))
-    var regs = Sketches.hllRegistersGrouped(verts, "vid", col("vid"), b).localCheckpoint(true)
-    val ests = scala.collection.mutable.ListBuffer(estMicro(0, regs))
-    (1 to rounds).foreach { t =>
-      val contrib = e.join(regs, e("dst") === regs("vid"))
-        .select(e("src").as("vid"), regs("bucket"), regs("register"))
-      regs = regs.unionAll(contrib)
-        .groupBy("vid", "bucket").agg(max(col("register")).as("register"))
-      // every-other-round checkpoint cadence — see hyperAnf
-      if (t % 2 == 0 || t == rounds) regs = regs.localCheckpoint(true)
-      ests += estMicro(t, regs)
-    }
+    // CHANGED-VERTEX frontier propagation (hllBallEstimates) — identical
+    // per-round estimates, per-round work proportional to still-growing
+    // balls instead of V·2^b
+    val (perRound, _) = hllBallEstimates(edges, rounds, b, srcCol, dstCol)
+    def estMicro(t: Int, est: DataFrame): DataFrame =
+      est.select(col("vid"), lit(t).cast("int").as("t"),
+        (col("approx_distinct").cast("decimal(32,6)") * lit(1000000))
+          .cast("long").as("m"))
+    val ests = perRound.zipWithIndex.map { case (est, t) => estMicro(t, est) }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("vid").orderBy("t")
     ests.reduce(_ unionAll _)
       .withColumn("dm", col("m") - lag(col("m"), 1).over(w))

@@ -91,36 +91,63 @@ object Mis {
   /** (vid, mis_round) for every selected vertex; `mis_round` is the
     * 1-based round the vertex entered the set. Sentinel row
     * (−1, n_still_active) appears iff `rounds` did not finish the
-    * graph. */
+    * graph.
+    *
+    * Selection breaks priority ties lexicographically by (p, vid) —
+    * like [[jpColoring]] — so two adjacent vertices with colliding
+    * 60-bit priorities can never deadlock until the sentinel;
+    * correctness never leans on hash tie-freedom.
+    *
+    * The per-round priority join runs over a MAINTAINED active-edge
+    * table that shrinks by anti-join as endpoints retire — not
+    * re-derived from the full edge table — so round r's scan is the
+    * surviving subgraph (Luby retires a constant expected fraction of
+    * EDGES per round; the first round necessarily pays Σdeg). */
   def maximalIndependentSet(edges: DataFrame, rounds: Int = 12,
-      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    misWithStats(edges, rounds, seed, srcCol, dstCol)._1
+
+  /** [[maximalIndependentSet]] plus the per-round ACTIVE-EDGE counts
+    * (before each round's join) — the spec hook proving per-round scan
+    * work shrinks with the surviving subgraph. */
+  private[graft] def misWithStats(edges: DataFrame, rounds: Int = 12,
+      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): (DataFrame, Seq[Long]) = {
     require(rounds >= 1, "rounds must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
     val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
+    // both directions of every still-active-active edge; shrinks in place
+    var aEdges = und
     var active = und.select(col("u")).distinct()
       .withColumn("p", Dedup.md5Long(concat(lit(s"$seed:"), col("u").cast("string"))))
       .localCheckpoint(true)
     var selected: DataFrame = null
+    val edgeCounts = scala.collection.mutable.ListBuffer.empty[Long]
     for (i <- 1 to rounds) {
+      edgeCounts += aEdges.count()
       val prio = active.select(col("u").as("v"), col("p").as("pv"))
-      val nbrMin = und
-        .join(active.select(col("u")), "u")
+      // min (priority, vid) among active neighbors — aEdges already
+      // joins active endpoints only, so no semi-join re-restriction
+      val nbrMin = aEdges
         .join(prio, "v")
-        .groupBy("u").agg(min(col("pv")).as("mp"))
+        .groupBy("u").agg(min(struct(col("pv"), col("v"))).as("mn"))
       val sel = active.join(nbrMin, Seq("u"), "left")
-        .where(col("mp").isNull || col("p") < col("mp"))
+        .where(col("mn").isNull || struct(col("p"), col("u")) < col("mn"))
         .select(col("u"), lit(i.toLong).as("mis_round"))
         .localCheckpoint(true)
       val closed = sel.select(col("u"))
-        .unionAll(und.join(sel.select(col("u")), "u").select(col("v").as("u")))
-        .distinct()
+        .unionAll(aEdges.join(sel.select(col("u")), "u").select(col("v").as("u")))
+        .distinct().localCheckpoint(true)
       active = active.join(closed, Seq("u"), "left_anti").localCheckpoint(true)
+      aEdges = aEdges.join(closed, Seq("u"), "left_anti")
+        .join(closed.select(col("u").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
       selected = if (selected == null) sel else selected.unionAll(sel)
     }
     val leftover = active.agg(count(lit(1)).as("n")).where(col("n") > 0)
       .select(lit(-1L).as("vid"), col("n").cast("long").as("mis_round"))
-    selected.select(col("u").as("vid"), col("mis_round")).unionAll(leftover)
+    (selected.select(col("u").as("vid"), col("mis_round")).unionAll(leftover),
+      edgeCounts.toSeq)
   }
 }

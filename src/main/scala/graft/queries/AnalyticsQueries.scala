@@ -659,12 +659,14 @@ object AnalyticsQueries {
               |  SELECT u, ('0x' || substring(md5('$seed:' || CAST(u AS VARCHAR)), 1, 15))::BIGINT AS p
               |  FROM (SELECT DISTINCT u FROM und))""".stripMargin
     (1 to rounds).foreach { i =>
+      // selection = no active neighbor with lexicographically smaller
+      // (p, vid) — the same tie-break the Scala side applies, so a
+      // priority collision resolves identically in both engines
       sb ++= s""",
-                |nm$i AS (SELECT und.u, MIN(a2.p) AS mp
-                |  FROM und JOIN a${i - 1} a1 ON a1.u = und.u JOIN a${i - 1} a2 ON a2.u = und.v
-                |  GROUP BY und.u),
-                |s$i AS MATERIALIZED (SELECT a.u FROM a${i - 1} a LEFT JOIN nm$i n ON n.u = a.u
-                |  WHERE n.mp IS NULL OR a.p < n.mp),
+                |s$i AS MATERIALIZED (SELECT a.u FROM a${i - 1} a
+                |  WHERE NOT EXISTS (SELECT 1 FROM und JOIN a${i - 1} b ON b.u = und.v
+                |    WHERE und.u = a.u
+                |      AND (b.p < a.p OR (b.p = a.p AND b.u < a.u)))),
                 |a$i AS MATERIALIZED (SELECT a.u, a.p FROM a${i - 1} a
                 |  WHERE NOT EXISTS (SELECT 1 FROM s$i s WHERE s.u = a.u)
                 |    AND NOT EXISTS (SELECT 1 FROM und e2 JOIN s$i s ON s.u = e2.u
