@@ -21,17 +21,29 @@ final case class SessionOut(user_id: Long, session_start_us: Long, session_end_u
   */
 object EventStreams {
 
-  /** The events parquet schema with ns timestamps surfaced as int64
-    * (`nanosAsLong`, see graft.Tables.events). */
+  /** The events logical schema after ingestion — `ts` is always int64
+    * epoch-nanoseconds regardless of the files' physical timestamp
+    * encoding (see graft.Tables.tsToNanos). */
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Unbounded read of an events directory (new files = new data). */
+  /** Unbounded read of an events directory (new files = new data).
+    *
+    * `readStream` needs a declared schema, and that schema must match the
+    * files' *physical* `ts` encoding, which has varied across testdata
+    * generations (int64-nanos vs timestamp[us]/NTZ). A one-time
+    * footer-only batch probe of the directory resolves the physical type;
+    * the stream then normalizes `ts` to the int64-ns contract at the scan
+    * projection, so every downstream operator sees [[EventSchema]]. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventSchema).parquet(dir)
+    val physicalTs = spark.read.parquet(dir).schema("ts").dataType
+    val physicalSchema = StructType(EventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physicalTs) else f))
+    spark.readStream.schema(physicalSchema).parquet(dir)
+      .withColumn("ts", graft.Tables.tsToNanos(physicalTs, col("ts")))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -27,7 +27,7 @@ class EventStreamsSpec extends SparkTestBase {
       val streamed = spark.table("win_out")
         .select("window_start", "event_type", "n_events")
         .as[(java.sql.Timestamp, String, Long)].collect().toSet
-      val batch = spark.read.schema(EventStreams.EventSchema).parquet(dir)
+      val batch = graft.Tables.events(spark, dir)
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
@@ -73,7 +73,7 @@ class EventStreamsSpec extends SparkTestBase {
       assert(sw.count() > 0)
       // total events across sessions == total events in the feed
       val totalEvents = sw.agg(sum("n_events")).head().getLong(0)
-      assert(totalEvents == spark.read.schema(EventStreams.EventSchema).parquet(dir).count())
+      assert(totalEvents == spark.read.parquet(dir).count())
     } finally q.stop()
   }
 
@@ -105,7 +105,7 @@ class EventStreamsSpec extends SparkTestBase {
       .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
     try {
       q.processAllAvailable()
-      val total = spark.read.schema(EventStreams.EventSchema).parquet(dir).count()
+      val total = spark.read.parquet(dir).count()
       val deduped = spark.table("dedup_out").count()
       assert(total == 2 * deduped)
       assert(spark.table("dedup_out").groupBy("event_id").count()
