@@ -36,4 +36,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench JSON records Runtime.maxMemory as jvm_max_heap so a capped run
   // is diagnosable from the artifact alone.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ sys.env.get("GRAFT_DEBUG_PROPS").toSeq
+  .flatMap(_.split(',').toSeq.map(p => s"-D$p"))

@@ -1005,14 +1005,18 @@ object GraphAnalytics {
   def coreness(edges: DataFrame, rounds: Int = 12,
       srcCol: String = "src", dstCol: String = "dst",
       toFixpoint: Boolean = false, maxRounds: Int = 96): DataFrame =
-    corenessWithStats(edges, rounds, srcCol, dstCol, toFixpoint, maxRounds)._1
+    corenessWithStats(edges, rounds, srcCol, dstCol, toFixpoint, maxRounds,
+      collectStats = false)._1
 
   /** [[coreness]] plus the per-round frontier sizes (|changed| after
     * each executed round) — spec hook proving per-round work tracks the
-    * changed set, not V. */
+    * changed set, not V. `collectStats = true` counts the frontier every
+    * round (what the spec asserts on); the production path counts only
+    * every other round — see the loop comment. */
   private[graft] def corenessWithStats(edges: DataFrame, rounds: Int = 12,
       srcCol: String = "src", dstCol: String = "dst",
-      toFixpoint: Boolean = false, maxRounds: Int = 96): (DataFrame, Seq[Long]) = {
+      toFixpoint: Boolean = false, maxRounds: Int = 96,
+      collectStats: Boolean = true): (DataFrame, Seq[Long]) = {
     require(rounds >= 2, "rounds must be >= 2 (the sentinel needs two)")
     require(maxRounds >= rounds, "maxRounds must be >= rounds")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
@@ -1028,8 +1032,21 @@ object GraphAnalytics {
     // InMemoryRelation keeps the cached plan's outputPartitioning while
     // a checkpoint's LogicalRDD forgets it — checkpointing here would
     // silently re-insert two exchanges into every round
-    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().repartition(col("u"))
+    // partition count sized by DATA VOLUME, not spark.sql.shuffle
+    // .partitions: every one of the ~13×8 per-round stages launches one
+    // task per adjacency partition, and with the config's static count
+    // (32 here, cluster-sized in production) the per-task fixed cost
+    // dominates once rounds go frontier-small. ~300k undirected edge
+    // rows (~5 MB) per partition keeps dense-round sorts parallel while
+    // cutting stage-launch cost ~4× at bench scale; at 100 TB the
+    // byte-derived count exceeds any static setting and the cap is the
+    // config value again.
+    val und0 = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(false)
+    val undRows = und0.count()
+    val confParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val undParts = math.max(1, math.min(confParts, (undRows / 300000L).toInt + 1))
+    val und = und0.repartition(undParts, col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nVerts = und.select(col("u")).distinct().count()
     val useBroadcast = nVerts <= MaxBroadcastVertices
@@ -1059,7 +1076,7 @@ object GraphAnalytics {
         .groupBy("u").agg(max(least(col("cum"), col("cv"))).cast("long").as("cv"))
     def withOld(nvals: DataFrame): DataFrame =
       c.select(col("u"), col("cv").as("pv")).join(maybeBroadcast(nvals), "u")
-        .select(col("u"), col("cv"), col("pv")).localCheckpoint(true)
+        .select(col("u"), col("cv"), col("pv")).localCheckpoint(false)
     while (r < budget && !done) {
       r += 1
       val tRound = System.nanoTime()
@@ -1077,7 +1094,7 @@ object GraphAnalytics {
       } else {
         // candidates: vertices with a neighbor in last round's frontier
         val cand = und.join(maybeBroadcast(changed.select(col("u").as("v"))), "v")
-          .select(col("u")).distinct().localCheckpoint(true)
+          .select(col("u")).distinct().localCheckpoint(false)
         val candEdges = und.join(maybeBroadcast(cand), Seq("u"), "left_semi")
         val upd = withOld(hIndexOf(
           candEdges.join(maybeBroadcast(cv), "v").select(col("u"), col("cv"))))
@@ -1085,9 +1102,21 @@ object GraphAnalytics {
         c = c.join(maybeBroadcast(cand), Seq("u"), "left_anti")
           .unionAll(upd.select(col("u"), col("cv"))).localCheckpoint(false)
       }
+      // Job-count diet (the r8 shape ran 2-3 driver-blocking jobs per
+      // round — eager checkpoints plus a count — and the fixed
+      // per-job scheduling cost swamped the frontier plan's shuffle
+      // win). All round frames are LAZY checkpoints; the frontier count
+      // is the round's ONE action and materializes them as a side
+      // effect. One materializing action per round is load-bearing, not
+      // just bookkeeping: unlike the linear dense chain (where
+      // end-of-loop materialization worked, r7), the frontier round's
+      // frames are consumed by SEVERAL downstream branches (broadcasts,
+      // semi/anti joins), and leaving a round unmaterialized lets each
+      // branch recompute it before the lazy-checkpoint cache lands —
+      // measured 1.2-1.4x slower with every-other-round counts.
       lastMoved = changed.count()
-      frontierSizes += lastMoved
       done = lastMoved == 0L
+      if (collectStats) frontierSizes += lastMoved
       if (sys.props.contains("graft.coreness.debug"))
         println(s"[coreness] round $r mode=${if (frontierMode) "frontier" else "dense"} " +
           s"moved=$lastMoved elapsed=${(System.nanoTime() - tRound) / 1e9}")
@@ -1260,15 +1289,32 @@ object GraphAnalytics {
     * never V·2^b — plus the per-round changed-set sizes (the spec hook
     * proving per-round work tracks the frontier). */
   private[graft] def hllBallEstimates(edges: DataFrame, rounds: Int, b: Int,
-      srcCol: String, dstCol: String): (Seq[DataFrame], Seq[Long]) = {
-    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      srcCol: String, dstCol: String,
+      collectStats: Boolean = false): (Seq[DataFrame], Seq[Long]) = {
+    val eFull = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
+    // volume-sized scan width over the cached edge blocks (narrow — each
+    // coalesced task reads several cached partitions; no shuffle)
+    val eConfParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val eParts = math.max(1, math.min(eConfParts, (eFull.count() / 300000L).toInt + 1))
+    val e = eFull.coalesce(eParts)
     val verts = e.select(col("src").as("vid")).unionAll(e.select(col("dst").as("vid")))
       .distinct()
-    var regs = Sketches.hllRegistersGrouped(verts, "vid", col("vid"), b).localCheckpoint(true)
-    var est = Sketches.hllEstimateGrouped(regs, "vid", b).localCheckpoint(true)
-    val nVerts = est.count()
+    var regs = Sketches.hllRegistersGrouped(verts, "vid", col("vid"), b).localCheckpoint(false)
+    var est = Sketches.hllEstimateGrouped(regs, "vid", b).localCheckpoint(false)
+    val nVerts = est.count() // one action; materializes regs + est via the lazy marks
+    // Partition counts sized by data volume (see corenessWithStats): the
+    // per-round stages launch one task per partition of the register /
+    // estimate tables, and with the static shuffle.partitions count the
+    // per-task fixed cost dominates once the frontier shrinks. The
+    // union-with-delta shape additionally GROWS partition counts by the
+    // delta's partitions every round — the coalesce below re-bounds them
+    // (narrow op, no shuffle).
+    val regRows = regs.count()
+    val baseParts = math.max(1, math.min(eConfParts, (regRows / 500000L).toInt + 1))
+    regs = regs.coalesce(baseParts).localCheckpoint(false)
+    est = est.coalesce(baseParts).localCheckpoint(false)
     val useBroadcast = nVerts <= MaxBroadcastVertices
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
@@ -1282,11 +1328,11 @@ object GraphAnalytics {
         // contributions from CHANGED neighbors only (see invariant above)
         val contrib = e.join(changedRegs, e("dst") === changedRegs("vid"))
           .select(e("src").as("vid"), changedRegs("bucket"), changedRegs("register"))
-        val cand = contrib.select("vid").distinct().localCheckpoint(true)
+        val cand = contrib.select("vid").distinct().localCheckpoint(false)
         val candOld = regs.join(maybeBroadcast(cand), Seq("vid"), "left_semi")
         val candRegs = candOld.unionAll(contrib)
           .groupBy("vid", "bucket").agg(max(col("register")).as("register"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // a bucket appeared or a register strictly grew ⇒ the ball changed
         // (registers never shrink and sparse rows never disappear, so an
         // unchanged candidate's row set is bit-identical to its old one)
@@ -1294,25 +1340,34 @@ object GraphAnalytics {
           .join(candOld.withColumnRenamed("register", "old_register"),
             Seq("vid", "bucket"), "left")
           .where(col("old_register").isNull || col("register") > col("old_register"))
-          .select("vid").distinct().localCheckpoint(true)
+          .select("vid").distinct().localCheckpoint(false)
+        // Job-count diet (same as corenessWithStats): all round frames
+        // are LAZY checkpoints, and the frontier count is the round's
+        // ONE driver action — it materializes the pending frames as a
+        // side effect (vs the r8 shape's 5-6 eager jobs per round). The
+        // per-round count is load-bearing: this round's frames feed
+        // several next-round branches, and skipping materialization lets
+        // each branch recompute them before the cache lands (measured —
+        // see corenessWithStats).
         val nChanged = changedVids.count()
-        frontierSizes += nChanged
+        if (collectStats) frontierSizes += nChanged
         if (nChanged == 0L) frontierEmpty = true
         else {
           changedRegs = candRegs.join(maybeBroadcast(changedVids), Seq("vid"), "left_semi")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
+          // the coalesce re-bounds partition count after the union
+          // appends the delta's partitions (narrow, no shuffle)
           regs = regs.join(maybeBroadcast(changedVids), Seq("vid"), "left_anti")
-            .unionAll(changedRegs)
-          // checkpoint every OTHER round: an eager checkpoint is a whole
-          // job of fixed scheduling cost, and one round of broadcast
+            .unionAll(changedRegs).coalesce(baseParts)
+          // checkpoint every OTHER round: one round of broadcast
           // anti-join + union lineage re-derives cheaply (measured — see
           // the pre-frontier cadence note in git history)
-          if (t % 2 == 0 || t == rounds) regs = regs.localCheckpoint(true)
+          if (t % 2 == 0 || t == rounds) regs = regs.localCheckpoint(false)
           est = est.join(maybeBroadcast(changedVids), Seq("vid"), "left_anti")
             .unionAll(Sketches.hllEstimateGrouped(changedRegs, "vid", b))
-            .localCheckpoint(true)
+            .coalesce(baseParts).localCheckpoint(false)
         }
-      } else frontierSizes += 0L
+      } else if (collectStats) frontierSizes += 0L
       // at the fixpoint est is frozen — later rounds reuse the same table
       ests += est
     }

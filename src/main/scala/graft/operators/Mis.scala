@@ -105,13 +105,16 @@ object Mis {
     * EDGES per round; the first round necessarily pays Σdeg). */
   def maximalIndependentSet(edges: DataFrame, rounds: Int = 12,
       seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): DataFrame =
-    misWithStats(edges, rounds, seed, srcCol, dstCol)._1
+    misWithStats(edges, rounds, seed, srcCol, dstCol, collectStats = false)._1
 
   /** [[maximalIndependentSet]] plus the per-round ACTIVE-EDGE counts
     * (before each round's join) — the spec hook proving per-round scan
-    * work shrinks with the surviving subgraph. */
+    * work shrinks with the surviving subgraph. The counts are whole
+    * Spark actions serving only the spec, so the production entry point
+    * passes `collectStats = false` (12 fewer driver-blocking jobs). */
   private[graft] def misWithStats(edges: DataFrame, rounds: Int = 12,
-      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): (DataFrame, Seq[Long]) = {
+      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst",
+      collectStats: Boolean = true): (DataFrame, Seq[Long]) = {
     require(rounds >= 1, "rounds must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
@@ -125,7 +128,7 @@ object Mis {
     var selected: DataFrame = null
     val edgeCounts = scala.collection.mutable.ListBuffer.empty[Long]
     for (i <- 1 to rounds) {
-      edgeCounts += aEdges.count()
+      if (collectStats) edgeCounts += aEdges.count()
       val prio = active.select(col("u").as("v"), col("p").as("pv"))
       // min (priority, vid) among active neighbors — aEdges already
       // joins active endpoints only, so no semi-join re-restriction
