@@ -54,6 +54,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -103,8 +104,13 @@ object Bench {
         // on g_biased_walks) clustered in exactly the localCheckpoint-heavy
         // family that runs late in the alphabetical order. Results are
         // discarded after count(), so nothing recomputes from these RDDs.
+        // JVM-lifetime memoized frames (localCheckpointed, lineage
+        // truncated) would throw 'Checkpoint block not found' if reused
+        // after their blocks are dropped — invalidating the memo with the
+        // blocks downgrades that to a re-encode on next use.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        graft.queries.PipelineQueries.invalidateCheckpointedMemos()
         val sorted = times.sorted
         name -> QueryStats(sorted(reps / 2), sorted.head, shuffleBytes, spilledBytes, errors)
       }
@@ -124,9 +130,19 @@ object Bench {
     // contended/capped runs must be diagnosable from the artifact alone:
     // record the real heap ceiling (the r7 driver run was silently 4 GB)
     val jvmMaxHeap = Runtime.getRuntime.maxMemory
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries_detail":$detail,"reps":$reps,"errors":$totalErrors,"jvm_max_heap":$jvmMaxHeap,"sf":"$sfDir"}""")
+    val detailJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_detail":$detail,"reps":$reps,"errors":$totalErrors,"jvm_max_heap":$jvmMaxHeap,"cpus":"$cpus","sf":"$sfDir","epoch_ms":${System.currentTimeMillis}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), detailJson)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // BENCH_DETAIL.json gets overwritten by every run (the r8 driver detail
+    // was lost to a stray single-query probe before it could be archived);
+    // the append-only log preserves every run's full detail permanently.
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_history/bench_log.jsonl"),
+        detailJson + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable => System.err.println(s"[bench] log append failed: ${e.getMessage}") }
     // Compact line: slowest queries first, greedily packed into a byte
     // budget that fits the tail with room for the runner's trailing lines.
     val budget = 1500

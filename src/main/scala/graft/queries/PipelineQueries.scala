@@ -60,6 +60,15 @@ object PipelineQueries {
   private val pqCodes =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
+  /** Drop memoized localCheckpointed frames. Bench's between-query block
+    * cleanup unpersists every persistent RDD; because localCheckpoint
+    * truncates lineage, a stale memo entry would throw 'Checkpoint block
+    * not found' on its next reuse instead of recomputing — the memo must
+    * die with its blocks. Trained models (driver-side literals) survive:
+    * only block-backed frames are invalidated, so a later use pays one
+    * re-encode, not a retrain. */
+  def invalidateCheckpointedMemos(): Unit = pqCodes.clear()
+
   private def pqOracle(model: Similarity.PqModel, k: Int): String = {
     val sub = model.subDim
     // pico-grid integers, mirroring pqCodeCols/pqTopK term for term

@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generate an sf1-scale perf dataset by replicating the driver's sf0.1
+  * tables 10× with shifted keys.
+  *
+  * The driver only ships sf0.001/0.01/0.1, but every performance claim
+  * needs at least one run against data big enough to punish a wrong plan
+  * (~6M lineitem rows, ~1M events). Replication with per-replica key
+  * offsets preserves the source distributions (degree histograms, skew,
+  * group cardinalities per key-neighborhood) and referential integrity
+  * exactly — replica r of orders points at replica r of customer — so
+  * operator work scales the way a real 10× would. Row CONTENT (names,
+  * text, embeddings) repeats across replicas; that only matters to the
+  * dedup/ANN family, where 10-way exact duplicates are a realistic (and
+  * harsher) workload, not a shortcut.
+  *
+  * Correctness stays gated at sf0.01 against the DuckDB oracle — this
+  * dataset is for benchmarks only and lives outside git
+  * (testdata_sf1/, gitignored).
+  */
+object MakeSf1 {
+  private val Replicas = 10
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "testdata_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+
+    // copied verbatim: the shared small dimensions
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
+    }
+
+    // per-table key columns to shift by replica * stride, where stride is
+    // derived from the table OWNING the key so FK references stay aligned
+    def stride(table: String, key: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(key))).head().getLong(0) + 1L
+
+    val custStride = stride("customer", "c_custkey")
+    val suppStride = stride("supplier", "s_suppkey")
+    val partStride = stride("part", "p_partkey")
+    val orderStride = stride("orders", "o_orderkey")
+    val eventStride = stride("events", "event_id")
+    val userStride = stride("events", "user_id")
+    val docStride = stride("documents", "doc_id")
+    val vecStride = stride("embeddings", "vec_id")
+
+    def replicate(table: String, shifts: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val reps = spark.range(Replicas).select(col("id").as("__rep"))
+      val out = base.crossJoin(reps)
+      val shifted = shifts.foldLeft(out) { case (df, (c, s)) =>
+        df.withColumn(c, col(c) + col("__rep") * lit(s))
+      }
+      shifted.select(base.columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[sf1] $table: ${Replicas}x")
+    }
+
+    replicate("customer", Map("c_custkey" -> custStride))
+    replicate("supplier", Map("s_suppkey" -> suppStride))
+    replicate("part", Map("p_partkey" -> partStride))
+    replicate("orders", Map("o_orderkey" -> orderStride, "o_custkey" -> custStride))
+    replicate("lineitem", Map("l_orderkey" -> orderStride,
+      "l_partkey" -> partStride, "l_suppkey" -> suppStride))
+    replicate("events", Map("event_id" -> eventStride, "user_id" -> userStride))
+    replicate("documents", Map("doc_id" -> docStride))
+    replicate("embeddings", Map("vec_id" -> vecStride))
+    spark.stop()
+  }
+}
