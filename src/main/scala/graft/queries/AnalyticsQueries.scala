@@ -303,7 +303,13 @@ object AnalyticsQueries {
     * statistic is hash-checkable. Computed for both graph projections. */
   def assortativity(s: SparkSession, dir: String): DataFrame = {
     def statsOf(name: String, und: DataFrame): DataFrame = {
-      val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+      // guarded broadcast: the degree table is vertex-sized and its two
+      // edge-list joins silently flipped from planner auto-broadcast to
+      // two-sided shuffle joins in the sf1 bench (17x shuffle on 10x
+      // data); the explicit hint holds to 50M vertices
+      val degBase = und.groupBy("u").agg(count(lit(1)).as("d"))
+      val deg = if (und.select("u").distinct().count()
+          <= GraphAnalytics.MaxBroadcastVertices) broadcast(degBase) else degBase
       val pairs = und
         .join(deg.select(col("u").as("__a"), col("d").as("dx")), col("u") === col("__a"))
         .join(deg.select(col("u").as("__b"), col("d").as("dy")), col("v") === col("__b"))
