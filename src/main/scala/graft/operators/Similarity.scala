@@ -537,30 +537,85 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates with
-    * exact cosine verification above `threshold` (SURVEY §2.6 #30). */
+    * exact cosine verification above `threshold` (SURVEY §2.6 #30).
+    *
+    * Scale shape (rebuilt after the sf1 bench measured the naive form at
+    * 94× shuffle / 26 GB spill on 10× duplicate-heavy data):
+    *
+    *  1. EXACT-DUPLICATE COLLAPSE first. Real corpora are duplicate-
+    *     heavy, and identical vectors quadratically densify every LSH
+    *     bucket (10 copies → 100× the within-bucket pairs). Identical
+    *     vectors land in identical buckets with identical cosines, so
+    *     running LSH over one REPRESENTATIVE per distinct vector and
+    *     expanding groups back afterwards produces the exact same pair
+    *     set — candidate work drops from Σ(bucket·dups)² to Σ bucket²,
+    *     and the quadratic part that remains is the OUTPUT itself
+    *     (inherent — those pairs really are near-duplicates).
+    *  2. The bucket self-join carries (id, norm) only — vectors rejoin
+    *     by id for the surviving deduped candidates. The wide rows
+    *     (2 × dim floats) that used to ride the join and the
+    *     dropDuplicates exchange were the measured spill.
+    *
+    * Within-group pairs score as dot(v,v)/n² — the same arithmetic an
+    * engine computing the pair naively performs, so results stay
+    * bit-identical (zero vectors score 0 and fall to the threshold
+    * exactly as before). */
   def embedCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, numBits: Int = 12, numTables: Int = 4): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // one corpus-sized shuffle on vector bytes — the standard exact-dedup
+    // pass; groups carries each distinct vector once
+    val groups = rows.groupBy("vec")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("gsz"))
+      .localCheckpoint(true)
+    val members = rows.join(groups.select(col("vec"), col("rep")), Seq("vec"))
+      .select(col("id"), col("rep")).localCheckpoint(true)
+    val reps = groups.select(col("rep").as("id"), col("vec"),
+      l2Norm(col("vec")).as("nrm")).localCheckpoint(true)
+
     val b = (0 until numTables).map(i =>
       struct(lit(i).as("tbl"), lshBucket(col("vec"), dim, numBits, seed = 7L + i).as("bucket")))
-    // Materialize the bucketed projection once: both self-join sides read
-    // it, and without this the numTables x numBits hyperplane dot products
-    // (the expensive generated code) run twice over the corpus. This is
-    // the LSH INDEX — production keeps it persisted; here it lives in
-    // executor storage for the query's lifetime.
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      l2Norm(col(vecCol)).as("nrm"))
-      .select(col("id"), col("vec"), col("nrm"), explode(array(b: _*)).as("tb"))
-      .select(col("id"), col("vec"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // the LSH INDEX over representatives — narrow (id, bucket) rows only;
+    // production keeps it persisted
+    val base = reps
+      .select(col("id"), explode(array(b: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .localCheckpoint(true)
-    val l = base.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a"))
-    val r = base.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("v_b"), col("nrm").as("n_b"))
-    l.join(r, Seq("tbl", "bucket")).where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val l = base.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val r = base.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("tbl", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    val va = reps.select(col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a"))
+    val vb = reps.select(col("id").as("id_b"), col("vec").as("v_b"), col("nrm").as("n_b"))
+    val repPairs = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine_sim",
         when(col("n_a") * col("n_b") === 0.0, lit(0.0))
           .otherwise(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
       .where(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
+
+    // expansion: a surviving rep pair stands for every cross pair of the
+    // two groups (disjoint groups ⇒ no duplicates after least/greatest
+    // normalization); a group of g identical vectors stands for its own
+    // g·(g−1)/2 internal pairs
+    val ma = members.select(col("rep").as("id_a"), col("id").as("__ma"))
+    val mb = members.select(col("rep").as("id_b"), col("id").as("__mb"))
+    val cross = repPairs.join(ma, Seq("id_a")).join(mb, Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine_sim"))
+    val selfCos = when(col("nrm") * col("nrm") === 0.0, lit(0.0))
+      .otherwise(dot(col("vec"), col("vec")) / (col("nrm") * col("nrm")))
+    val dupReps = groups.where(col("gsz") > 1).select(col("rep").as("__grp"))
+      .join(reps.withColumnRenamed("id", "__grp"), Seq("__grp"))
+      .withColumn("cosine_sim", selfCos)
+      .where(col("cosine_sim") >= threshold)
+      .select(col("__grp"), col("cosine_sim"))
+    val wa = members.select(col("rep").as("__grp"), col("id").as("__wa"))
+    val wb = members.select(col("rep").as("__grp"), col("id").as("__wb"))
+    val within = dupReps.join(wa, Seq("__grp")).join(wb, Seq("__grp"))
+      .where(col("__wa") < col("__wb"))
+      .select(col("__wa").as("id_a"), col("__wb").as("id_b"), col("cosine_sim"))
+    cross.unionAll(within)
   }
 }
