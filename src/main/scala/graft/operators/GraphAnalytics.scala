@@ -1304,14 +1304,24 @@ object GraphAnalytics {
     * bit-for-bit in the same SQL oracle; the plan changed, the function
     * did not.
     *
-    * Returns one per-round ESTIMATE table (vid, approx_distinct) for
-    * t ∈ [0, rounds] — estimates are maintained incrementally (changed
-    * vertices recomputed, unchanged rows pass through), V rows each,
-    * never V·2^b — plus the per-round changed-set sizes (the spec hook
-    * proving per-round work tracks the frontier). */
-  private[graft] def hllBallEstimates(edges: DataFrame, rounds: Int, b: Int,
+    * Returns the t=0 estimate table (vid, approx_distinct; V rows) plus
+    * one per-round DELTA table (vid, old_est, new_est) restricted to the
+    * round's CHANGED vertices — frontier-sized, never V. Both consumers
+    * derive their outputs from deltas alone, because an unchanged
+    * vertex's round term cancels exactly: its registers are
+    * bit-identical, so its estimate (a deterministic function of the
+    * registers) is bit-identical, and new − old = 0. old_est comes from
+    * the pre-update register rows the round already computes (candOld),
+    * new_est from the merged rows — the V-row per-round estimate tables
+    * the previous form maintained (and whose end-of-query union
+    * re-materialized the whole chain) are gone. The deltas list may be
+    * shorter than `rounds` when the frontier empties early — missing
+    * rounds are exact no-ops. Also returns the per-round changed-set
+    * sizes (the spec hook proving per-round work tracks the frontier).
+    */
+  private[graft] def hllBallDeltas(edges: DataFrame, rounds: Int, b: Int,
       srcCol: String, dstCol: String,
-      collectStats: Boolean = false): (Seq[DataFrame], Seq[Long]) = {
+      collectStats: Boolean = false): (DataFrame, Seq[DataFrame], Seq[Long]) = {
     val eFull = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
@@ -1323,8 +1333,8 @@ object GraphAnalytics {
     val verts = e.select(col("src").as("vid")).unionAll(e.select(col("dst").as("vid")))
       .distinct()
     var regs = Sketches.hllRegistersGrouped(verts, "vid", col("vid"), b).localCheckpoint(false)
-    var est = Sketches.hllEstimateGrouped(regs, "vid", b).localCheckpoint(false)
-    val nVerts = est.count() // one action; materializes regs + est via the lazy marks
+    val est0 = Sketches.hllEstimateGrouped(regs, "vid", b).localCheckpoint(false)
+    val nVerts = est0.count() // one action; materializes regs + est0 via the lazy marks
     // Partition counts sized by data volume (see corenessWithStats): the
     // per-round stages launch one task per partition of the register /
     // estimate tables, and with the static shuffle.partitions count the
@@ -1335,14 +1345,13 @@ object GraphAnalytics {
     val regRows = regs.count()
     val baseParts = math.max(1, math.min(eConfParts, (regRows / 500000L).toInt + 1))
     regs = regs.coalesce(baseParts).localCheckpoint(false)
-    est = est.coalesce(baseParts).localCheckpoint(false)
     val useBroadcast = nVerts <= MaxBroadcastVertices
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     // round 0: every ball is brand new — the whole vertex set is the frontier
     var changedRegs = regs
     var frontierEmpty = false
-    val ests = scala.collection.mutable.ListBuffer(est)
+    val deltas = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val frontierSizes = scala.collection.mutable.ListBuffer.empty[Long]
     (1 to rounds).foreach { t =>
       if (!frontierEmpty) {
@@ -1351,6 +1360,7 @@ object GraphAnalytics {
           .select(e("src").as("vid"), changedRegs("bucket"), changedRegs("register"))
         val cand = contrib.select("vid").distinct().localCheckpoint(false)
         val candOld = regs.join(maybeBroadcast(cand), Seq("vid"), "left_semi")
+          .localCheckpoint(false)
         val candRegs = candOld.unionAll(contrib)
           .groupBy("vid", "bucket").agg(max(col("register")).as("register"))
           .localCheckpoint(false)
@@ -1376,6 +1386,12 @@ object GraphAnalytics {
         else {
           changedRegs = candRegs.join(maybeBroadcast(changedVids), Seq("vid"), "left_semi")
             .localCheckpoint(false)
+          val changedOld = candOld.join(maybeBroadcast(changedVids), Seq("vid"), "left_semi")
+          deltas += Sketches.hllEstimateGrouped(changedOld, "vid", b)
+            .withColumnRenamed("approx_distinct", "old_est")
+            .join(Sketches.hllEstimateGrouped(changedRegs, "vid", b)
+              .withColumnRenamed("approx_distinct", "new_est"), Seq("vid"))
+            .localCheckpoint(false)
           // the coalesce re-bounds partition count after the union
           // appends the delta's partitions (narrow, no shuffle)
           regs = regs.join(maybeBroadcast(changedVids), Seq("vid"), "left_anti")
@@ -1384,15 +1400,10 @@ object GraphAnalytics {
           // anti-join + union lineage re-derives cheaply (measured — see
           // the pre-frontier cadence note in git history)
           if (t % 2 == 0 || t == rounds) regs = regs.localCheckpoint(false)
-          est = est.join(maybeBroadcast(changedVids), Seq("vid"), "left_anti")
-            .unionAll(Sketches.hllEstimateGrouped(changedRegs, "vid", b))
-            .coalesce(baseParts).localCheckpoint(false)
         }
       } else if (collectStats) frontierSizes += 0L
-      // at the fixpoint est is frozen — later rounds reuse the same table
-      ests += est
     }
-    (ests.toSeq, frontierSizes.toSeq)
+    (est0, deltas.toSeq, frontierSizes.toSeq)
   }
 
   /** HyperANF (Boldi, Rosa & Vigna 2011): the NEIGHBORHOOD FUNCTION
@@ -1420,17 +1431,38 @@ object GraphAnalytics {
     * t-ball (spec-checked against registers built directly from the
     * closure) — the estimate error is HLL's 1.04/√m, nothing more.
     * Propagation is the CHANGED-VERTEX frontier of
-    * [[hllBallEstimates]]: per-round work tracks the still-growing
+    * [[hllBallDeltas]]: per-round work tracks the still-growing
     * balls, not V·2^b, with identical estimates. */
   def hyperAnf(edges: DataFrame, rounds: Int, b: Int = Sketches.HllBits,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(rounds >= 0 && rounds <= 64, s"hyperAnf rounds=$rounds outside [0, 64]")
-    val (ests, _) = hllBallEstimates(edges, rounds, b, srcCol, dstCol)
-    def nf(t: Int, est: DataFrame): DataFrame =
-      est.agg(coalesce(sum(col("approx_distinct").cast("decimal(38,6)")),
-          lit(0).cast("decimal(38,6)")).cast("decimal(38,6)").as("approx_pairs"))
-        .select(lit(t).cast("int").as("t"), col("approx_pairs"))
-    ests.zipWithIndex.map { case (est, t) => nf(t, est) }.reduce(_ unionAll _)
+    val (est0, deltas, _) = hllBallDeltas(edges, rounds, b, srcCol, dstCol)
+    // NF(t) = NF(t−1) + Σ_changed(round₆(new) − round₆(old)): the
+    // unchanged terms cancel exactly (identical registers ⇒ identical
+    // estimates), so the curve assembles from ONE V-row aggregate (t=0)
+    // plus frontier-sized per-round delta aggregates — the previous
+    // T+1-table union re-materialized the whole V-row estimate chain,
+    // with branches racing to recompute shared rounds. The cumulative
+    // window runs over ≤ 65 one-row frames.
+    val dec = "decimal(38,6)"
+    val nf0 = est0.agg(coalesce(sum(col("approx_distinct").cast(dec)),
+        lit(0).cast(dec)).cast(dec).as("d"))
+      .select(lit(0).as("t"), col("d"))
+    val deltaRows = deltas.zipWithIndex.map { case (d, i) =>
+      d.agg((coalesce(sum(col("new_est").cast(dec)), lit(0).cast(dec))
+          - coalesce(sum(col("old_est").cast(dec)), lit(0).cast(dec)))
+        .cast(dec).as("d"))
+        .select(lit(i + 1).as("t"), col("d"))
+    }
+    // rounds past the fixpoint are exact no-ops — pad zero deltas
+    val spark = edges.sparkSession
+    val zeroPad = (deltas.size + 1 to rounds).map(t =>
+      spark.range(1).select(lit(t).as("t"), lit(0).cast(dec).as("d")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    (Seq(nf0) ++ deltaRows ++ zeroPad).reduce(_ unionAll _)
+      .withColumn("approx_pairs", sum(col("d")).over(w).cast(dec))
+      .select(col("t").cast("int").as("t"), col("approx_pairs"))
   }
 
   /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
@@ -1513,22 +1545,27 @@ object GraphAnalytics {
       dstCol: String = "dst"): DataFrame = {
     require(rounds >= 1 && rounds <= 10,
       s"hyperBallHarmonic rounds=$rounds outside [1, 10] (HarmonicScale covers 1..10)")
-    // CHANGED-VERTEX frontier propagation (hllBallEstimates) — identical
+    // CHANGED-VERTEX frontier propagation (hllBallDeltas) — identical
     // per-round estimates, per-round work proportional to still-growing
-    // balls instead of V·2^b
-    val (perRound, _) = hllBallEstimates(edges, rounds, b, srcCol, dstCol)
-    def estMicro(t: Int, est: DataFrame): DataFrame =
-      est.select(col("vid"), lit(t).cast("int").as("t"),
-        (col("approx_distinct").cast("decimal(32,6)") * lit(1000000))
-          .cast("long").as("m"))
-    val ests = perRound.zipWithIndex.map { case (est, t) => estMicro(t, est) }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vid").orderBy("t")
-    ests.reduce(_ unionAll _)
-      .withColumn("dm", col("m") - lag(col("m"), 1).over(w))
-      .where(col("t") >= 1)
-      .groupBy("vid")
-      .agg(coalesce(sum(col("dm") * expr(s"$HarmonicScale div t")), lit(0L))
-        .cast("long").as("h_scaled"))
+    // balls instead of V·2^b. H(v) accumulates ONLY from rounds where
+    // v's ball grew (unchanged rounds have dm = 0 exactly: identical
+    // registers ⇒ identical micro-frozen estimates), so the per-vertex
+    // sum runs over the union of frontier-sized delta frames instead of
+    // the T+1 V-row estimate tables + lag window the previous form paid.
+    val (est0, deltas, _) = hllBallDeltas(edges, rounds, b, srcCol, dstCol)
+    def micro(c: Column): Column =
+      (c.cast("decimal(32,6)") * lit(1000000)).cast("long")
+    val terms = deltas.zipWithIndex.map { case (d, i) =>
+      val t = i + 1
+      d.select(col("vid"),
+        ((micro(col("new_est")) - micro(col("old_est")))
+          * lit(HarmonicScale / t)).as("term"))
+    }
+    val allV = est0.select(col("vid"))
+    if (terms.isEmpty) allV.select(col("vid"), lit(0L).as("h_scaled"))
+    else allV.join(terms.reduce(_ unionAll _).groupBy("vid")
+        .agg(sum(col("term")).cast("long").as("__h")), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("__h"), lit(0L)).as("h_scaled"))
   }
 
   /** Degree distribution of the unified graph: how many vertices have each
