@@ -30,6 +30,46 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(!got.contains((3L, 4L)) && got.contains((1L, 3L)))
   }
 
+  test("fuzzyPairs: duplicate-heavy input equals the naive all-pairs form") {
+    // 3 copies each of two names one edit apart + a distinct singleton —
+    // the duplicate-collapse path must reproduce every pair the naive
+    // block self-join would emit, with names attached to the right ids
+    val rows = Seq((1L, "alpha"), (2L, "alpha"), (3L, "alpha"),
+      (4L, "alphb"), (5L, "alphb"), (6L, "alphb"), (7L, "omega"))
+      .toDF("id", "name")
+    val got = EntityResolution.fuzzyPairs(rows, "id", "name", firstChar, maxDist = 1)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val base = Seq((1L, "alpha"), (2L, "alpha"), (3L, "alpha"),
+      (4L, "alphb"), (5L, "alphb"), (6L, "alphb"), (7L, "omega"))
+    val expected = (for {
+      (blk, xs) <- base.groupBy(_._2.take(1)).toSeq
+      a <- xs; b <- xs if a._1 < b._1
+      d = lev(a._2, b._2) if d <= 1
+    } yield (a._1, b._1, a._2, b._2, d.toLong)).toSet
+    assert(got == expected)
+    // within-group pairs surface with distance 0
+    assert(got.contains((1L, 2L, "alpha", "alpha", 0L)))
+    // cross-group expansion keeps name_a attached to the smaller id
+    assert(got.contains((3L, 4L, "alpha", "alphb", 1L)))
+  }
+
+  test("fuzzyPairs: bucket guard counts raw rows, not collapsed names") {
+    // 12 raw rows but only 2 distinct names: a cap of 10 must still drop
+    // the block (the k² risk is raw-row pairs, and so is the contract)
+    val hot = (1L to 12L).map(i => (i, if (i % 2 == 0) "even" else "odd!"))
+      .toDF("id", "name")
+    assert(EntityResolution.fuzzyPairs(hot, "id", "name", lit("same"),
+      maxDist = 99, maxBucketSize = 10).count() == 0)
+  }
+
   test("fuzzyPairs: hot blocks dropped by maxBucketSize") {
     val hot = (1L to 20L).map(i => (i, s"dup $i")).toDF("id", "name")
     val capped = EntityResolution.fuzzyPairs(hot, "id", "name", lit("same"),

@@ -102,6 +102,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding near-dup pairs: duplicate-heavy input expands exactly") {
+    // 3 copies of v, 2 of a near neighbor, 2 zero vectors, 1 far vector:
+    // the duplicate-collapse path must emit every within-group pair
+    // (identical vectors, cosine ≈ 1), every cross-group member pair of
+    // the surviving rep pair, NO zero-vector pairs (cosine defined 0,
+    // below threshold), and identical cosines across one group's pairs
+    val v = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val nearly = v.updated(0, 1.05f)
+    val far = Seq.tabulate(8)(i => (if (i % 2 == 0) 1f else -1f))
+    val zero = Seq.fill(8)(0f)
+    val vecs = Seq((1L, v), (2L, v), (3L, v), (4L, nearly), (5L, nearly),
+      (6L, zero), (7L, zero), (8L, far)).toDF("vec_id", "embedding")
+    val rows = Similarity.embedCosinePairs(vecs, "vec_id", "embedding", dim = 8,
+      threshold = 0.99, numBits = 2, numTables = 4)
+      .as[(Long, Long, Double)].collect()
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val within = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    val cross = (for (a <- Seq(1L, 2L, 3L); b <- Seq(4L, 5L)) yield (a, b)).toSet
+    assert(got == within ++ cross)
+    val cos = rows.map(r => (r._1, r._2) -> r._3).toMap
+    assert(cos((1L, 2L)) == cos((2L, 3L))) // identical vectors, identical value
+    assert(cos((1L, 4L)) == cos((3L, 5L))) // one rep pair, one value
+    assert(cos((1L, 2L)) >= 0.99 && cos((1L, 4L)) >= 0.99)
+  }
+
   test("recall@k: hand-computed on constructed approx/exact frames") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
