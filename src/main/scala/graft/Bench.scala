@@ -126,7 +126,22 @@ object Bench {
     // must stay small enough to land intact inside that tail. Rounds 1-5
     // printed the full ~4 KB detail map inline and the collected artifact
     // ended up with a clipped, unparseable line every time.
-    val detailFile = "BENCH_DETAIL.json"
+    // Anchor artifacts to the repo root (nearest ancestor of the CWD with
+    // a build.sbt; overridable via SPARK_GRAFT_REPO_ROOT), NOT the bare
+    // CWD — a bench launched from elsewhere must not fragment the
+    // append-only history into a stray bench_history/.
+    val repoRoot: java.nio.file.Path = sys.env.get("SPARK_GRAFT_REPO_ROOT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        var p = java.nio.file.Paths.get("").toAbsolutePath
+        var found = p
+        while (p != null) {
+          if (java.nio.file.Files.exists(p.resolve("build.sbt"))) { found = p; p = null }
+          else p = p.getParent
+        }
+        found
+      }
+    val detailFile = repoRoot.resolve("BENCH_DETAIL.json").toString
     // contended/capped runs must be diagnosable from the artifact alone:
     // record the real heap ceiling (the r7 driver run was silently 4 GB)
     val jvmMaxHeap = Runtime.getRuntime.maxMemory
@@ -138,8 +153,8 @@ object Bench {
     // was lost to a stray single-query probe before it could be archived);
     // the append-only log preserves every run's full detail permanently.
     try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_history"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_history/bench_log.jsonl"),
+      java.nio.file.Files.createDirectories(repoRoot.resolve("bench_history"))
+      java.nio.file.Files.writeString(repoRoot.resolve("bench_history/bench_log.jsonl"),
         detailJson + "\n", java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable => System.err.println(s"[bench] log append failed: ${e.getMessage}") }

@@ -1031,9 +1031,10 @@ object GraphAnalytics {
 
   /** [[coreness]] plus the per-round frontier sizes (|changed| after
     * each executed round) — spec hook proving per-round work tracks the
-    * changed set, not V. `collectStats = true` counts the frontier every
-    * round (what the spec asserts on); the production path counts only
-    * every other round — see the loop comment. */
+    * changed set, not V. The per-round `changed.count()` always runs —
+    * it is the round's single materializing action (see the loop
+    * comment); `collectStats` only controls whether the counts are
+    * RECORDED into the returned frontier-size list. */
   private[graft] def corenessWithStats(edges: DataFrame, rounds: Int = 12,
       srcCol: String = "src", dstCol: String = "dst",
       toFixpoint: Boolean = false, maxRounds: Int = 96,

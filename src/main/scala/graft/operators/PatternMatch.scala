@@ -114,12 +114,28 @@ object PatternMatch {
     * number of distinct paths of that length.
     *
     * The driver iterates only over the schema-sized pattern list; each
-    * length-k result is k equi-joins that Catalyst plans like any other
-    * (broadcast dims, AQE skew). Frontiers carry path MULTIPLICITY (no
-    * dedup) so `n_paths` counts paths — Cypher semantics, where every
-    * relationship instance extends a distinct path — and `maxHops`
+    * length-k result is k equi-joins. Frontiers carry path MULTIPLICITY
+    * (no dedup) so `n_paths` counts paths — Cypher semantics, where
+    * every relationship instance extends a distinct path — and `maxHops`
     * bounds the work on cyclic graphs. Ids surface as strings so
-    * heterogeneous end labels union safely. */
+    * heterogeneous end labels union safely.
+    *
+    * Plan shape, learned at sf1: each per-label frontier is EAGERLY
+    * localCheckpoint'ed, then counted, then joined with an EXPLICIT
+    * `broadcast(frontier)` hint while it stays under
+    * [[GraphAnalytics.MaxBroadcastVertices]] rows. Three effects, all
+    * load-bearing at scale: (1) the hop join never shuffles the edge
+    * table — an anchored pattern's frontier is anchor-bounded while the
+    * edge table grows with the data, and relying on auto-broadcast here
+    * is a size-ESTIMATE cliff (a filtered-anchor frontier's estimate
+    * crosses autoBroadcastJoinThreshold as base-table stats grow, and
+    * the planner silently flips to shuffling BOTH sides — the r9 sf1
+    * bench measured 1→204 MB of shuffle on exactly this plan); (2) the
+    * checkpoint pins the REAL row count, so the guard decides on truth,
+    * not estimates, and an unanchored (vertex-sized) frontier falls back
+    * to the shuffle join instead of inheriting a driver OOM; (3) labels
+    * with several outgoing patterns reuse the materialized frontier
+    * instead of racing to recompute the shared join prefix per branch. */
   def findVarLength(g: PropertyGraph, startLabel: String,
       minHops: Int, maxHops: Int,
       relTypes: Option[Set[String]] = None): DataFrame = {
@@ -127,14 +143,23 @@ object PatternMatch {
       s"need 1 <= minHops <= maxHops, got $minHops..$maxHops")
     val startSchema = g.schema.labels.find(_.label == startLabel)
       .getOrElse(throw new IllegalArgumentException(s"unknown start label $startLabel"))
-    var frontier: Map[String, DataFrame] = Map(startLabel ->
+    // pin: eager checkpoint + exact count per label frontier; every
+    // consumer (each outgoing pattern's hop join, the length-k output
+    // branch, the final union-aggregate) reads the materialized rows
+    def pin(m: Map[String, DataFrame]): Map[String, (DataFrame, Boolean)] =
+      m.map { case (l, df) =>
+        val cp = df.localCheckpoint(true)
+        l -> (cp, cp.count() <= GraphAnalytics.MaxBroadcastVertices)
+      }
+    var frontier: Map[String, (DataFrame, Boolean)] = pin(Map(startLabel ->
       g.nodes(startLabel).select(
         col(startSchema.identifier).cast("string").as("src_id"),
-        col(startSchema.identifier).cast("string").as("cur_id")))
+        col(startSchema.identifier).cast("string").as("cur_id"))))
     val perLength = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (1 to maxHops).foreach { k =>
       val next = scala.collection.mutable.Map.empty[String, DataFrame]
-      frontier.foreach { case (label, df) =>
+      frontier.foreach { case (label, (df, small)) =>
+        val hopFrontier = if (small) broadcast(df) else df
         g.schema.rels
           .filter(rs => rs.pattern.srcLabel == label &&
             relTypes.forall(_.contains(rs.pattern.relType)))
@@ -142,14 +167,18 @@ object PatternMatch {
             val edge = g.rels(rs.pattern).select(
               col(rs.srcColName).cast("string").as("__s"),
               col(rs.dstColName).cast("string").as("__d"))
-            val stepped = df.join(edge, df("cur_id") === edge("__s"))
+            val stepped = hopFrontier.join(edge, hopFrontier("cur_id") === edge("__s"))
               .select(col("src_id"), col("__d").as("cur_id"))
             next.updateWith(rs.pattern.dstLabel)(prev =>
               Some(prev.map(_.unionAll(stepped)).getOrElse(stepped)))
           }
       }
-      frontier = next.toMap
-      if (k >= minHops) frontier.foreach { case (label, df) =>
+      // the final frontier is consumed exactly once (the output union) —
+      // pinning it would be a pure extra materialization, so it stays lazy
+      frontier =
+        if (k < maxHops) pin(next.toMap)
+        else next.toMap.map { case (l, df) => l -> (df, false) }
+      if (k >= minHops) frontier.foreach { case (label, (df, _)) =>
         perLength += df.select(col("src_id"), lit(label).as("dst_label"),
           col("cur_id").as("dst_id"), lit(k).cast("long").as("hops"))
       }

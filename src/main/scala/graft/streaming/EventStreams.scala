@@ -36,10 +36,15 @@ object EventStreams {
     * generations (int64-nanos vs timestamp[us]/NTZ). A one-time
     * footer-only batch probe of the directory resolves the physical type;
     * the stream then normalizes `ts` to the int64-ns contract at the scan
-    * projection, so every downstream operator sees [[EventSchema]]. */
+    * projection, so every downstream operator sees [[EventSchema]]. On an
+    * empty / not-yet-populated directory the probe can't infer anything,
+    * so we fall back to the declared int64-ns contract — preserving the
+    * "new files = new data" cold start. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physicalTs = spark.read.parquet(dir).schema("ts").dataType
+    val physicalTs =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val physicalSchema = StructType(EventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = physicalTs) else f))
     spark.readStream.schema(physicalSchema).parquet(dir)

@@ -35,6 +35,10 @@ object MakeSf1 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.ts may be physically TIMESTAMP(NANOS); read it as int64-ns
+    // (the same contract Tables.events uses) so replication round-trips
+    // whichever encoding the driver generated.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(dst).mkdirs()
 
     // copied verbatim: the shared small dimensions

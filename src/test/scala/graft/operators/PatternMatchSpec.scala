@@ -106,6 +106,24 @@ class PatternMatchSpec extends SparkTestBase {
     assert(onlyR == Set(("1", "B", "10", 1L, 1L), ("1", "B", "20", 1L, 1L), ("2", "B", "10", 1L, 1L)))
   }
 
+  test("variable-length paths: small frontier rides an EXPLICIT broadcast hint") {
+    // Disable auto-broadcast — simulating the sf1 size-estimate cliff where
+    // the planner stops volunteering broadcasts — and require the hop joins
+    // to broadcast anyway (the hint is explicit and count-guarded, not
+    // estimate-driven), with results unchanged.
+    val expected = PatternMatch.findVarLength(pathGraph(), "A", 1, 2)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = PatternMatch.findVarLength(pathGraph(), "A", 1, 2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+        s"expected a broadcast hop join in:\n$plan")
+      assert(df.as[(String, String, String, Long, Long)].collect().toSet == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("variable-length paths: cycles bounded by maxHops, path counts grow") {
     // self-loop pattern N-[E]->N over a 2-cycle 1<->2 plus edge 1->3
     val nodes = Seq(1L, 2L, 3L).toDF("nid")

@@ -185,4 +185,26 @@ class EventStreamsSpec extends SparkTestBase {
       assert(spark.read.parquet(dst).count() == 2)
     } finally q.stop()
   }
+
+  test("readEvents cold-starts on an empty directory (new files = new data)") {
+    val dir = Files.createTempDirectory("graft-events-cold").toString
+    // empty dir: the physical-ts probe can't infer a schema; the declared
+    // int64-ns fallback must let the stream open anyway
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("cold_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cold_out").count() == 0)
+      // files arriving later are picked up — but only if their physical ts
+      // matches the fallback schema, so stage an int64-ns file explicitly
+      graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .limit(100).write.mode("overwrite").parquet(dir + "/late")
+      // readEvents watches the dir root; move the part files up
+      val late = Paths.get(dir, "late")
+      Files.list(late).filter(p => p.toString.endsWith(".parquet"))
+        .forEach(p => Files.move(p, Paths.get(dir, p.getFileName.toString)))
+      q.processAllAvailable()
+      assert(spark.table("cold_out").count() > 0)
+    } finally q.stop()
+  }
 }
