@@ -649,21 +649,16 @@ object GraphAnalytics {
   }
 
   /** Multi-source BFS hop distances: the minimum number of hops from any
-    * source vertex, computed as `maxHops` rounds of unit-weight
-    * Bellman-Ford relaxation — round i sets d(v) = min(d(v), min over
-    * edges u→v of d(u)+1). The relaxation form (rather than an explicit
-    * frontier) is chosen because a round at the fixpoint is the
-    * identity, so the FIXED round count replays verbatim as chained
-    * CTEs in a SQL oracle, exactly like the star-CC and LPA loops.
-    * Per round: one equi-join of the edge list against the
-    * vertex-sized distance table + one min-combine groupBy — shuffles
-    * carry (vid, dist) pairs only, map-side combine collapses
-    * multi-edge contributions before the wire. Unreached vertices are
-    * absent from the output (no sentinel). At extreme scale a
-    * frontier-delta variant (join only vertices whose distance changed
-    * last round) cuts re-propagation of settled vertices; the
-    * relaxation form keeps every round's input vertex-bounded, which
-    * is already the right complexity class.
+    * source vertex — round i sets d(v) = min(d(v), min over edges u→v of
+    * d(u)+1), executed as FRONTIER rounds (see [[ssspDistances]]): for
+    * unit weights a settled vertex never improves, so the frontier is
+    * exactly the newly-reached wavefront and each round joins only its
+    * out-edges — classic distributed BFS, with per-round results
+    * bit-identical to the dense relaxation (so the FIXED round count
+    * still replays verbatim as chained CTEs in a SQL oracle, exactly
+    * like the star-CC and LPA loops; a round at the fixpoint is the
+    * identity). Unreached vertices are absent from the output (no
+    * sentinel).
     *
     * `sources` is a single-column DataFrame of vertex ids. */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
@@ -675,74 +670,148 @@ object GraphAnalytics {
   /** Single/multi-source WEIGHTED shortest paths — Bellman-Ford
     * relaxation over integral edge weights: round i sets
     * d(v) = min(d(v), min over edges u→v of d(u) + w(u,v)). The same
-    * fixed-round relaxation shape as [[bfsDistances]] (one edge⋈distance
-    * join + one min-combine groupBy per round, (vid, dist) pairs on the
-    * wire, map-side combine), with two differences: edges carry a weight
-    * column, and `rounds` must cover the maximum EDGE COUNT of any
-    * shortest path — a weighted shortest path may take more hops than
-    * the hop-shortest one when a longer detour is cheaper, so callers
-    * give a generous count and the oracle's convergence sentinel
-    * (round N ≡ round N−1) reports under-provisioning instead of
-    * letting a wrong fixpoint slip through. Weights must be
-    * non-negative integers (BIGINT math is engine-exact; negative
-    * cycles would make the problem ill-posed here). Undirected mode
-    * relaxes both directions with the same weight. */
+    * fixed-round relaxation semantics as [[bfsDistances]], with two
+    * differences: edges carry a weight column, and `rounds` must cover
+    * the maximum EDGE COUNT of any shortest path — a weighted shortest
+    * path may take more hops than the hop-shortest one when a longer
+    * detour is cheaper, so callers give a generous count and the
+    * oracle's convergence sentinel (round N ≡ round N−1) reports
+    * under-provisioning instead of letting a wrong fixpoint slip
+    * through. Weights must be non-negative integers (BIGINT math is
+    * engine-exact; negative cycles would make the problem ill-posed
+    * here). Undirected mode relaxes both directions with the same
+    * weight.
+    *
+    * FRONTIER rounds (the [[coreness]] insight): only a vertex whose
+    * distance IMPROVED in round r−1 can improve a neighbor in round r —
+    * an unchanged vertex's message d(u)+w was already sent and absorbed
+    * the round u last changed, so round r's relaxation over the frontier
+    * alone produces the SAME per-round distance table as the dense
+    * textbook form, and the chained-CTE SQL oracle replaying dense
+    * rounds still meets the hashes. The state is DENSE-INIT (all
+    * vertices from round 0, NULL = unreached, a `fresh` flag marking the
+    * frontier) so the merge is a left-outer BroadcastHashJoin streaming
+    * the state — see [[ssspDistancesWithStats]] for the plan-shape
+    * argument. Each round costs three jobs (two broadcast builds + the
+    * frontier count, which doubles as the empty-frontier short-circuit —
+    * a fixpoint round is the identity, so stopping early is exact) and
+    * exchanges nothing in broadcast mode. */
   /** @param broadcastDist physical strategy switch, the
     * [[labelPropagationDF]] trade applied to relaxation: `true` (default)
-    * pins the weighted edge list hash-partitioned by `v` (persist — a
-    * checkpointed LogicalRDD drops outputPartitioning) and broadcasts the
-    * vertex-sized distance table each round: the edge join is a
-    * BroadcastHashJoin that never shuffles the edge list, and the
+    * pins the weighted edge list hash-partitioned by the message key `v`
+    * (persist — safe here because the edge list is STATIC; the evolving
+    * state must localCheckpoint instead, see the in-code comment) and
+    * broadcasts the FRONTIER each round: the edge join is a
+    * BroadcastHashJoin that never shuffles the edge list, the
     * min-combine aggregation runs IN PLACE on the v-partitioned stream
-    * side; only the vertex-sized distance merge exchanges. Three shapes
-    * were measured on the unified sf0.1 graph (12 rounds): naive
-    * re-shuffle 490 MB / 11.0 s, edge list pinned by the JOIN key with
-    * shuffled distances 233 MB / 10.1 s (the min-combine exchange of
-    * edge-count contributions dominates), this broadcast form
-    * 71 MB / 8.3 s — fewest bytes AND fastest, because the expensive
-    * aggregation is the exchange-free one. Past [[MaxBroadcastVertices]]
-    * the guard routes to the un-pinned shuffle plan (one min-combine
-    * exchange per round, map-side combine defending the wire).
-    * Identical distances either way — integer math is
+    * side, and the distance merge broadcasts the relaxed messages
+    * against the streamed state — ZERO per-round exchange (the r9
+    * dense-broadcast shape measured 71 MB / 8.3 s on the unified sf0.1
+    * graph vs 490 MB naive AND still re-shuffled two vertex-sized
+    * tables per round in its full-outer merge; this form shrinks the
+    * broadcasts to frontier/wavefront size and the per-round exchange
+    * to zero). Past [[MaxBroadcastVertices]] the guard routes to
+    * shuffle joins — same frontier logic, map-side combine defending
+    * the wire. Identical distances both modes — integer math is
     * partitioning-independent. */
   def ssspDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
-      undirected: Boolean = true, broadcastDist: Boolean = true): DataFrame = {
+      undirected: Boolean = true, broadcastDist: Boolean = true): DataFrame =
+    ssspDistancesWithStats(edges, sources, rounds, srcCol, dstCol, weightCol,
+      undirected, broadcastDist, collectStats = false)._1
+
+  /** [[ssspDistances]] plus the per-round frontier sizes (|improved|
+    * after each executed round) — spec hook proving per-round work
+    * tracks the improved set. Rounds short-circuit once a frontier
+    * empties, so the returned list may be shorter than `rounds`. */
+  private[graft] def ssspDistancesWithStats(edges: DataFrame, sources: DataFrame,
+      rounds: Int, srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "w", undirected: Boolean = true,
+      broadcastDist: Boolean = true,
+      collectStats: Boolean = true): (DataFrame, Seq[Long]) = {
     require(rounds >= 0, "rounds must be >= 0")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
       col(weightCol).cast("long").as("w"))
       .where(col("u") =!= col("v"))
     // parallel edges collapse to their min weight up front — fewer rows
     // in every round's join, identical distances
-    val eCp = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0)
-      .groupBy("u", "v").agg(min(col("w")).as("w")).localCheckpoint(true)
-    val useBroadcast = broadcastDist &&
-      eCp.select(col("u")).distinct().count() <= MaxBroadcastVertices
-    val e =
-      if (useBroadcast)
-        eCp.repartition(col("v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else eCp
-    var dist = sources.select(col(sources.columns.head).as("vid")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
-    (1 to rounds).foreach { i =>
-      dist =
-        if (useBroadcast) {
-          val relaxed = e.join(broadcast(dist), e("u") === dist("vid"))
-            .select(e("v").as("vid"), (col("dist") + col("w")).as("nd"))
-            .groupBy("vid").agg(min(col("nd")).as("nd")) // exchange-free
-          dist.join(relaxed, Seq("vid"), "full_outer")
-            .select(col("vid"),
-              least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"))
-        } else {
-          val relaxed = e.join(dist, e("u") === dist("vid"))
-            .select(e("v").as("vid"), (col("dist") + col("w")).as("dist"))
-          dist.unionAll(relaxed).groupBy("vid").agg(min(col("dist")).as("dist"))
-        }
-      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint(true)
+    val dbg = sys.props.contains("graft.frontier.debug")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      if (dbg) println(s"[sssp] $label ${(System.nanoTime() - t0) / 1e9}s")
+      a
     }
-    if (useBroadcast) e.unpersist(blocking = false)
-    dist
+    val eCp = t("eCp")((if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0)
+      .groupBy("u", "v").agg(min(col("w")).as("w")).localCheckpoint(true))
+    val src = sources.select(col(sources.columns.head).as("vid")).distinct()
+    // DENSE-INIT state: every vertex that can ever hold a distance is a
+    // row from round 0 (dist NULL = unreached, `fresh` marking the
+    // frontier). With all keys present up front the per-round merge is
+    // a LEFT OUTER join with the state as the STREAM side and the
+    // frontier-neighborhood-sized relaxed messages broadcast — a
+    // BroadcastHashJoin puts no distribution requirement on the stream,
+    // so the state needs no partitioning pin and can be
+    // localCheckpoint-ed every round. The checkpoint is load-bearing:
+    // persist alone leaves each round's cached plan OBJECT nesting the
+    // previous round's (measured ~4× plan-size growth per round — the
+    // driver, not the executors, becomes the bottleneck); the
+    // checkpoint's LogicalRDD truncates lineage so every round's plan
+    // is the same flat shape.
+    // undirected edge lists carry both directions, so the u-side alone
+    // covers every endpoint — skip the v union (halves the distinct's
+    // input); directed graphs need both (a pure sink appears only as v)
+    val endpoints =
+      if (undirected) eCp.select(col("u").as("vid"))
+      else eCp.select(col("u").as("vid")).unionAll(eCp.select(col("v").as("vid")))
+    val verts = t("verts")(endpoints.unionAll(src).distinct().localCheckpoint(true))
+    val nVerts = t("nVerts")(verts.count())
+    val useBroadcast = broadcastDist && nVerts <= MaxBroadcastVertices
+    // edges pinned hash-partitioned by the MESSAGE key v ONCE (persist —
+    // the edge list is static, so no plan growth): the frontier
+    // broadcast-joins in and the min-combine keyed v runs in place —
+    // a round exchanges NOTHING. Past MaxBroadcastVertices the guard
+    // falls back to shuffle joins (frontier and messages exchange;
+    // map-side combine defends the wire).
+    val e = eCp.repartition(col("v")).persist(MEMORY_AND_DISK)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    val d0 = src.withColumn("d0", lit(0L))
+    var dist = t("init")(verts
+      .join(maybeBroadcast(d0), Seq("vid"), "left_outer")
+      .select(col("vid"), col("d0").as("dist"), col("d0").isNotNull.as("fresh"))
+      .localCheckpoint(true))
+    val frontierSizes = scala.collection.mutable.ListBuffer.empty[Long]
+    var moved = -1L // unknown before the first count
+    var r = 0
+    while (r < rounds && moved != 0L) {
+      r += 1
+      val frontier = dist.where(col("fresh")).select(col("vid"), col("dist"))
+      val relaxed = e.join(maybeBroadcast(frontier), e("u") === frontier("vid"))
+        .select(e("v").as("vid"), (col("dist") + col("w")).as("nd"))
+        .groupBy("vid").agg(min(col("nd")).as("nd")) // in place on the v-pinned cache
+      val merged = dist.join(maybeBroadcast(relaxed), Seq("vid"), "left_outer")
+        .select(col("vid"),
+          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"),
+          (col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))).as("fresh"))
+        .localCheckpoint(false)
+      // the round's THREE jobs: two broadcast builds (frontier,
+      // relaxed) and this count — the count is the materializing action
+      // (it lands the lazy checkpoint) AND the empty-frontier
+      // short-circuit (a fixpoint round is the identity, so stopping
+      // early is exact)
+      val tR = System.nanoTime()
+      moved = merged.where(col("fresh")).count()
+      if (sys.props.contains("graft.frontier.debug"))
+        println(s"[sssp] round $r moved=$moved count=${(System.nanoTime() - tR) / 1e9}s")
+      dist = merged
+      if (collectStats) frontierSizes += moved
+    }
+    val out = dist.where(col("dist").isNotNull)
+      .select(col("vid"), col("dist")).localCheckpoint(true)
+    e.unpersist(blocking = false)
+    (out, frontierSizes.toSeq)
   }
 
   /** Random-walk corpus generation (DeepWalk, Perozzi et al. 2014 —
@@ -970,23 +1039,51 @@ object GraphAnalytics {
       .where(col("u") =!= col("v"))
     var e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
-    // the survivor sets are vertex-sized and SHRINK round over round —
-    // broadcast them (under the ceiling) so the two semi-joins are
-    // BroadcastHashJoins and the edge list never re-shuffles (measured
-    // 224 MB → ~7 MB total shuffle over 8 rounds on the sf0.1
-    // co-occurrence graph); past the ceiling, shuffle semi-joins
+    // DECREMENTAL degree maintenance (the r10 rebuild; the r9 form
+    // re-aggregated every remaining vertex's degree from the full edge
+    // list each round, which the sf1 bench measured at 13.6× shuffle on
+    // 10× data): the degree of a survivor changes only by the edges it
+    // lost to THIS round's peeled set, so each round aggregates just
+    // the edges INTO the peeled vertices (frontier-adjacency-sized,
+    // geometrically shrinking) and subtracts — round-for-round
+    // identical to the dense textbook recompute (the SQL oracle
+    // replays dense rounds unchanged), because degree-in-remaining-
+    // subgraph ≡ old degree − edges-to-peeled. The peeled set is
+    // broadcast (it only shrinks; the r9 form broadcast the ~V-sized
+    // KEEP set instead), the degree table streams through broadcast
+    // anti/outer joins, and per-round state is localCheckpoint-ed with
+    // the next-peel count as the round's materializing action — the
+    // sssp/coreness discipline. Past the ceiling, shuffle joins.
     val useBroadcast =
       e.select(col("u")).distinct().count() <= MaxBroadcastVertices
-    (1 to rounds).foreach { i =>
-      val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("u").as("kv"))
-      val kb = if (useBroadcast) broadcast(keep.localCheckpoint(true)) else keep
-      val ekeptU = e.join(kb, e("u") === kb("kv"), "left_semi")
-      e = ekeptU.join(kb, ekeptU("v") === kb("kv"), "left_semi")
-      if (i % 2 == 0 || i == rounds) e = e.localCheckpoint(true)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    var deg = e.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true)
+    var nPeel = deg.where(col("deg") < k).count()
+    var r = 0
+    while (r < rounds && nPeel > 0L) {
+      r += 1
+      val peeled = deg.where(col("deg") < k).select(col("u"))
+      val pV = maybeBroadcast(peeled.select(col("u").as("v")))
+      val lost = e.join(pV, Seq("v"), "left_semi")
+        .groupBy("u").agg(count(lit(1)).cast("long").as("lost"))
+      e = e.join(maybeBroadcast(peeled), Seq("u"), "left_anti")
+        .join(pV, Seq("v"), "left_anti")
+        .localCheckpoint(false)
+      deg = deg.join(maybeBroadcast(peeled), Seq("u"), "left_anti")
+        .join(maybeBroadcast(lost), Seq("u"), "left_outer")
+        .select(col("u"), (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+        .localCheckpoint(false)
+      // the round's materializing action doubles as next round's peel
+      // count and the all-peeled-gone short-circuit (identity rounds)
+      nPeel = deg.where(col("deg") < k).count()
     }
-    e.groupBy("u").agg(count(lit(1)).as("core_degree"))
-      .select(col("u").as("vid"), col("core_degree"))
+    // deg-0 vertices lost every edge without being peeled yet — they are
+    // absent from the remaining edge list, exactly like the edge-derived
+    // output of the dense form
+    deg.where(col("deg") > 0)
+      .select(col("u").as("vid"), col("deg").as("core_degree"))
   }
 
   /** FULL coreness decomposition via iterated neighborhood h-index

@@ -24,28 +24,72 @@ import org.apache.spark.sql.functions._
 object Landmarks {
 
   /** (vid, landmark, dist) hop distances for every reached pair after
-    * `rounds` BFS rounds over the undirected graph. */
+    * `rounds` BFS rounds over the undirected graph.
+    *
+    * FRONTIER rounds, keyed (vid, landmark) — the
+    * [[GraphAnalytics.ssspDistancesWithStats]] recipe with the landmark
+    * riding the key: a (vid, landmark) pair settles at its true hop
+    * distance the round it is first reached, so each round relaxes only
+    * the pairs reached LAST round, per-round state is bit-identical to
+    * the dense relaxation (the SQL oracle replays dense rounds
+    * unchanged), and an empty frontier short-circuits the remaining
+    * identity rounds. State is DENSE-INIT: all V × L pairs from round 0
+    * (dist NULL = unreached, `fresh` marking the wavefront),
+    * localCheckpoint-ed each round (flat plans — see the sssp scaladoc
+    * for why persist alone grows the driver-side plan ~4×/round); the
+    * merge streams the state through a BroadcastHashJoin against the
+    * wavefront-sized relaxed messages, and the min-combine keyed
+    * (vid, landmark) runs in place on the v-pinned edge cache —
+    * HashPartitioning(v) satisfies the (v, landmark) clustering. Three
+    * jobs and zero exchange per round in broadcast mode. The L× state
+    * (V × L rows vs the sparse reached-pairs form) is the price of the
+    * exchange-free merge; L is small by the operator's contract (a
+    * handful of pivots), so the trade wins. */
   def landmarkDistances(edges: DataFrame, nLandmarks: Int, rounds: Int,
       seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(nLandmarks >= 1 && rounds >= 0, "need nLandmarks >= 1, rounds >= 0")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    val und0 = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
-    val landmarks = und.select(col("u")).distinct()
-      .withColumn("p", Dedup.md5Long(concat(lit(s"$seed:"), col("u").cast("string"))))
-      .orderBy(col("p").asc, col("u").asc).limit(nLandmarks)
-      .select(col("u").as("landmark")).localCheckpoint(true)
-    var dist = landmarks
-      .select(col("landmark").as("vid"), col("landmark"), lit(0L).as("dist"))
+    val verts = und0.select(col("u").as("vid")).distinct().localCheckpoint(true)
+    val useBroadcast =
+      verts.count() * nLandmarks <= GraphAnalytics.MaxBroadcastVertices
+    val und = und0.repartition(col("v")).persist(MEMORY_AND_DISK)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    val landmarks = verts
+      .withColumn("p", Dedup.md5Long(concat(lit(s"$seed:"), col("vid").cast("string"))))
+      .orderBy(col("p").asc, col("vid").asc).limit(nLandmarks)
+      .select(col("vid").as("landmark")).localCheckpoint(true)
+    var dist = verts
+      .crossJoin(broadcast(landmarks))
+      .select(col("vid"), col("landmark"),
+        when(col("vid") === col("landmark"), lit(0L)).as("dist"))
+      .withColumn("fresh", col("dist").isNotNull)
       .localCheckpoint(true)
-    (1 to rounds).foreach { i =>
-      val relaxed = und.join(dist, und("u") === dist("vid"))
-        .select(und("v").as("vid"), col("landmark"), (col("dist") + 1).as("dist"))
-      dist = dist.unionAll(relaxed)
-        .groupBy("vid", "landmark").agg(min(col("dist")).as("dist"))
-      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint(true)
+    var moved = -1L
+    var r = 0
+    while (r < rounds && moved != 0L) {
+      r += 1
+      val frontier = dist.where(col("fresh"))
+        .select(col("vid"), col("landmark"), col("dist"))
+      val relaxed = und.join(maybeBroadcast(frontier), und("u") === frontier("vid"))
+        .select(und("v").as("vid"), col("landmark"), (col("dist") + 1).as("nd"))
+        .groupBy("vid", "landmark").agg(min(col("nd")).as("nd"))
+      val merged = dist.join(maybeBroadcast(relaxed), Seq("vid", "landmark"), "left_outer")
+        .select(col("vid"), col("landmark"),
+          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"),
+          (col("nd").isNotNull && col("dist").isNull).as("fresh"))
+        .localCheckpoint(false)
+      // the round's single materializing action + short-circuit
+      moved = merged.where(col("fresh")).count()
+      dist = merged
     }
-    dist
+    val out = dist.where(col("dist").isNotNull)
+      .select(col("vid"), col("landmark"), col("dist")).localCheckpoint(true)
+    und.unpersist(blocking = false)
+    out
   }
 }

@@ -287,6 +287,51 @@ object PipelineQueries {
       Tables(s, dir, "customer"), "c_custkey", "c_name",
       blockExpr = expr("substr(c_name, 1, length(c_name)-2)"), maxDist = 1)
 
+  /** Duplicate-heavy gate fixture for [[Similarity.embedCosinePairs]]'s
+    * exact-duplicate collapse (the tx_contamination build-the-fixture-
+    * inside-the-query recipe): the first 100 vectors replicated 10× —
+    * replicas 0–7 bit-identical (8-way exact-dup groups, the collapse's
+    * target), replicas 8–9 shifted by +0.001·k per component (near-dup
+    * but NOT identical, so they must survive as their own
+    * representatives and pair via the LSH path). The gate corpus is
+    * duplicate-light, so without this key the collapse+expansion logic
+    * is only spec-verified; the oracle below replays the NAIVE
+    * block-and-verify form in SQL, making the hash discriminate the
+    * rewrite itself. All arithmetic is double on both engines (float→
+    * double cast first, then the shift) for bit-identical cosines. */
+  def embedDupHeavy(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings").where(col("vec_id") < 100)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val fix = base.crossJoin(s.range(10).select(col("id").as("rep")))
+      .select((col("vec_id") * 10 + col("rep")).as("vec_id"),
+        expr("""CASE WHEN rep >= 8
+                THEN transform(v, x -> x + CAST(0.001 AS DOUBLE) * (rep - 7))
+                ELSE v END""").as("embedding"))
+    Similarity.embedCosinePairs(fix, "vec_id", "embedding", dim = Dim,
+      threshold = 0.3, numBits = 6, numTables = 8)
+  }
+
+  /** Duplicate-heavy gate fixture for [[graft.operators.EntityResolution
+    * .fuzzyPairs]]'s (block, name) collapse: customers 1–99 replicated
+    * 10× — replicas 0–7 with the verbatim name (8-way groups), replicas
+    * 8–9 with the LAST character substituted ('x'/'y': same length, same
+    * block after the strip-2 key, levenshtein 1 from the base). All ~990
+    * fixture rows share ONE block, sitting just under the 1000-raw-row
+    * bucket guard — the guard must count raw rows, not collapsed names,
+    * for the oracle to agree. */
+  def erFuzzyDupHeavy(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "customer").where(col("c_custkey") < 100)
+      .select(col("c_custkey").as("bid"), col("c_name").as("bname"))
+    val fix = base.crossJoin(s.range(10).select(col("id").as("rep")))
+      .select((col("bid") * 10 + col("rep")).as("id"),
+        expr("""CASE WHEN rep >= 8
+                THEN concat(substr(bname, 1, length(bname)-1),
+                            CASE WHEN rep = 8 THEN 'x' ELSE 'y' END)
+                ELSE bname END""").as("name"))
+    graft.operators.EntityResolution.fuzzyPairs(fix, "id", "name",
+      blockExpr = expr("substr(name, 1, length(name)-2)"), maxDist = 1)
+  }
+
   /** The merge step: connected components over the verified fuzzy
     * pairs, canonical minimum id per cluster, singletons canonical to
     * themselves. Restricted to custkey < 300 so the recursive-CTE
@@ -320,6 +365,8 @@ object PipelineQueries {
     "er_sorted_pairs" -> (erSortedPairs _),
     "dd_setsim_join" -> (setsimJoin _),
     "er_fuzzy_pairs" -> (erFuzzyPairs _),
+    "dd_embed_dupheavy" -> (embedDupHeavy _),
+    "er_fuzzy_dupheavy" -> (erFuzzyDupHeavy _),
     "er_resolve" -> (erResolve _),
     "dd_simhash" -> (simhash _),
     "dd_minhash_lsh" -> (minhashBands _),
@@ -385,7 +432,13 @@ object PipelineQueries {
     * round-trips exactly through DuckDB's parser) and reproduces the
     * sign-bit bucket keys and double-precision cosine bit-for-bit. The
     * bucketed-table CTE is shared by both LSH oracles. */
-  private def lshTablesCte(numBits: Int, numTables: Int): String = {
+  /** LSH banding CTEs over an `e(vec_id, v, nrm)` CTE; `eCte` defaults
+    * to the raw embeddings table and is overridden by fixture-building
+    * oracles (dd_embed_dupheavy). */
+  private def lshTablesCte(numBits: Int, numTables: Int,
+      eCte: String = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings)""".stripMargin): String = {
     val tables = (0 until numTables).map { t =>
       val planes = Similarity.hyperplanes(Dim, numBits, seed = 7L + t)
       val bucket = planes.zipWithIndex.map { case (plane, i) =>
@@ -394,12 +447,34 @@ object PipelineQueries {
       }.mkString(" + ")
       s"SELECT vec_id, v, nrm, $t AS tbl, $bucket AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
+    s"""$eCte,
        |b AS (
        |$tables
        |)""".stripMargin
+  }
+
+  private val embedDupHeavyOracle: String = {
+    val fixtureE =
+      """fix AS (
+        |  SELECT e0.vec_id * 10 + r.rep AS vec_id,
+        |    CASE WHEN r.rep >= 8
+        |      THEN list_transform(CAST(e0.embedding AS DOUBLE[]),
+        |             x -> x + CAST(0.001 AS DOUBLE) * (r.rep - 7))
+        |      ELSE CAST(e0.embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings e0 CROSS JOIN (SELECT unnest(range(10)) AS rep) r
+        |  WHERE e0.vec_id < 100),
+        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM fix)""".stripMargin
+    s"""WITH ${lshTablesCte(numBits = 6, numTables = 8, eCte = fixtureE)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, a.v AS v_a, a.nrm AS n_a,
+       |    c.vec_id AS id_b, c.v AS v_b, c.nrm AS n_b
+       |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, cosine_sim FROM (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN n_a * n_b = 0 THEN 0.0
+       |      ELSE list_dot_product(v_a, v_b) / (n_a * n_b) END AS cosine_sim
+       |  FROM cand)
+       |WHERE cosine_sim >= 0.3""".stripMargin
   }
 
   private val embedCosineOracle: String =
@@ -819,6 +894,24 @@ object PipelineQueries {
         |  (LEAST(d.id, COALESCE(MIN(r.dst), d.id)) = d.id) AS is_canonical
         |FROM c d LEFT JOIN reach r ON r.src = d.id
         |GROUP BY d.id""".stripMargin,
+    "dd_embed_dupheavy" -> embedDupHeavyOracle,
+    "er_fuzzy_dupheavy" ->
+      """WITH base AS (SELECT c_custkey AS bid, c_name AS bname
+        |  FROM customer WHERE c_custkey < 100),
+        |fix AS (SELECT bid * 10 + r.rep AS id,
+        |    CASE WHEN r.rep >= 8
+        |      THEN substr(bname, 1, length(bname)-1) ||
+        |           (CASE WHEN r.rep = 8 THEN 'x' ELSE 'y' END)
+        |      ELSE bname END AS name
+        |  FROM base CROSS JOIN (SELECT unnest(range(10)) AS rep) r),
+        |c AS (SELECT id, name, substr(name, 1, length(name)-2) AS blk FROM fix),
+        |ok AS (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 1000),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+        |    levenshtein(a.name, b.name) AS dist
+        |  FROM c a JOIN c b ON a.blk = b.blk JOIN ok ON ok.blk = a.blk
+        |  WHERE a.id < b.id)
+        |SELECT id_a, id_b, name_a, name_b, CAST(dist AS BIGINT) AS dist
+        |FROM p WHERE dist <= 1""".stripMargin,
     "dd_simhash" -> simhashOracle,
     "mm_decode_features" -> decodeFeaturesOracle,
     "mm_codec_features" -> codecFeaturesOracle,

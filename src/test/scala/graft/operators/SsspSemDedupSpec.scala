@@ -22,6 +22,34 @@ class SsspSemDedupSpec extends SparkTestBase {
     assert(d(2L) == 10L) // the detour needs 3 relaxation rounds
   }
 
+  test("sssp frontier shrinks to the wavefront and short-circuits at the fixpoint") {
+    // path graph 1-2-3-4-5: frontier is one vertex per round (the
+    // wavefront), and rounds stop as soon as a frontier empties even
+    // with a generous budget — a fixpoint round is the identity
+    val edges = (1L to 4L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val (d, sizes) = GraphAnalytics.ssspDistancesWithStats(
+      edges, Seq(1L).toDF("vid"), rounds = 50)
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // rounds 1-4 reach one new vertex each; round 5 (backward relaxation
+    // finds nothing better) empties and the loop stops — not 50 rounds
+    assert(sizes == Seq(1L, 1L, 1L, 1L, 0L), s"got $sizes")
+  }
+
+  test("sssp frontier form matches dense semantics when a vertex improves twice") {
+    // 1→5 direct costs 9 (settles round 1), the 4-hop detour costs 4
+    // (improves vertex 5 again in round 4) — the re-improvement must
+    // re-enter the frontier and the final map must show the detour
+    val edges = Seq((1L, 5L, 9L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val (d, sizes) = GraphAnalytics.ssspDistancesWithStats(
+      edges, Seq(1L).toDF("vid"), rounds = 10, undirected = false)
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(5L) == 4L, s"got $m")
+    // vertex 5 appears in round 1's frontier (d=9) AND round 4's (d=4)
+    assert(sizes.head == 2L && sizes(3) == 1L && sizes.last == 0L, s"got $sizes")
+  }
+
   test("sssp respects direction when undirected = false") {
     val edges = Seq((2L, 1L, 5L)).toDF("src", "dst", "w")
     val d = GraphAnalytics.ssspDistances(edges, Seq(1L).toDF("vid"), rounds = 3,
