@@ -743,8 +743,16 @@ object GraphAnalytics {
       if (dbg) println(s"[sssp] $label ${(System.nanoTime() - t0) / 1e9}s")
       a
     }
-    val eCp = t("eCp")((if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0)
-      .groupBy("u", "v").agg(min(col("w")).as("w")).localCheckpoint(true))
+    // ONE shuffle stages the edge list: repartition by the message key v
+    // FIRST, then the parallel-edge min-collapse groupBy runs exchange-
+    // free on top (HashPartitioning(v) satisfies the (u, v) clustering)
+    // and the result is ALREADY pinned for the rounds — the r9 shape
+    // (dedup-shuffle + eager checkpoint + repartition-shuffle) moved the
+    // full edge list twice, 13 s of the sf1 wall-clock.
+    val eRaw = if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0
+    val e = t("eStage")(eRaw.repartition(col("v"))
+      .groupBy("u", "v").agg(min(col("w")).as("w"))
+      .persist(MEMORY_AND_DISK))
     val src = sources.select(col(sources.columns.head).as("vid")).distinct()
     // DENSE-INIT state: every vertex that can ever hold a distance is a
     // row from round 0 (dist NULL = unreached, `fresh` marking the
@@ -761,20 +769,20 @@ object GraphAnalytics {
     // is the same flat shape.
     // undirected edge lists carry both directions, so the u-side alone
     // covers every endpoint — skip the v union (halves the distinct's
-    // input); directed graphs need both (a pure sink appears only as v)
+    // input); directed graphs need both (a pure sink appears only as v).
+    // The first scan of the cached e happens here, so the staged edge
+    // list materializes as a side effect of computing the vertex set.
     val endpoints =
-      if (undirected) eCp.select(col("u").as("vid"))
-      else eCp.select(col("u").as("vid")).unionAll(eCp.select(col("v").as("vid")))
+      if (undirected) e.select(col("u").as("vid"))
+      else e.select(col("u").as("vid")).unionAll(e.select(col("v").as("vid")))
     val verts = t("verts")(endpoints.unionAll(src).distinct().localCheckpoint(true))
     val nVerts = t("nVerts")(verts.count())
+    // the frontier broadcast-joins into the v-pinned cache and the
+    // min-combine runs in place — a round exchanges NOTHING. Past
+    // MaxBroadcastVertices the guard falls back to shuffle joins
+    // (frontier and messages exchange; map-side combine defends the
+    // wire).
     val useBroadcast = broadcastDist && nVerts <= MaxBroadcastVertices
-    // edges pinned hash-partitioned by the MESSAGE key v ONCE (persist —
-    // the edge list is static, so no plan growth): the frontier
-    // broadcast-joins in and the min-combine keyed v runs in place —
-    // a round exchanges NOTHING. Past MaxBroadcastVertices the guard
-    // falls back to shuffle joins (frontier and messages exchange;
-    // map-side combine defends the wire).
-    val e = eCp.repartition(col("v")).persist(MEMORY_AND_DISK)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     val d0 = src.withColumn("d0", lit(0L))

@@ -51,12 +51,16 @@ object Landmarks {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    val und0 = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-    val verts = und0.select(col("u").as("vid")).distinct().localCheckpoint(true)
+    // one shuffle stages the edge list: repartition by the message key v
+    // first, then the dedup distinct runs exchange-free on top
+    // (HashPartitioning(v) satisfies the (u, v) clustering) and the
+    // result is already pinned for the rounds (the sssp staging shape)
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val verts = und.select(col("u").as("vid")).distinct().localCheckpoint(true)
     val useBroadcast =
       verts.count() * nLandmarks <= GraphAnalytics.MaxBroadcastVertices
-    val und = und0.repartition(col("v")).persist(MEMORY_AND_DISK)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     val landmarks = verts

@@ -24,6 +24,15 @@ object StreamingAnn {
 
   /** Start the index-maintenance stream: one cell-partitioned parquet
     * write per micro-batch. */
+  /** Per-micro-batch body, exposed for the retry-replay specs
+    * (StreamingRetrySpec). */
+  private[streaming] def processIvfBatch(
+      batch: DataFrame, batchId: Long, idCol: String, vecCol: String,
+      model: Similarity.IvfModel, indexDir: String): Unit =
+    Similarity.assignCells(batch, idCol, vecCol, model)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/batch_$batchId")
+
   def incrementalIvfIndex(
       vectors: DataFrame, idCol: String, vecCol: String,
       model: Similarity.IvfModel, indexDir: String,
@@ -31,9 +40,7 @@ object StreamingAnn {
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.assignCells(batch, idCol, vecCol, model)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$indexDir/batch_$batchId")
+        processIvfBatch(batch, batchId, idCol, vecCol, model, indexDir)
       }
       .start()
 

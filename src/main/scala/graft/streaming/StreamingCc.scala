@@ -29,27 +29,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingCc {
 
+  /** Per-micro-batch body, exposed for the retry-replay specs
+    * (StreamingRetrySpec). */
+  private[streaming] def processCcBatch(
+      batch: DataFrame, batchId: Long, srcCol: String, dstCol: String,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    b.write.mode("overwrite").parquet(s"$stateDir/edges/batch_$batchId")
+    // previous generations may be missing on the FIRST batch only
+    val prevDirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/labels")
+      .filter(_._1 < batchId)
+    val input = prevDirs.sortBy(_._1).lastOption match {
+      case Some((_, dir)) =>
+        spark.read.parquet(dir)
+          .select(col("vid").as("src"), col("component").as("dst"))
+          .unionAll(b)
+      case None => b
+    }
+    DataFramePregel.connectedComponents(input)
+      .write.mode("overwrite").parquet(s"$stateDir/labels/batch_$batchId")
+  }
+
   def incrementalCc(
       edges: DataFrame, srcCol: String, dstCol: String,
       stateDir: String, checkpointDir: String): StreamingQuery =
     edges.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        b.write.mode("overwrite").parquet(s"$stateDir/edges/batch_$batchId")
-        // previous generations may be missing on the FIRST batch only
-        val prevDirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/labels")
-          .filter(_._1 < batchId)
-        val input = prevDirs.sortBy(_._1).lastOption match {
-          case Some((_, dir)) =>
-            spark.read.parquet(dir)
-              .select(col("vid").as("src"), col("component").as("dst"))
-              .unionAll(b)
-          case None => b
-        }
-        DataFramePregel.connectedComponents(input)
-          .write.mode("overwrite").parquet(s"$stateDir/labels/batch_$batchId")
+        processCcBatch(batch, batchId, srcCol, dstCol, stateDir)
       }
       .start()
 

@@ -39,6 +39,42 @@ object StreamingDedup {
     }
   }
 
+  /** The per-micro-batch body, exposed so the retry-replay specs can
+    * re-deliver a batch id exactly as foreachBatch's at-least-once
+    * contract does (StreamingRetrySpec). */
+  private[streaming] def processMinhashBatch(
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      indexDir: String, pairsDir: String,
+      shingleSize: Int, numHashes: Int, bands: Int): Unit = {
+    val spark = batch.sparkSession
+    val banded = Dedup.minHashBands(batch, idCol, textCol, shingleSize, numHashes, bands)
+      .localCheckpoint(true) // reused three times below
+
+    // strictly-older batches only: a retry of THIS batch must not see
+    // its own failed attempt's index rows
+    val olderDirs = listBatchDirs(spark, indexDir)
+      .filter(_._1 < batchId).map(_._2)
+    val older =
+      if (olderDirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          banded.schema)
+      else spark.read.parquet(olderDirs: _*)
+
+    val probe = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val crossBatch = probe
+      .join(older.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+    val inBatch = probe
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .where(col("id_a") > col("id_b"))
+    crossBatch.unionAll(inBatch)
+      .select(col("id_a"), col("id_b")).distinct()
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
+
+    banded.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+  }
+
   def incrementalMinhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, pairsDir: String, checkpointDir: String,
@@ -46,33 +82,8 @@ object StreamingDedup {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val banded = Dedup.minHashBands(batch, idCol, textCol, shingleSize, numHashes, bands)
-          .localCheckpoint(true) // reused three times below
-
-        // strictly-older batches only: a retry of THIS batch must not see
-        // its own failed attempt's index rows
-        val olderDirs = listBatchDirs(spark, indexDir)
-          .filter(_._1 < batchId).map(_._2)
-        val older =
-          if (olderDirs.isEmpty)
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              banded.schema)
-          else spark.read.parquet(olderDirs: _*)
-
-        val probe = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-        val crossBatch = probe
-          .join(older.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
-            Seq("band", "bucket"))
-        val inBatch = probe
-          .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
-            Seq("band", "bucket"))
-          .where(col("id_a") > col("id_b"))
-        crossBatch.unionAll(inBatch)
-          .select(col("id_a"), col("id_b")).distinct()
-          .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
-
-        banded.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+        processMinhashBatch(batch, batchId, idCol, textCol, indexDir, pairsDir,
+          shingleSize, numHashes, bands)
       }
       .start()
 

@@ -32,6 +32,48 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingEr {
 
+  /** Per-micro-batch body, exposed for the retry-replay specs
+    * (StreamingRetrySpec). */
+  private[streaming] def processErBatch(
+      batch: DataFrame, batchId: Long, idCol: String, nameCol: String,
+      blockExpr: Column, indexDir: String, pairsDir: String,
+      maxDist: Int, maxBucketSize: Int): Unit = {
+    val spark = batch.sparkSession
+    val keyed = batch.select(col(idCol).as("id"), col(nameCol).as("name"),
+      blockExpr.as("blk")).localCheckpoint(true)
+
+    val olderDirs = StreamingDedup.listBatchDirs(spark, indexDir)
+      .filter(_._1 < batchId).map(_._2)
+    val older =
+      if (olderDirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          keyed.schema)
+      else spark.read.parquet(olderDirs: _*)
+
+    // hot-block guard over the corpus-so-far
+    val okBlocks = older.unionAll(keyed).groupBy("blk")
+      .agg(count(lit(1)).as("blk_n")).where(col("blk_n") <= maxBucketSize)
+      .select("blk")
+
+    val probe = keyed.join(okBlocks, Seq("blk"))
+    val crossBatch = probe.as("a")
+      .join(older.join(okBlocks, Seq("blk")).as("b"), Seq("blk"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+    val inBatch = probe.as("a").join(probe.as("b"), Seq("blk"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+    crossBatch.unionAll(inBatch)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
+      .distinct()
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
+
+    keyed.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+  }
+
   def incrementalFuzzyPairs(
       entities: DataFrame, idCol: String, nameCol: String, blockExpr: Column,
       indexDir: String, pairsDir: String, checkpointDir: String,
@@ -39,40 +81,8 @@ object StreamingEr {
     entities.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val keyed = batch.select(col(idCol).as("id"), col(nameCol).as("name"),
-          blockExpr.as("blk")).localCheckpoint(true)
-
-        val olderDirs = StreamingDedup.listBatchDirs(spark, indexDir)
-          .filter(_._1 < batchId).map(_._2)
-        val older =
-          if (olderDirs.isEmpty)
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              keyed.schema)
-          else spark.read.parquet(olderDirs: _*)
-
-        // hot-block guard over the corpus-so-far
-        val okBlocks = older.unionAll(keyed).groupBy("blk")
-          .agg(count(lit(1)).as("blk_n")).where(col("blk_n") <= maxBucketSize)
-          .select("blk")
-
-        val probe = keyed.join(okBlocks, Seq("blk"))
-        val crossBatch = probe.as("a")
-          .join(older.join(okBlocks, Seq("blk")).as("b"), Seq("blk"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            col("a.name").as("name_a"), col("b.name").as("name_b"))
-        val inBatch = probe.as("a").join(probe.as("b"), Seq("blk"))
-          .where(col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            col("a.name").as("name_a"), col("b.name").as("name_b"))
-        crossBatch.unionAll(inBatch)
-          .withColumn("dist",
-            levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
-          .where(col("dist") >= 0)
-          .distinct()
-          .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
-
-        keyed.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+        processErBatch(batch, batchId, idCol, nameCol, blockExpr,
+          indexDir, pairsDir, maxDist, maxBucketSize)
       }
       .start()
 

@@ -23,6 +23,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingSketches {
 
+  /** Per-micro-batch body of [[hllRegistersStream]], exposed for the
+    * retry-replay specs (StreamingRetrySpec). */
+  private[streaming] def processHllBatch(
+      batch: DataFrame, batchId: Long, valueCol: String, sketchDir: String,
+      b: Int): Unit =
+    Sketches.hllRegisters(batch, col(valueCol), b)
+      .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+
   /** Maintain per-batch HLL register tables for `value` under
     * `sketchDir/batch_<id>`. */
   def hllRegistersStream(
@@ -31,8 +39,7 @@ object StreamingSketches {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Sketches.hllRegisters(batch, col(valueCol), b)
-          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+        processHllBatch(batch, batchId, valueCol, sketchDir, b)
       }
       .start()
 
