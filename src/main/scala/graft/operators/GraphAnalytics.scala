@@ -1763,30 +1763,59 @@ object DataFramePregel {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
-    // every vertex that appears anywhere — singletons and roots must show
-    // up in the final assignment even though stars drop them from edges
-    val allV = edges.select(col(srcCol).as("vid"))
-      .unionAll(edges.select(col(dstCol).as("vid"))).distinct()
+    // materialize the bare (src, dst) pair ONCE: allV and the canonical
+    // edge list both scan it, and the caller's lineage (for the unified
+    // graph, a union of per-pattern joins) is far more expensive than
+    // one 2-column materialization — previously each derived table
+    // re-ran that lineage from scratch
+    val eIn = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint(true)
 
-    // canonical (u > v) self-loop-free edge list
-    var e = ckpt(edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // every vertex that appears anywhere — singletons and roots must show
+    // up in the final assignment even though stars drop them from edges.
+    // Deliberately LAZY: its one consumer is the final assignment join,
+    // and with eIn materialized the recompute is a cheap 2-column scan —
+    // eagerly caching it here would be a pure extra pre-loop action
+    val allV = eIn.select(col("a").as("vid"))
+      .unionAll(eIn.select(col("b").as("vid"))).distinct()
+
+    // canonical (u > v) self-loop-free edge list. No initial distinct and
+    // no materialization: both star phases tolerate duplicate edges (the
+    // neighborhood min is a multiset function and every round output runs
+    // its own distinct), so deduplicating here would pay a full (u, v)
+    // exchange plus a checkpoint to remove what round 0 removes for free —
+    // as a lazy map-only projection over the materialized eIn, this
+    // pipelines straight into round 0's first exchange. A duplicate that
+    // reaches a star only delays the star probe by one (dedup'ing) round.
+    var e: DataFrame = eIn
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct())
 
-    def checksum(df: DataFrame): (Long, BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    // Convergence = the edge list IS a star (every u appears exactly once
+    // and never as a v): stars are exactly the fixpoints of the
+    // alternating large/small-star operators (Kiveris et al. §3 — one
+    // more round maps a star to itself, shown by replaying both phases),
+    // so testing star-ness on the ROUND OUTPUT converges one full round
+    // earlier than the previous checksum-equality probe, which had to
+    // re-run a round to observe "nothing changed". One V-sized
+    // map-combined exchange per probe, and the same aggregate yields the
+    // edge count the per-round partition sizing needs.
+    def starProbe(df: DataFrame): (Long, Boolean) = {
+      val r = df.select(col("u").as("x"), lit(1L).as("c"))
+        .unionAll(df.select(col("v").as("x"), lit(0L).as("c")))
+        .groupBy("x").agg(sum(col("c")).as("cn"), count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("cn")), lit(0L)),
+          coalesce(max(col("cn") > 1 || (col("cn") >= 1 && col("n") > col("cn"))),
+            lit(false)))
+        .head()
+      (r.getLong(0), !r.getBoolean(1))
     }
 
-    var prev = checksum(e)
+    var (edgeCount, isStar) = starProbe(e)
     var rounds = 0
-    var converged = prev._1 == 0
+    var converged = edgeCount == 0 || isStar
 
-    if (!converged && prev._1 <= localThreshold) {
+    if (!converged && edgeCount <= localThreshold) {
       import spark.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -1813,27 +1842,69 @@ object DataFramePregel {
         .select(col("vid"), coalesce(col("component"), col("vid")).as("component"))
       return (assigned, 0)
     }
+    // Each round runs as ONE linear pipeline over three explicit hash(u)
+    // exchanges: both star phases are single-pass WINDOW aggregations
+    // over the clustering instead of groupBy-then-self-join — the min of
+    // a neighborhood rides `min() over (partition by u)` on the already-
+    // hash(u)-partitioned rows, so no phase reads its input twice and no
+    // intermediate needs a persist (a second consumer was the old form's
+    // hidden cost: each groupBy AND each join re-exchanged the same edge
+    // list — ~9 edge-sized shuffles per round and, when fused into the
+    // round's single job, duplicate computation of the shared stages).
+    // Window buffering per group is bounded by the hub degree (tens of
+    // MB at worst) and spills via UnsafeExternalSorter beyond the
+    // in-memory threshold, so hubs degrade gracefully.
+    // Partition counts are volume-sized per round from the canonical
+    // edge count the convergence checksum already paid for (~300k rows
+    // per partition, capped at the config value — the coreness recipe):
+    // star rounds shrink the edge list geometrically, and late
+    // frontier-small rounds at a static count are pure stage-launch cost.
+    val confParts = spark.sessionState.conf.numShufflePartitions
+    def volParts(rows: Long): Int =
+      math.max(1, math.min(confParts, (rows / 300000L).toInt + 1))
+    import org.apache.spark.sql.expressions.Window
     while (rounds < maxIter && !converged) {
-      // ---- large-star: (v, min(N(u) ∪ {u})) for every neighbor v > u
+      val parts = volParts(2L * edgeCount)
+      // ---- large-star: every neighbor v > u re-attaches to
+      // m = min(N(u) ∪ {u}), computed in the same pass that emits
       val und = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val mins1 = und.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // no distinct here: duplicates ((v,m) emitted from several u) do not
-      // change small-star's groupBy-min, and small's own distinct removes
-      // them from the round output — skipping it saves a full edge-list
-      // shuffle per round
-      val large = und.join(mins1, "u").where(col("v") > col("u"))
+        .repartition(parts, col("u"))
+      val large = und
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+        .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      // ---- small-star: all smaller neighbors (and u) attach to the min
-      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
-      val small = large.join(mins2, "u").where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .repartition(parts, col("u"))
+      // ---- small-star: all smaller neighbors (and u itself) attach to
+      // the min neighbor. One ordered window pass: first() over the
+      // v-ascending frame is the group min, and row_number()==1 marks a
+      // single designated emitter for the (u, m) root row (duplicates of
+      // (u, v) may exist — large skips its distinct — so "v == m" could
+      // fire twice; rn==1 cannot). Each row then explodes into its 0-2
+      // output pairs and the round-end distinct rides the final hash(u)
+      // exchange (hash(u) co-locates equal (u, v) rows).
+      val wOrd = Window.partitionBy("u").orderBy("v")
+      val small = large
+        .withColumn("m", first(col("v")).over(wOrd))
+        .withColumn("rn", row_number().over(wOrd))
+        .select(explode(array(
+          when(col("v") =!= col("m"),
+            struct(col("v").as("u"), col("m").as("v"))),
+          when(col("rn") === 1,
+            struct(col("u").as("u"), col("m").as("v"))))).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .repartition(parts, col("u"))
         .distinct()
+      // one eager action materializes the whole round
+      val t0 = System.nanoTime()
       e = ckpt(small)
-      val now = checksum(e)
-      if (now == prev) converged = true else prev = now
+      val t1 = System.nanoTime()
+      val probe = starProbe(e)
+      edgeCount = probe._1; isStar = probe._2
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $rounds: edges $edgeCount parts $parts star $isStar ckpt ${(t1-t0)/1e9}%.2f s probe ${(System.nanoTime()-t1)/1e9}%.2f s")
+      converged = isStar
       rounds += 1
     }
 
