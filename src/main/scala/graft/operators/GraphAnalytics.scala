@@ -353,10 +353,18 @@ object GraphAnalytics {
     * groupBy — (vid, score) pairs on the wire, never adjacency. The
     * normalizer is a one-row aggregate broadcast back over the scores
     * (BroadcastNestedLoopJoin of 1 row — constant cost at any scale).
-    * Mass accounting: raw sums run in DECIMAL(38,0) (a super-hub can
-    * absorb the whole graph's mass — same headroom argument as
-    * PageRank's in-sums); normalized per-vertex scores are ≤ Micro·n
-    * BIGINT micro-units. */
+    * Mass accounting: the EDGE-level in-sums run in plain BIGINT — a
+    * per-vertex raw sum is bounded by the side's TOTAL L1 mass
+    * Micro·n (each score is ≤ the whole normalized vector), so long
+    * overflow needs n > 9.2·10¹² vertices; switching these 2E-row
+    * sums off DECIMAL(38,0) removed a measured ~10 s of BigDecimal
+    * accumulation at sf1 (13.6M edges × 10 half-updates). DECIMAL
+    * survives only where it is load-bearing: the normalizer total
+    * Σ_u raw(u) ≤ Micro·n·max_deg CAN exceed BIGINT, and the
+    * rescaling product raw·Micro·n always would — both are V-row
+    * (not E-row) computations, so the decimal cost is negligible.
+    * DuckDB sums BIGINT into HUGEINT natively, so the oracle's
+    * integers are unchanged. */
   def hitsDF(edges: DataFrame, numIter: Int = 5,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val Micro = 1000000L
@@ -373,25 +381,36 @@ object GraphAnalytics {
     val useBroadcast = nVerts <= MaxBroadcastVertices
     def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
 
-    // normalize a raw DECIMAL score column back to total mass `scale`:
+    // normalize a raw BIGINT score column back to total mass `scale`:
     // each row's quotient truncates identically in Spark's `div` and
-    // DuckDB's `//`, so the normalized integers are engine-exact
+    // DuckDB's `//`, so the normalized integers are engine-exact. The
+    // total and the product are the two places BIGINT can genuinely
+    // overflow (see the mass-accounting scaladoc) — both are V-row
+    // decimal computations here, off the edge-sized hot path. `raw` is
+    // materialized by the caller (the round's one checkpoint per
+    // half-update); the normalization itself stays LAZY — the one-row
+    // broadcast total and the quotient projection pipeline into the
+    // next half-update's broadcast build.
     def normalized(raw: DataFrame, rawCol: String, outCol: String): DataFrame =
-      raw.crossJoin(broadcast(raw.agg(sum(col(rawCol)).as("__tot"))))
+      raw.crossJoin(broadcast(
+        raw.agg(sum(col(rawCol).cast("decimal(38,0)")).as("__tot"))))
         .select(col("vid"),
-          expr(s"CAST($rawCol * $scale div __tot AS BIGINT)").as(outCol))
+          expr(s"CAST(CAST($rawCol AS DECIMAL(38,0)) * $scale div __tot AS BIGINT)")
+            .as(outCol))
 
     var auth = verts.select(col("vid"), lit(Micro).as("a"))
     var hub: DataFrame = null
     (1 to numIter).foreach { i =>
       val hRaw = e.join(side(auth), e("dst") === auth("vid"))
         .select(col("src").as("hvid"), col("a"))
-        .groupBy(col("hvid").as("vid")).agg(sum(col("a").cast("decimal(38,0)")).as("h_raw"))
-      hub = normalized(hRaw, "h_raw", "h").localCheckpoint(true)
+        .groupBy(col("hvid").as("vid")).agg(sum(col("a")).as("h_raw"))
+        .localCheckpoint(true)
+      hub = normalized(hRaw, "h_raw", "h")
       val aRaw = e.join(side(hub), e("src") === hub("vid"))
         .select(col("dst").as("avid"), col("h"))
-        .groupBy(col("avid").as("vid")).agg(sum(col("h").cast("decimal(38,0)")).as("a_raw"))
-      auth = normalized(aRaw, "a_raw", "a").localCheckpoint(true)
+        .groupBy(col("avid").as("vid")).agg(sum(col("h")).as("a_raw"))
+        .localCheckpoint(true)
+      auth = normalized(aRaw, "a_raw", "a")
     }
     verts.join(hub, Seq("vid"), "left").join(auth, Seq("vid"), "left")
       .select(col("vid"),
@@ -436,19 +455,24 @@ object GraphAnalytics {
     val ed = e.join(maybeBroadcast(wsum), "src")
       .select(col("src"), col("dst"), col("w"), col("wsum")).localCheckpoint(true)
 
+    // E-row sums in BIGINT, V-row damping multiply in DECIMAL — the
+    // pageRankQuantizedDF/hitsDF mass-accounting recipe; the per-edge
+    // product rank·w stays in the BIGINT headroom the weight contract
+    // above guarantees
     def ranksOf(inSums: DataFrame): DataFrame =
       inSums.select(col("vid"),
         (lit(resetMicro) + expr(
-          s"CAST(in_sum * ${dampMicro} div ${Micro} AS BIGINT)")).as("rank_micro"))
+          s"CAST(CAST(in_sum AS DECIMAL(38,0)) * ${dampMicro} div ${Micro} AS BIGINT)"))
+          .as("rank_micro"))
     var inSums = ed
       .select(col("dst").as("vid"), expr(s"${Micro}L * w div wsum").as("c"))
-      .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
+      .groupBy("vid").agg(sum(col("c")).as("in_sum"))
     (2 to numIter).foreach { i =>
       val r = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
       inSums = ed.join(maybeBroadcast(r), ed("src") === r("vid"), "left")
         .select(col("dst").as("vid"),
           expr(s"coalesce(rank_micro, ${resetMicro}L) * w div wsum").as("c"))
-        .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
+        .groupBy("vid").agg(sum(col("c")).as("in_sum"))
     }
     verts.join(maybeBroadcast(ranksOf(inSums)), Seq("vid"), "left")
       .select(col("vid"),
@@ -553,25 +577,29 @@ object GraphAnalytics {
     // (in_sum = 0), so a coalesce default replaces the per-round
     // verts-fill join (one join + one exchange saved per round). Round 1
     // needs no join at all: every rank is the initial Micro.
-    // in_sum runs in DECIMAL(38,0): a hub vertex's in-sum is bounded only
-    // by TOTAL rank mass (n·10⁶ micro-units), and the damping multiply
-    // adds 6 more digits — past ~10⁷ vertices the BIGINT form overflowed
-    // silently. The decimal agg is one exact wide-int sum (still map-side
-    // combined); the per-vertex quotient casts back to BIGINT.
+    // Mass accounting (the hitsDF recipe): the E-row in-sums run in
+    // plain BIGINT — a hub's in-sum is bounded by TOTAL rank mass
+    // (n·10⁶ micro-units), so long overflow needs n > 9.2·10¹²
+    // vertices; what genuinely overflows earlier (past ~10⁷ vertices)
+    // is the DAMPING MULTIPLY, which adds 6 more digits — so only that
+    // V-row product runs in DECIMAL(38,0), off the edge-sized hot path
+    // (BigDecimal accumulation over 2E rows × rounds measured ~10 s of
+    // pure CPU at sf1 in the HITS twin). Same integers either way.
     def ranksOf(inSums: DataFrame): DataFrame =
       inSums.select(col("vid"),
         (lit(resetMicro) + expr(
-          s"CAST(in_sum * ${dampMicro} div ${Micro} AS BIGINT)")).as("rank_micro"))
+          s"CAST(CAST(in_sum AS DECIMAL(38,0)) * ${dampMicro} div ${Micro} AS BIGINT)"))
+          .as("rank_micro"))
     var inSums = ed
       .select(col("dst").as("vid"), expr(s"${Micro}L div deg").as("c"))
-      .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
+      .groupBy("vid").agg(sum(col("c")).as("in_sum"))
     (2 to numIter).foreach { i =>
       val rBase = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
       val r = if (useBroadcast) broadcast(rBase) else rBase
       inSums = ed.join(r, ed("src") === r("vid"), "left")
         .select(col("dst").as("vid"),
           expr(s"coalesce(rank_micro, ${resetMicro}L) div deg").as("c"))
-        .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
+        .groupBy("vid").agg(sum(col("c")).as("in_sum"))
     }
     // materialize before releasing the pinned edge cache — the final
     // projection below must not silently recompute the whole loop
@@ -592,9 +620,10 @@ object GraphAnalytics {
     * mass returns only to the `sources` set instead of every vertex —
     * ranks measure proximity/importance RELATIVE to the sources, the
     * recommendation/feature form of PageRank. Same fixed-point integer
-    * arithmetic as [[pageRankQuantizedDF]] (micro-unit BIGINT ranks,
-    * DECIMAL(38,0) in-sums, integral damping — bit-reproducible, chained-
-    * CTE-oracleable) with two differences: the initial mass is 10⁶
+    * arithmetic as [[pageRankQuantizedDF]] (micro-unit BIGINT ranks and
+    * in-sums, decimal only at the V-row damping multiply, integral
+    * damping — bit-reproducible, chained-CTE-oracleable) with two
+    * differences: the initial mass is 10⁶
     * micro-units PER SOURCE (unnormalized — relative ranks are identical
     * to the 1/|S| form and stay integer-exact), and the per-round rank
     * table is SPARSE over vertices reached from the sources: absent
@@ -628,19 +657,23 @@ object GraphAnalytics {
     // r_i = resetMicro·1[v ∈ S] + damp · in_sum(v), kept sparse via a
     // source ∪ in-sum full-outer merge (rows exist only where either side
     // contributes)
+    // E-row sums in BIGINT, V-row damping multiply in DECIMAL (the
+    // pageRankQuantizedDF mass-accounting recipe; PPR mass only decays
+    // from |S|·10⁶, so the long bound is even looser here)
     def ranksOf(inSums: DataFrame): DataFrame =
       s.withColumn("__s", lit(true))
         .join(inSums, Seq("vid"), "full_outer")
         .select(col("vid"),
           (when(col("__s"), lit(resetMicro)).otherwise(lit(0L)) +
-            expr(s"CAST(coalesce(in_sum, 0) * ${dampMicro} div ${Micro} AS BIGINT)"))
+            expr(s"CAST(coalesce(CAST(in_sum AS DECIMAL(38,0)), 0) * ${dampMicro}" +
+              s" div ${Micro} AS BIGINT)"))
             .as("rank_micro"))
     var ranks = s.withColumn("rank_micro", lit(Micro)).localCheckpoint(true)
     (1 until numIter).foreach { i =>
       val r = if (useBroadcast) broadcast(ranks) else ranks
       val inSums = ed.join(r, ed("src") === r("vid"))
         .select(col("dst").as("vid"), expr("rank_micro div deg").as("c"))
-        .groupBy("vid").agg(sum(col("c").cast("decimal(38,0)")).as("in_sum"))
+        .groupBy("vid").agg(sum(col("c")).as("in_sum"))
       ranks = ranksOf(inSums)
       if (i % 3 == 0 || i == numIter - 1) ranks = ranks.localCheckpoint(true)
     }
