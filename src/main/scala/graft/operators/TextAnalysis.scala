@@ -509,9 +509,14 @@ object TextAnalysis {
     // shingleHashesMd5 is DISTINCT per doc by construction, so windows
     // are (doc, distinct window) rows: a hash occurring in >= 2 rows
     // occurs in >= 2 docs, and n_windows counts distinct windows (self-
-    // repetition inside one doc is repetitionStats' signal, not this one)
+    // repetition inside one doc is repetitionStats' signal, not this one.
+    // Checkpointed: both the duplicate-hash census and the per-doc
+    // join-back read these rows — without the pin the whole
+    // tokenize+hash+explode pass runs twice. (id, hash) pairs only, so
+    // the pinned footprint is a small constant fraction of corpus bytes.
     val windows = df.select(col(idCol).as("doc_id"),
       explode(Dedup.shingleHashesMd5(col(textCol), windowTokens)).as("h"))
+      .localCheckpoint(true)
     val dupHashes = windows
       .groupBy("h").agg(count(lit(1)).as("__docs"))
       .where(col("__docs") >= 2).select(col("h"))

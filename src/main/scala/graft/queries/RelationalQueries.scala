@@ -427,11 +427,14 @@ object RelationalQueries {
     * estimates are a broadcast join against ≤4096 counter rows. */
   def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
-    val cms = graft.operators.Sketches.cmsTable(li, col("l_partkey"))
-    // the truth table doubles as the item list — one lineitem scan, not
-    // a separate distinct pass
+    // the truth table doubles as the item list AND as the sketch input:
+    // building the CMS from (distinct key, true_count) weights is
+    // bit-identical to hashing every lineitem row (cells are count sums)
+    // but does 30× less hash work at sf1 — see cmsTableWeighted.
     val truth = li.groupBy("l_partkey").agg(count(lit(1)).as("true_count"))
       .localCheckpoint(true)
+    val cms = graft.operators.Sketches.cmsTableWeighted(
+      truth, col("l_partkey"), col("true_count"))
     graft.operators.Sketches.cmsLookup(cms, truth.select(col("l_partkey")), "l_partkey")
       .join(truth, Seq("l_partkey"))
       .select(col("l_partkey"), col("est_count"), col("true_count"))
