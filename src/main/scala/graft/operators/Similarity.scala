@@ -479,13 +479,18 @@ object Similarity {
     * shuffle bandwidth than float32, the standard ANN compression step.
     * Zero vectors quantize to scale 1 / all-zero codes. Pure column math
     * (quantization runs once, offline, over the corpus). */
-  def quantizeInt8(vec: Column): Column = {
-    val d = transform(vec, x => x.cast("double"))
-    val mx = array_max(transform(d, x => abs(x)))
-    val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
-    struct(scale.as("scale"),
-      transform(d, x => round(x / scale).cast("byte")).as("codes"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    // bindOnce (see Dedup.bindOnce): both the cast pass and the scale —
+    // which embeds a whole array_max(abs) pass — sit inside the codes
+    // lambda; unbound, the interpreter re-runs them per ELEMENT, turning
+    // a 3-pass quantization into O(dim²) work per vector (the sf1
+    // ss_quant_topk isolation flagged exactly this).
+    Dedup.bindOnce(transform(vec, x => x.cast("double")), d =>
+      Dedup.bindOnce(array_max(transform(d, x => abs(x))), mx => {
+        val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
+        struct(scale.as("scale"),
+          transform(d, x => round(x / scale).cast("byte")).as("codes"))
+      }))
 
   /** Reconstruct approximate float values from an int8-quantized struct. */
   def dequantizeInt8(q: Column): Column =
