@@ -1201,19 +1201,28 @@ object GraphAnalytics {
     // cutting stage-launch cost ~4× at bench scale; at 100 TB the
     // byte-derived count exceeds any static setting and the cap is the
     // config value again.
-    val und0 = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(false)
-    val undRows = und0.count()
+    // staging is ONE shuffle (the ssspDistances recipe): repartition the
+    // raw doubled edge list by u FIRST, then dedup exchange-free on top —
+    // hash(u) co-locates (u, v) duplicates, so the old
+    // distinct-shuffle → checkpoint → repartition-shuffle chain moved the
+    // full edge list twice for nothing. Partition sizing uses the raw
+    // directed-edge count (one cheap count job; duplicates only
+    // overestimate, and the count is a heuristic cap anyway), and nVerts
+    // falls out of the degree table's row count instead of a dedicated
+    // distinct pass.
+    val eRows = e0.count()
     val confParts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val undParts = math.max(1, math.min(confParts, (undRows / 300000L).toInt + 1))
-    val und = und0.repartition(undParts, col("u"))
+    val undParts = math.max(1, math.min(confParts, (2 * eRows / 300000L).toInt + 1))
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(undParts, col("u"))
+      .dropDuplicates("u", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nVerts = und.select(col("u")).distinct().count()
+    var c = und.groupBy("u").agg(count(lit(1)).cast("long").as("cv"))
+      .localCheckpoint(true)
+    val nVerts = c.count()
     val useBroadcast = nVerts <= MaxBroadcastVertices
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
-    var c = und.groupBy("u").agg(count(lit(1)).cast("long").as("cv"))
-      .localCheckpoint(true)
     // frontier after round r = vertices whose value changed in round r;
     // before round 1 every vertex counts as changed (c₀ is new)
     var changed: DataFrame = null
