@@ -52,6 +52,12 @@ object Mis {
     var uncolored = und.select(col("u")).distinct()
       .withColumn("p", Dedup.md5Long(concat(lit(s"$seed:"), col("u").cast("string"))))
       .localCheckpoint(true)
+    // vertex-sized sides of every edge ⋈ vertex join carry an explicit
+    // guarded broadcast hint — same rule and rationale as
+    // maximalIndependentSet below
+    val useBroadcast = uncolored.count() <= GraphAnalytics.MaxBroadcastVertices
+    def bc(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     var colors: DataFrame = null
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy("c")
@@ -59,18 +65,18 @@ object Mis {
       val nbrP = uncolored.select(col("u").as("v"), col("p").as("pn"))
       // a higher-priority UNCOLORED neighbor blocks v this round
       val blocked = und
-        .join(uncolored.select(col("u"), col("p")), "u")
-        .join(nbrP, "v")
+        .join(bc(uncolored.select(col("u"), col("p"))), "u")
+        .join(bc(nbrP), "v")
         .where(col("pn") > col("p") || (col("pn") === col("p") && col("v") > col("u")))
         .select(col("u")).distinct()
-      val ready = uncolored.join(blocked, Seq("u"), "left_anti")
+      val ready = uncolored.join(bc(blocked), Seq("u"), "left_anti")
         .select(col("u")).localCheckpoint(true)
       // mex of already-colored neighbor colors
       val mex =
         if (colors == null) ready.select(col("u"), lit(0L).as("color"))
         else {
-          val nbrC = und.join(ready, "u")
-            .join(colors.select(col("vid").as("v"), col("color").as("c")), "v")
+          val nbrC = und.join(bc(ready), "u")
+            .join(bc(colors.select(col("vid").as("v"), col("color").as("c"))), "v")
             .select(col("u"), col("c")).distinct()
           val gaps = nbrC.withColumn("rn", row_number().over(w))
             .groupBy("u")
@@ -118,13 +124,38 @@ object Mis {
     require(rounds >= 1, "rounds must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+    // the coreness staging/round recipe, whole: ONE shuffle stages the
+    // doubled edge list hash(u)-partitioned (dedup exchange-free on top),
+    // and the shrinking active-edge table stays PERSISTED — never
+    // checkpointed — so the partitioning survives every round and the
+    // per-round neighbor-min aggregation runs exchange-free. Every
+    // edge ⋈ vertex join hints its vertex-sized side (priorities, the
+    // round's selected set, the closed neighborhood) under the
+    // MaxBroadcastVertices guard — an edge ⋈ vertex join never rides
+    // auto-broadcast (the r9 sf1 rule). Plan growth stays linear because
+    // sel/closed/active ARE checkpointed: each round's aEdges plan wraps
+    // the previous cached table once plus two broadcast anti-joins.
+    // sf1: 1.76 GB -> ~30 MB total shuffle for identical output.
+    val eRows = e0.count()
+    val confParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(1, math.min(confParts, (2 * eRows / 300000L).toInt + 1))
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += p
+      p
+    }
+    val und = pin(e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(parts, col("u"))
+      .dropDuplicates("u", "v"))
     // both directions of every still-active-active edge; shrinks in place
     var aEdges = und
     var active = und.select(col("u")).distinct()
       .withColumn("p", Dedup.md5Long(concat(lit(s"$seed:"), col("u").cast("string"))))
       .localCheckpoint(true)
+    val useBroadcast = active.count() <= GraphAnalytics.MaxBroadcastVertices
+    def bc(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     var selected: DataFrame = null
     val edgeCounts = scala.collection.mutable.ListBuffer.empty[Long]
     for (i <- 1 to rounds) {
@@ -133,24 +164,28 @@ object Mis {
       // min (priority, vid) among active neighbors — aEdges already
       // joins active endpoints only, so no semi-join re-restriction
       val nbrMin = aEdges
-        .join(prio, "v")
+        .join(bc(prio), "v")
         .groupBy("u").agg(min(struct(col("pv"), col("v"))).as("mn"))
-      val sel = active.join(nbrMin, Seq("u"), "left")
+      val sel = active.join(bc(nbrMin), Seq("u"), "left")
         .where(col("mn").isNull || struct(col("p"), col("u")) < col("mn"))
         .select(col("u"), lit(i.toLong).as("mis_round"))
         .localCheckpoint(true)
       val closed = sel.select(col("u"))
-        .unionAll(aEdges.join(sel.select(col("u")), "u").select(col("v").as("u")))
+        .unionAll(aEdges.join(bc(sel.select(col("u"))), "u").select(col("v").as("u")))
         .distinct().localCheckpoint(true)
-      active = active.join(closed, Seq("u"), "left_anti").localCheckpoint(true)
-      aEdges = aEdges.join(closed, Seq("u"), "left_anti")
-        .join(closed.select(col("u").as("v")), Seq("v"), "left_anti")
-        .localCheckpoint(true)
+      active = active.join(bc(closed), Seq("u"), "left_anti").localCheckpoint(true)
+      aEdges = pin(aEdges.join(bc(closed), Seq("u"), "left_anti")
+        .join(bc(closed.select(col("u").as("v"))), Seq("v"), "left_anti"))
       selected = if (selected == null) sel else selected.unionAll(sel)
     }
     val leftover = active.agg(count(lit(1)).as("n")).where(col("n") > 0)
       .select(lit(-1L).as("vid"), col("n").cast("long").as("mis_round"))
-    (selected.select(col("u").as("vid"), col("mis_round")).unionAll(leftover),
-      edgeCounts.toSeq)
+    // the selected rounds and leftover are checkpoint-backed; the cached
+    // edge generations can go once the result is pinned
+    val result = selected.select(col("u").as("vid"), col("mis_round"))
+      .unionAll(leftover).localCheckpoint(true)
+    result.count()
+    persisted.foreach(_.unpersist(false))
+    (result, edgeCounts.toSeq)
   }
 }
