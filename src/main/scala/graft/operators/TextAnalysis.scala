@@ -60,10 +60,15 @@ object TextAnalysis {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topN: Int = 50): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // toks feeds doc lengths AND query-term frequencies, and dl feeds
+    // corpus stats AND the score join — pinned so the tokenize pass runs
+    // once, not three times
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .where(col("term") =!= "")
+      .localCheckpoint(true)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = toks.where(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -102,7 +107,10 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .where(col("term") =!= "")
+    // tf feeds the document-frequency census and the score join-back —
+    // pinned so the tokenize+explode+count pipeline runs once
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
@@ -299,13 +307,19 @@ object TextAnalysis {
   def bigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val arr = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("a"))
       .where(size(col("a")) >= 2)
+    // bi feeds the bigram census AND the scored join-back — pinned so
+    // the tokenize+explode pass runs once; c1 likewise (the unigram
+    // census doubles as the vocabulary: count its rows instead of
+    // re-exploding every token for a count_distinct)
     val bi = arr.select(col(idCol),
       explode(expr("transform(sequence(2, size(a)), i -> struct(a[i-2] AS w1, a[i-1] AS w2))")).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(true)
     val toks = df.select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
     val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("n1"))
+      .localCheckpoint(true)
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val vocab = toks.agg(count_distinct(col("tok")).as("v"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
     val scored = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("neg_logp",
@@ -335,8 +349,11 @@ object TextAnalysis {
     * order-independent, where double summation would depend on
     * aggregation order and never hash-match another engine. */
   def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // toks feeds the frequency census and the score join-back — pinned
+    // so the tokenize+explode pass runs once
     val toks = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .localCheckpoint(true)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
     val total = freq.agg(sum(col("n")).as("total"))
     val scored = toks.join(freq, "tok").crossJoin(broadcast(total))
