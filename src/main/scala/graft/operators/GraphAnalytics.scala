@@ -239,10 +239,10 @@ object GraphAnalytics {
     * (measured 305 MB → ~0 per-round shuffle at sf0.1; plan-probed).
     * Per-partition work is bounded by max vertex degree — the same bound
     * the final per-u aggregation always had. `false`: the label table
-    * has outgrown broadcast (billions of vertices); edges stay
-    * unpinned, the label join shuffles label-table-sized data per round
-    * and the (u, community) groupBy's map-side partial combine defends
-    * the wire against hot-vertex skew. Identical results either way
+    * has outgrown broadcast (billions of vertices); the adjacency stays
+    * pinned hash(u), the label join shuffles label-table-sized data per
+    * round and the (u, community) groupBy's map-side partial combine
+    * defends the wire against hot-vertex skew. Identical results either way
     * (spec-checked) — this switches plan shape, not semantics.
     * `true` is a REQUEST, not a command: past [[MaxBroadcastVertices]]
     * the explicit hint would bypass autoBroadcastJoinThreshold straight
@@ -255,25 +255,29 @@ object GraphAnalytics {
     require(numIter >= 1, "numIter must be >= 1")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    // symmetric-distinct edge list is computed exactly once; both plan
-    // shapes below build on the checkpointed form
-    val undCp = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+    // staging is ONE shuffle (the coreness/ssspDistances recipe):
+    // repartition the doubled edge list by u FIRST, then dedup
+    // exchange-free on top — hash(u) co-locates (u, v) duplicates, so
+    // the old distinct-shuffle → checkpoint → repartition-shuffle chain
+    // moved the full edge list twice for nothing. persist, NOT
+    // localCheckpoint: a checkpointed LogicalRDD drops its
+    // outputPartitioning (measured, round 4) while InMemoryRelation
+    // keeps it, and hash(u) is exactly what lets every per-round
+    // aggregation (grouping keys (u, community) ⊇ {u}) run in place.
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // vertex table triples as round-0 labels, the final-shape anchor, and
-    // the broadcast-feasibility guard (see MaxBroadcastVertices)
-    val verts = undCp.select(col("u").as("vid")).distinct().localCheckpoint(true)
+    // the broadcast-feasibility guard (see MaxBroadcastVertices); its
+    // distinct rides the adjacency's hash(u) partitioning — no exchange.
+    val verts = und.select(col("u").as("vid")).distinct().localCheckpoint(true)
+    // The explicit broadcast() hint keeps the label join from ever
+    // degrading to a shuffle against the cached shape (the failure mode
+    // of the round-4 PageRank persist experiment). Past the guard the
+    // label join shuffles label-table-sized data per round against the
+    // still-pinned adjacency.
     val useBroadcast = broadcastLabels && verts.count() <= MaxBroadcastVertices
-    // The broadcast path pins the aggregation-friendly layout with
-    // persist, NOT localCheckpoint: a checkpointed LogicalRDD drops its
-    // outputPartitioning (measured, round 4), while InMemoryRelation
-    // keeps it — and the explicit broadcast() hint keeps the label join
-    // from ever degrading to a shuffle against the cached shape (the
-    // failure mode of the round-4 PageRank persist experiment).
-    val und =
-      if (useBroadcast)
-        undCp.repartition(col("u"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else undCp
     var labels = verts.withColumn("community", col("vid"))
     (1 to numIter).foreach { i =>
       // Fusing both aggregations onto one bare repartition(u) exchange
@@ -295,7 +299,7 @@ object GraphAnalytics {
     }
     // the final round's labels are eagerly checkpointed above, so the
     // pinned edge cache can be released immediately
-    if (useBroadcast) und.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     labels
   }
 
@@ -348,9 +352,18 @@ object GraphAnalytics {
     * hub mass; no in-edges → no authority mass) — the inner join IS the
     * +0 contribution, so the loop stays sparse.
     *
-    * Shuffle shape per half-update: one key join of the edge list
-    * against the vertex-sized score table + one map-side-combined
-    * groupBy — (vid, score) pairs on the wire, never adjacency. The
+    * Shuffle shape per half-update: ZERO exchanges under the broadcast
+    * guard. The edge list persists TWICE, hash-partitioned by each
+    * half's aggregation key — eBySrc for the hub sums (groupBy src),
+    * eByDst for the authority sums (groupBy dst) — the score join is a
+    * guarded broadcast, so the join preserves the cached partitioning
+    * and each half's groupBy runs in place (the pageRankQuantizedDF
+    * recipe, applied per direction; the single-cache form still paid a
+    * combined-pair exchange on every authority half). Two edge caches
+    * is the declared price: rounds × per-round exchanges is the term
+    * that grows at scale, the staging exchange amortizes over rounds.
+    * Past [[MaxBroadcastVertices]] the operator falls back to unpinned
+    * shuffle joins whose map-side partial combine defends the wire. The
     * normalizer is a one-row aggregate broadcast back over the scores
     * (BroadcastNestedLoopJoin of 1 row — constant cost at any scale).
     * Mass accounting: the EDGE-level in-sums run in plain BIGINT — a
@@ -380,6 +393,13 @@ object GraphAnalytics {
     // (measured 29 s -> seconds at sf0.1)
     val useBroadcast = nVerts <= MaxBroadcastVertices
     def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+    // persist (NOT localCheckpoint): a checkpointed LogicalRDD forgets
+    // outputPartitioning, and hash(agg key) is the whole point of the
+    // two caches (see the shuffle-shape scaladoc above)
+    val eBySrc = if (!useBroadcast) e else e.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eByDst = if (!useBroadcast) e else e.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // normalize a raw BIGINT score column back to total mass `scale`:
     // each row's quotient truncates identically in Spark's `div` and
@@ -401,17 +421,20 @@ object GraphAnalytics {
     var auth = verts.select(col("vid"), lit(Micro).as("a"))
     var hub: DataFrame = null
     (1 to numIter).foreach { i =>
-      val hRaw = e.join(side(auth), e("dst") === auth("vid"))
+      val hRaw = eBySrc.join(side(auth), eBySrc("dst") === auth("vid"))
         .select(col("src").as("hvid"), col("a"))
         .groupBy(col("hvid").as("vid")).agg(sum(col("a")).as("h_raw"))
         .localCheckpoint(true)
       hub = normalized(hRaw, "h_raw", "h")
-      val aRaw = e.join(side(hub), e("src") === hub("vid"))
+      val aRaw = eByDst.join(side(hub), eByDst("src") === hub("vid"))
         .select(col("dst").as("avid"), col("h"))
         .groupBy(col("avid").as("vid")).agg(sum(col("h")).as("a_raw"))
         .localCheckpoint(true)
       auth = normalized(aRaw, "a_raw", "a")
     }
+    // every raw score table is eagerly checkpointed, so the caches can
+    // go before the caller's action — nothing downstream rescans them
+    if (useBroadcast) { eBySrc.unpersist(false); eByDst.unpersist(false) }
     verts.join(hub, Seq("vid"), "left").join(auth, Seq("vid"), "left")
       .select(col("vid"),
         (coalesce(col("h"), lit(0L)).cast("double") / 1000000.0).as("hub"),

@@ -396,13 +396,57 @@ object Sketches {
     * estimate side renormalizes by realized total weight, so dropped
     * weight biases ranks, never the weight ledger. */
   private def mpCompactOnce(cur: DataFrame, groupCol: String, k: Int): DataFrame = {
-    val wAll = Window.partitionBy(groupCol)
-    val wRank = Window.partitionBy(col(groupCol), col("level"))
-      .orderBy(col("value"), col("rid"))
-    val stepped = cur.select(col(groupCol), col("value"), col("rid"), col("level"),
-      (count(lit(1)).over(wAll) > k).as("__over"),
-      (col("level") === min(col("level")).over(wAll)).as("__atMin"),
-      row_number().over(wRank).as("__rn"), mpParity(groupCol).as("__par"))
+    // DISTRIBUTED rank, not Window.partitionBy(group): a per-group window
+    // runs the whole group's sort in ONE task — 20M+ rows per return flag
+    // at 10× scale, and a single hot group is exactly what a 100 TB
+    // corpus slice looks like. The global (value, rid) rank within
+    // (group, level) is reconstructed from a range-partitioned local
+    // rank plus broadcast per-(partition, group, level) offsets — the
+    // weightedNegativeSamples two-phase-cumsum recipe. (group, value,
+    // rid, level) is a total order (rid is unique), so range partitions
+    // are order-disjoint and local-rank + offset ≡ the global
+    // row_number: bit-identical survivors, and the identity-padded CTE
+    // oracle replays unchanged. Group stats (over k? min level?) come
+    // from a map-combined aggregate broadcast back — the old
+    // count-over-group window forced the same single-task-per-group
+    // shape. The caller materializes `cur` per round (the range
+    // partitioner's sampling pass then reads cache instead of
+    // re-running the round chain — repartitionByRange executes its
+    // child twice).
+    // ONE exchange per round: the range repartition. Rows land
+    // range-disjoint in (group, level, value, rid) order; the narrow
+    // in-partition sort by that (unique → total) key makes row order a
+    // pure function of content — shuffle fetch order cannot perturb it —
+    // so the partition-local monotonic id yields the local rank as
+    // (id − min id over (partition, group, level)), and the broadcast
+    // per-(partition, group, level) counts reconstruct the global
+    // offsets. A window over (__pid, group, level) would compute the
+    // same rank but re-exchange every row by hash — the bytes this
+    // round shape exists to avoid.
+    val parted = cur
+      .repartitionByRange(col(groupCol), col("level"), col("value"), col("rid"))
+      .sortWithinPartitions(col(groupCol), col("level"), col("value"), col("rid"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val cnts = parted.groupBy(col("__pid"), col(groupCol), col("level"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__mlo"))
+    val gstats = cnts.groupBy(groupCol).agg(
+      (sum(col("__cnt")) > k).as("__over"), min(col("level")).as("__minl"))
+    val offsets = cnts
+      .select(col("__pid").as("__opid"), col(groupCol).as("__og"),
+        col("level").as("__ol"), col("__cnt"), col("__mlo"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(col("__og"), col("__ol")).orderBy(col("__opid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__cnt")
+    val stepped = parted
+      .join(broadcast(offsets), parted("__pid") === col("__opid")
+        && parted(groupCol) === col("__og") && parted("level") === col("__ol"))
+      .join(broadcast(gstats), groupCol)
+      .select(col(groupCol), col("value"), col("rid"), col("level"),
+        col("__over"), (col("level") === col("__minl")).as("__atMin"),
+        (col("__mid") - col("__mlo") + 1L + col("__off")).as("__rn"),
+        mpParity(groupCol).as("__par"))
     stepped
       .where(!col("__over") || !col("__atMin") || pmod(col("__rn"), lit(2)) === col("__par"))
       .select(col(groupCol), col("value"), col("rid"),
@@ -449,11 +493,18 @@ object Sketches {
     var rounds = 0
     var cap = k.toLong
     while (cap < maxN) { cap *= 2; rounds += 1 }
-    var cur = base
+    // Eager checkpoints while rounds are data-heavy (the first halvings
+    // carry almost all of the 2n total rows): bounds lineage at depth ~4
+    // AND hands mpCompactOnce a materialized input, so the range
+    // partitioner's sampling pass and the round's count aggregate read
+    // cache instead of re-running the chain. Late rounds are k-row-scale
+    // — re-running ≤3 of them for a sampling pass costs less than a
+    // blocking checkpoint job each. Generations sum geometrically
+    // (n + n/2 + … ≤ 2n rows), so the retained blocks stay O(input).
+    var cur = if (rounds > 0) base.localCheckpoint(true) else base
     (1 to rounds).foreach { r =>
       cur = mpCompactOnce(cur, groupCol, k)
-      // bound lineage depth: each round stacks a window + filter
-      if (r % 4 == 0) cur = cur.localCheckpoint(true)
+      if (r <= 4 || r % 4 == 0 || r == rounds) cur = cur.localCheckpoint(true)
     }
     mpFinish(cur, groupCol)
   }
@@ -479,9 +530,10 @@ object Sketches {
     var rounds = spread + 1
     var cap = k.toLong
     while (cap < maxN) { cap *= 2; rounds += 1 }
+    if (rounds > 0) cur = cur.localCheckpoint(true)
     (1 to rounds).foreach { r =>
       cur = mpCompactOnce(cur, groupCol, k)
-      if (r % 4 == 0) cur = cur.localCheckpoint(true)
+      if (r <= 4 || r % 4 == 0 || r == rounds) cur = cur.localCheckpoint(true)
     }
     // the spread+log2(maxN/k) round budget is heuristic for adversarial
     // level mixes: estimates stay valid on an oversized sketch, but an

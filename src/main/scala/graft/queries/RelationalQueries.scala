@@ -483,11 +483,16 @@ object RelationalQueries {
       li, "l_returnflag", rowId, col("l_extendedprice"), k = MpK)
     val nRows = sk.groupBy("l_returnflag").agg(count(lit(1)).as("n_sketch"))
     val est = graft.operators.Sketches.mpQuantileEstimate(sk, "l_returnflag", MpQs)
-    val exact = MpQs.map { qpm =>
-      li.groupBy("l_returnflag").agg(
-        round(expr(s"percentile(l_extendedprice, ${qpm / 1000.0})"), 6).as("exact"))
-        .withColumn("q", lit(qpm / 1000.0))
-    }.reduce(_ unionByName _)
+    // one aggregation for all three exact percentiles (percentile over a
+    // literal array) instead of one full lineitem scan per q — identical
+    // doubles, it is the same Percentile aggregate evaluated once
+    val exact = li.groupBy("l_returnflag").agg(
+      expr(s"percentile(l_extendedprice, array(${MpQs.map(_ / 1000.0).mkString(",")}))")
+        .as("__ps"))
+      .select(col("l_returnflag"), explode(arrays_zip(
+        array(MpQs.map(q => lit(q / 1000.0)): _*).as("__qs"), col("__ps"))).as("__z"))
+      .select(col("l_returnflag"), col("__z.__qs").as("q"),
+        round(col("__z.__ps"), 6).as("exact"))
     est.join(nRows, Seq("l_returnflag")).join(exact, Seq("l_returnflag", "q"))
       .select(col("l_returnflag"), col("q"), col("n_sketch"),
         col("est").cast("double").as("est"), col("exact"))
