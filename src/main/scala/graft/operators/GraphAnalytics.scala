@@ -178,7 +178,14 @@ object GraphAnalytics {
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
       maxGroupSize: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    // ONE staging exchange: repartition by group first — the (g, item)
+    // dedup, the group-size window and the pair self-join all ride
+    // hash(g) with no further exchange (the dedup-on-top-of-repartition
+    // recipe; distinct() first paid hash(g, item) AND THEN the window
+    // re-exchanged everything by hash(g)).
+    val base = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .repartition(col("g"))
+      .dropDuplicates("g", "item")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
       .where(col("n") <= maxGroupSize)
     val l = base.select(col("g"), col("item").as("item_a"))

@@ -307,8 +307,12 @@ object AnalyticsQueries {
       // edge-list joins silently flipped from planner auto-broadcast to
       // two-sided shuffle joins in the sf1 bench (17x shuffle on 10x
       // data); the explicit hint holds to 50M vertices
-      val degBase = und.groupBy("u").agg(count(lit(1)).as("d"))
-      val deg = if (und.select("u").distinct().count()
+      // the degree table doubles as the guard count — its row count IS
+      // the vertex count, so the old dedicated distinct().count() pass
+      // re-exchanged the full edge list for a number the aggregation
+      // already produces
+      val degBase = und.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
+      val deg = if (degBase.count()
           <= GraphAnalytics.MaxBroadcastVertices) broadcast(degBase) else degBase
       val pairs = und
         .join(deg.select(col("u").as("__a"), col("d").as("dx")), col("u") === col("__a"))
