@@ -1240,10 +1240,16 @@ object GraphAnalytics {
     // overestimate, and the count is a heuristic cap anyway), and nVerts
     // falls out of the degree table's row count instead of a dedicated
     // distinct pass.
-    val eRows = e0.count()
+    // eager checkpoint BEFORE the sizing count: the caller hands over a
+    // raw join lineage (unified edges), and counting it lazily would run
+    // that lineage once for the count and then AGAIN for the doubled
+    // repartition below — the checkpoint makes the second pass a cache
+    // scan
+    val e0cp = e0.localCheckpoint(true)
+    val eRows = e0cp.count()
     val confParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val undParts = math.max(1, math.min(confParts, (2 * eRows / 300000L).toInt + 1))
-    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    val und = e0cp.unionAll(e0cp.select(col("v").as("u"), col("u").as("v")))
       .repartition(undParts, col("u"))
       .dropDuplicates("u", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
