@@ -174,9 +174,16 @@ object GraphAnalytics {
     * `maxGroupSize` are dropped BEFORE the self-join — a group of k items
     * emits k² pairs, so one boilerplate mega-group would otherwise
     * dominate the whole job (same skew argument as LSH bucket caps).
-    * Output: canonical (item_a < item_b) distinct pairs. */
+    * Output: canonical (item_a < item_b) distinct pairs.
+    *
+    * `distinctPairs = false` skips the final pair-level exchange and
+    * emits one row per (group, pair) — for consumers that dedup in
+    * their own staging anyway ([[linkFeatures]] collapses multiplicity
+    * in its hash(u) dedup), the distinct here is a full extra shuffle
+    * of the pair stream for nothing. Multiplicity-sensitive consumers
+    * (degree counts, triangle joins) must keep the default. */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-      maxGroupSize: Int = 10): DataFrame = {
+      maxGroupSize: Int = 10, distinctPairs: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE staging exchange: repartition by group first — the (g, item)
     // dedup, the group-size window and the pair self-join all ride
@@ -190,8 +197,9 @@ object GraphAnalytics {
       .where(col("n") <= maxGroupSize)
     val l = base.select(col("g"), col("item").as("item_a"))
     val r = base.select(col("g"), col("item").as("item_b"))
-    l.join(r, Seq("g")).where(col("item_a") < col("item_b"))
-      .select(col("item_a"), col("item_b")).distinct()
+    val pairs = l.join(r, Seq("g")).where(col("item_a") < col("item_b"))
+      .select(col("item_a"), col("item_b"))
+    if (distinctPairs) pairs.distinct() else pairs
   }
 
   /** RDD-free static PageRank — GraphX-semantics (rank₀ = 1.0, rankᵢ =
@@ -528,12 +536,22 @@ object GraphAnalytics {
     * rows. `anchors = None` keeps every vertex (output then lists each
     * pair once per side, its per-anchor candidate list).
     *
-    * Plan shape: the wedge self-join is keyed on the shared neighbor
-    * (the triangle-count join shape), the anchor prune is a broadcast
-    * semi-join on the wedge left side, features are one map-side-
-    * combined aggregation over wedges, degrees join in vertex-sized,
-    * and the per-anchor top-k runs through [[TopK.perKey]]'s bounded
-    * heaps. Cross-engine exactness: Jaccard is one rounded IEEE
+    * Plan shape (anchored, the deployment case): the doubled edge list
+    * stages through ONE hash(u) repartition (dedup + degree aggregation
+    * ride it exchange-free — the [[labelPropagationDF]] staging recipe;
+    * persist, not checkpoint, so the partitioning survives), and the
+    * wedge join STREAMS that pinned adjacency while broadcasting the
+    * anchor-pruned (a, w) side — so the `groupBy(a, b)` feature
+    * aggregation inherits hash(b) (b ∈ {a, b} satisfies its clustering)
+    * and the entire wedge → features pipeline runs ZERO exchanges
+    * beyond staging. The is_edge probe is pruned to anchor rows before
+    * its join (its a-values are anchor-bounded by construction), so the
+    * E-row edge list never shuffles on (a, b) either — at sf1 the
+    * unpruned form moved 2 GB for a ~10⁵-row output. Both broadcasts
+    * are count-guarded (Σ_{a∈A} deg(a) rows); past the guard, or
+    * unanchored, the join degrades to the shuffle plan. Degrees join in
+    * vertex-sized under the [[MaxBroadcastVertices]] guard.
+    * Cross-engine exactness: Jaccard is one rounded IEEE
     * division of integers; Adamic-Adar quantizes each 1/ln(deg) term
     * to 6dp and sums DECIMAL (order-independent — a raw double Σ would
     * never reproduce), the [[TextAnalysis.unigramLogprob]] recipe.
@@ -543,27 +561,49 @@ object GraphAnalytics {
       anchors: Option[DataFrame] = None): DataFrame = {
     val e = coEdges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-    // guarded broadcast for the vertex-sized degree table: its three
-    // joins below outgrow the planner's auto-broadcast threshold with V
-    // and silently became two-sided shuffle joins in the sf1 bench
-    val degBase = und.groupBy("u").agg(count(lit(1)).as("deg"))
-    val deg = if (und.select("u").distinct().count() <= MaxBroadcastVertices)
-      broadcast(degBase) else degBase
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // degree agg rides hash(u); checkpointed so its three broadcast
+    // consumers and the guard count read V cached rows instead of
+    // re-aggregating the adjacency. Its row count IS the vertex count.
+    val degTable = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // guarded broadcast: the vertex-sized degree table outgrows the
+    // planner's auto-broadcast threshold with V and silently became a
+    // two-sided shuffle join in the sf1 bench
+    val deg = if (degTable.count() <= MaxBroadcastVertices) broadcast(degTable) else degTable
     val awAll = und.select(col("u").as("a"), col("v").as("w"))
-    val aw = anchors.fold(awAll) { anc =>
-      val ids = anc.select(col(anc.columns.head).cast("long").as("__anchor"))
-      awAll.join(broadcast(ids), col("a") === col("__anchor"), "left_semi")
+    val ancIds = anchors.map { anc =>
+      broadcast(anc.select(col(anc.columns.head).cast("long").as("__anchor")))
     }
+    val aw = ancIds.fold(awAll) { ids =>
+      awAll.join(ids, col("a") === col("__anchor"), "left_semi")
+    }
+    // Σ_{a∈A} deg(a) bounds BOTH broadcast sides below (aw and the
+    // pruned is_edge probe are each "und rows whose u is an anchor")
+    val anchorRows = if (anchors.isDefined) aw.count() else Long.MaxValue
+    val useAnchorBroadcast = anchorRows <= MaxBroadcastVertices
     val bw = und.select(col("u").as("b"), col("v").as("w2"))
-    val wedges = aw.join(bw, col("w") === col("w2") && col("a") =!= col("b"))
+    // streamed side is the pinned hash(u)=hash(b) adjacency; broadcast
+    // joins preserve it, so the feature groupBy below never exchanges
+    val wedges = (if (useAnchorBroadcast)
+        bw.join(broadcast(aw), col("w") === col("w2") && col("a") =!= col("b"))
+      else
+        aw.join(bw, col("w") === col("w2") && col("a") =!= col("b")))
       .join(deg.select(col("u").as("w"), col("deg").as("deg_w")), Seq("w"))
     // deg_w >= 2 always: w is a common neighbor of a and b, so ln > 0
     val pairs = wedges.groupBy("a", "b").agg(
       count(lit(1)).as("n_common"),
       sum(round(lit(1.0) / log(col("deg_w").cast("double")), 6)
         .cast("decimal(18,6)")).as("aa_sum"))
-    val edgeFlag = und.select(col("u").as("a"), col("v").as("b"), lit(1L).as("__ise"))
+    // is_edge probe: every surviving pair has a ∈ anchors, so pruning
+    // the probe to anchor rows changes nothing — and makes it
+    // broadcast-sized instead of an E-row (a, b) shuffle
+    val edgeFlagAll = und.select(col("u").as("a"), col("v").as("b"), lit(1L).as("__ise"))
+    val edgeFlagPruned = ancIds.fold(edgeFlagAll) { ids =>
+      edgeFlagAll.join(ids, col("a") === col("__anchor"), "left_semi")
+    }
+    val edgeFlag = if (useAnchorBroadcast) broadcast(edgeFlagPruned) else edgeFlagPruned
     val feat = pairs
       .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
       .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
@@ -574,7 +614,10 @@ object GraphAnalytics {
           / (col("deg_a") + col("deg_b") - col("n_common")).cast("double"), 6).as("jaccard"),
         col("aa_sum").cast("double").as("adamic_adar"),
         coalesce(col("__ise"), lit(0L)).as("is_edge"))
-    TopK.perKey(feat, keyCol = "a", ordCol = "jaccard", k = topPerVertex, tieBreak = Seq("b"))
+    val out = TopK.perKey(feat, keyCol = "a", ordCol = "jaccard",
+      k = topPerVertex, tieBreak = Seq("b")).localCheckpoint(true)
+    und.unpersist(blocking = false)
+    out
   }
 
   def pageRankQuantizedDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,

@@ -415,7 +415,11 @@ object AnalyticsQueries {
     * values stay exact over the full graph. */
   def linkFeatures(s: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables(s, dir, "lineitem")
-    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    // distinctPairs = false: linkFeatures dedups in its own hash(u)
+    // staging, so the projection's pair-level distinct would be a full
+    // extra exchange of the pair stream for identical results
+    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+      distinctPairs = false)
     val anchors = graft.Tables(s, dir, "part")
       .where(col("p_size") === 50).select(col("p_partkey"))
     GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
