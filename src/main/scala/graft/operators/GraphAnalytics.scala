@@ -940,7 +940,16 @@ object GraphAnalytics {
     * is walk-count-sized, never graph-sized; walks that hit a vertex
     * with no out-neighbors simply end (no self-loop padding). Output:
     * (walk_id, vid, step) rows — the corpus a downstream embedding
-    * trainer consumes. */
+    * trainer consumes.
+    *
+    * The edge list is deliberately NOT deduplicated: the per-walk
+    * argmin is idempotent to duplicate (u, v) rows — duplicates
+    * produce bit-identical (hash, v) candidates, and min over a
+    * multiset ignores multiplicity — so a staging distinct would be a
+    * full edge-list exchange (the ONLY shuffle this operator had:
+    * 271 MB at sf1) purchasing nothing. Staging is a map-only
+    * checkpoint; the whole corpus generation shuffles only the
+    * per-step walk-count-sized argmin aggregations. */
   def randomWalks(edges: DataFrame, starts: DataFrame, walksPerVertex: Int, steps: Int,
       srcCol: String = "src", dstCol: String = "dst",
       undirected: Boolean = true): DataFrame = {
@@ -948,7 +957,7 @@ object GraphAnalytics {
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
     val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))) else e0)
-      .distinct().localCheckpoint(true)
+      .localCheckpoint(true)
     val w0 = starts.select(col(starts.columns.head).as("start")).distinct()
       .select(col("start"), explode(array((0 until walksPerVertex).map(i => lit(i.toLong)): _*)).as("w"))
       .select((col("start") * walksPerVertex + col("w")).as("walk_id"), col("start").as("vid"))
@@ -1088,8 +1097,12 @@ object GraphAnalytics {
     val outW = 1.0 / inOutParam
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
+    // no staging distinct (the randomWalks argument): duplicate edges
+    // yield bit-identical candidate and common-neighbor rows, and the
+    // per-walk argmax ignores multiplicity — a dedup would be this
+    // operator's only full edge exchange
     val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))) else e0)
-      .distinct().localCheckpoint(true)
+      .localCheckpoint(true)
     val w0 = starts.select(col(starts.columns.head).as("start")).distinct()
       .select(col("start"), explode(array((0 until walksPerVertex).map(i => lit(i.toLong)): _*)).as("w"))
       .select((col("start") * walksPerVertex + col("w")).as("walk_id"), col("start").as("vid"),
@@ -1104,7 +1117,8 @@ object GraphAnalytics {
         .select(f("walk_id"), f("vid").as("cur"), f("prev"), e("v"))
       // adjacency probe, broadcast-shaped: INNER join the edge stream
       // against the broadcast candidate set on (prev, v) — the edge list
-      // never shuffles, at most one match per candidate (e is distinct) —
+      // never shuffles; duplicate edges can multiply matches, but every
+      // copy is bit-identical and the per-walk argmax ignores it —
       // then flag candidates by a candidate-sized LEFT join
       val candCp = (if (useBroadcast) cand.localCheckpoint(true) else cand)
       val candB = if (useBroadcast) broadcast(candCp) else candCp
@@ -1145,14 +1159,25 @@ object GraphAnalytics {
     * aggregation (map-side combined) + two semi-joins of the edge list
     * against the vertex-sized survivor set — edges shuffle once at
     * build, then only (vertex) keys move. Output: surviving vertices
-    * with their within-core degree. */
+    * with their within-core degree.
+    *
+    * `assumeCanonical = true`: the caller guarantees distinct
+    * canonical (src < dst) pairs — e.g. [[coOccurrenceEdges]] output —
+    * making the doubled list distinct BY CONSTRUCTION (a canonical row
+    * and a reversal can never coincide), so the staging dedup — a full
+    * edge-list exchange, and this operator's largest (the degree
+    * aggregations all map-side combine to vertex-sized wires) — is
+    * skipped. Degree counts are multiplicity-sensitive, so unlike the
+    * walk operators this one cannot drop the dedup unconditionally. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    var e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+    val doubled = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    var e = (if (assumeCanonical) doubled else doubled.distinct())
+      .localCheckpoint(true)
     // DECREMENTAL degree maintenance (the r10 rebuild; the r9 form
     // re-aggregated every remaining vertex's degree from the full edge
     // list each round, which the sf1 bench measured at 13.6× shuffle on

@@ -101,7 +101,11 @@ object AnalyticsQueries {
   def kCore(s: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables(s, dir, "lineitem")
     val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-    GraphAnalytics.kCore(edges, k = KCoreK, rounds = KCoreRounds, "item_a", "item_b")
+    // assumeCanonical: the projection emits distinct item_a < item_b
+    // pairs, so kCore's staging dedup would re-shuffle the edge list
+    // to remove nothing
+    GraphAnalytics.kCore(edges, k = KCoreK, rounds = KCoreRounds, "item_a", "item_b",
+      assumeCanonical = true)
       .select(lit("Part").as("label"), col("vid").as("node_id"), col("core_degree"))
   }
 

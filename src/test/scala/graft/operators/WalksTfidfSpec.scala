@@ -59,6 +59,34 @@ class WalksTfidfSpec extends SparkTestBase {
     assert(!pairs.keys.exists { case (a, b) => a <= 40L && b >= 50L })
   }
 
+  test("walks are invariant to duplicate edges (the no-staging-dedup argument)") {
+    // the staging distinct was removed because the per-walk arg-min/max
+    // ignores multiplicity; pin that equivalence on an input where every
+    // edge appears 1-3 times
+    val dup = diamond
+      .unionAll(Seq((1L, 2L), (3L, 4L), (3L, 4L)).toDF("src", "dst"))
+    val starts = Seq(1L, 4L).toDF("vid")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("walk_id", "step").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(GraphAnalytics.randomWalks(dup, starts, 4, 6)) ==
+      rows(GraphAnalytics.randomWalks(diamond, starts, 4, 6)))
+    assert(rows(GraphAnalytics.biasedRandomWalks(dup, starts, 3, 5,
+        returnParam = 4.0, inOutParam = 0.25)) ==
+      rows(GraphAnalytics.biasedRandomWalks(diamond, starts, 3, 5,
+        returnParam = 4.0, inOutParam = 0.25)))
+  }
+
+  test("kCore assumeCanonical equals the dedup path on canonical input") {
+    // triangle + pendant, canonical distinct pairs (the cooc contract)
+    val canon = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    def rows(assume: Boolean) =
+      GraphAnalytics.kCore(canon, k = 2, rounds = 4, assumeCanonical = assume)
+        .orderBy("u").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(true) == rows(false))
+    assert(rows(true) == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("biasedRandomWalks: p discourages returning, q steers common-vs-outward") {
     // 0-1-2 chain; at 2 (prev=1): 1 is RETURN, 3 is COMMON (1-3 edge),
     // 4 is OUTWARD (no 1-4 edge)
