@@ -1063,7 +1063,15 @@ object GraphAnalytics {
           col("context"), col("draw_i"))), col("total")).as("u"),
         col("wd"))
       .withColumn("slot", expr("u div wd"))
-    draws.join(slots, Seq("slot"))
+    // the slot table is V+buckets rows derived map-only from the
+    // checkpointed cumsum — broadcasting the (pairs × k)-sized draw side
+    // under a count guard lets it STREAM, so the lookup join runs with
+    // zero exchange (the hash(slot) plan moved the whole vocabulary:
+    // 82 MB at sf1 for a draws-sized output); past the guard the
+    // equi-join shuffles both sides as before
+    val drawsCp = draws.localCheckpoint(true)
+    val d = if (drawsCp.count() <= MaxBroadcastVertices) broadcast(drawsCp) else drawsCp
+    slots.join(d, Seq("slot"))
       .where(col("u") >= col("lo") && col("u") < col("hi"))
       .select(col("center"), col("context"), col("draw_i").cast("int").as("draw_i"),
         col("vid").as("neg_vid"),
