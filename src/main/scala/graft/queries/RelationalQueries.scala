@@ -515,21 +515,34 @@ object RelationalQueries {
     * top-N + merge, no global sort). Confidence and lift are single
     * IEEE divisions of exact integers — bit-identical cross-engine. */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
+    // ONE staging exchange (the coOccurrenceEdges recipe): repartition
+    // by basket FIRST — the (oid, item) dedup, the basket-size window
+    // AND the pair self-join all ride hash(oid). The old chain paid
+    // four basket-stream exchanges for the same rows: distinct on
+    // (oid, item), the window's re-exchange by oid, then both sides of
+    // the self-join again because checkpoint drops outputPartitioning
+    // (persist keeps it).
+    val sized = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("oid"), col("l_partkey").cast("long").as("item"))
-      .distinct()
-    val wb = Window.partitionBy("oid")
-    val sized = li.withColumn("bs", count(lit(1)).over(wb))
+      .repartition(col("oid"))
+      .dropDuplicates("oid", "item")
+      .withColumn("bs", count(lit(1)).over(Window.partitionBy("oid")))
       .where(col("bs") <= AssocMaxBasket).select(col("oid"), col("item"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = sized.agg(count_distinct(col("oid")).as("n_baskets"))
-    val itemCnt = sized.groupBy("item").agg(count(lit(1)).as("cnt"))
+    // item-count-sized; checkpointed so its two broadcast projections
+    // read the cache, broadcast under the vertex guard (it outgrows
+    // auto-broadcast with the part count and would flip the rule join
+    // to a two-sided shuffle at scale)
+    val itemCntBase = sized.groupBy("item").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+    val itemCnt = if (itemCntBase.count() <= graft.operators.GraphAnalytics.MaxBroadcastVertices)
+      broadcast(itemCntBase) else itemCntBase
     val pairs = sized.as("a").join(sized.as("b"),
         col("a.oid") === col("b.oid") && col("a.item") =!= col("b.item"))
       .groupBy(col("a.item").as("ant"), col("b.item").as("cons"))
       .agg(count(lit(1)).as("pair_cnt"))
       .where(col("pair_cnt") >= AssocMinCount)
-    pairs
+    val out = pairs
       .join(itemCnt.select(col("item").as("ant"), col("cnt").as("ant_cnt")), Seq("ant"))
       .join(itemCnt.select(col("item").as("cons"), col("cnt").as("cons_cnt")), Seq("cons"))
       .crossJoin(broadcast(nBaskets))
@@ -539,6 +552,9 @@ object RelationalQueries {
           (col("ant_cnt") * col("cons_cnt")).cast("double")).as("lift"))
       .orderBy(col("pair_cnt").desc, col("ant"), col("cons"))
       .limit(200)
+      .localCheckpoint(true)
+    sized.unpersist(blocking = false)
+    out
   }
 
   private val AssocMaxBasket = 10
