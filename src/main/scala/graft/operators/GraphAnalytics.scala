@@ -715,10 +715,15 @@ object GraphAnalytics {
     val dampMicro = Micro - resetMicro
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edUnpinned = e.join(deg, "src").select(col("src"), col("dst"), col("deg"))
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct()
     val useBroadcast = broadcastRanks && verts.count() <= MaxBroadcastVertices
+    // guarded broadcast for the loop-invariant degree join (the
+    // pageRankQuantizedDF rule: an edge ⋈ vertex join never rides
+    // auto-broadcast) — without it the edge list shuffled a second
+    // time on src before the hash(dst) staging exchange
+    val edUnpinned = e.join(if (useBroadcast) broadcast(deg) else deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
     val ed =
       if (useBroadcast)
         edUnpinned.repartition(col("dst"))
