@@ -475,11 +475,22 @@ object GraphAnalytics {
     val Micro = 1000000L
     val resetMicro = math.round(resetProb * Micro)
     val dampMicro = Micro - resetMicro
+    // ONE staging exchange: repartition by dst FIRST — the multi-edge
+    // combine rides hash(dst) (dst ⊆ {src, dst} satisfies its
+    // clustering) and so does EVERY per-round in-sum aggregation below,
+    // which previously re-exchanged its partials each round because the
+    // staging checkpoint dropped the partitioning (persist keeps it —
+    // the pageRankQuantizedDF recipe).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
+      .repartition(col("dst"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
-    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // checkpointed: ed below is a LAZY join over the edge cache, so an
+    // unpinned wsum would re-run its aggregation exchange inside every
+    // checkpoint execution of the round loop (exchange reuse does not
+    // span executions — measured +180 MB at sf1)
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum")).localCheckpoint(true)
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
     // guarded broadcasts for every V-proportional side (weight sums,
@@ -490,8 +501,12 @@ object GraphAnalytics {
     val useBroadcast = verts.count() <= MaxBroadcastVertices
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
+    // lazy map-join over the pinned edge cache: the wsum broadcast
+    // exchange is reused across rounds, each round is one cached scan +
+    // broadcast probes + an in-place aggregation — no per-round shuffle
     val ed = e.join(maybeBroadcast(wsum), "src")
-      .select(col("src"), col("dst"), col("w"), col("wsum")).localCheckpoint(true)
+      .select(col("src"), col("dst"), col("w"), col("wsum"))
+    val edPinned = if (useBroadcast) ed else ed.localCheckpoint(true)
 
     // E-row sums in BIGINT, V-row damping multiply in DECIMAL — the
     // pageRankQuantizedDF/hitsDF mass-accounting recipe; the per-edge
@@ -502,16 +517,20 @@ object GraphAnalytics {
         (lit(resetMicro) + expr(
           s"CAST(CAST(in_sum AS DECIMAL(38,0)) * ${dampMicro} div ${Micro} AS BIGINT)"))
           .as("rank_micro"))
-    var inSums = ed
+    var inSums = edPinned
       .select(col("dst").as("vid"), expr(s"${Micro}L * w div wsum").as("c"))
       .groupBy("vid").agg(sum(col("c")).as("in_sum"))
     (2 to numIter).foreach { i =>
       val r = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
-      inSums = ed.join(maybeBroadcast(r), ed("src") === r("vid"), "left")
+      inSums = edPinned.join(maybeBroadcast(r), edPinned("src") === r("vid"), "left")
         .select(col("dst").as("vid"),
           expr(s"coalesce(rank_micro, ${resetMicro}L) * w div wsum").as("c"))
         .groupBy("vid").agg(sum(col("c")).as("in_sum"))
     }
+    // materialize before releasing the pinned edge cache — the final
+    // projection below must not silently recompute the whole loop
+    inSums = inSums.localCheckpoint(true)
+    e.unpersist(blocking = false)
     verts.join(maybeBroadcast(ranksOf(inSums)), Seq("vid"), "left")
       .select(col("vid"),
         (coalesce(col("rank_micro"), lit(resetMicro)).cast("double") / 1000000.0).as("rank"))
