@@ -337,21 +337,28 @@ object AnalyticsQueries {
           .as("assortativity"))
     }
     val li = graft.Tables(s, dir, "lineitem")
-    val co = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
     // each side's adjacency feeds three consumers (edge ends + two degree
-    // joins): materialize once instead of re-deriving the projection per
-    // consumer — the same loop-invariant-pinning rule the iterative
-    // operators follow
-    val coUnd = co.select(col("item_a").as("u"), col("item_b").as("v"))
-      .unionAll(co.select(col("item_b").as("u"), col("item_a").as("v")))
-      .localCheckpoint(true)
+    // joins): materialize once, staged through ONE hash(u) repartition so
+    // the dedup AND the multiplicity-sensitive degree aggregation both
+    // ride it (persist keeps the partitioning; the projection's own pair
+    // distinct is skipped — the hash(u) dedup subsumes it)
+    def stage(und: DataFrame): DataFrame = und
+      .repartition(col("u")).dropDuplicates("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val co = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+      distinctPairs = false)
+    val coUnd = stage(co.select(col("item_a").as("u"), col("item_b").as("v"))
+      .unionAll(co.select(col("item_b").as("u"), col("item_a").as("v"))))
     val (e, _) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
-    val uniUnd = e.where(col("src") =!= col("dst"))
+    val uniUnd = stage(e.where(col("src") =!= col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
       .unionAll(e.where(col("src") =!= col("dst"))
-        .select(col("dst").as("u"), col("src").as("v"))).distinct()
+        .select(col("dst").as("u"), col("src").as("v"))))
+    val out = statsOf("co_occurrence", coUnd).unionAll(statsOf("unified", uniUnd))
       .localCheckpoint(true)
-    statsOf("co_occurrence", coUnd).unionAll(statsOf("unified", uniUnd))
+    coUnd.unpersist(blocking = false)
+    uniUnd.unpersist(blocking = false)
+    out
   }
 
   /** Local clustering coefficient per part over the co-occurrence graph:
