@@ -279,14 +279,22 @@ object Similarity {
       vecCol: String, k: Int, model: PqModel): DataFrame = {
     // partial dots on the same pico grid: centroid values pre-scaled to
     // 10¹² in SCALA (so neither engine constant-folds differently),
-    // each term floored to BIGINT — integer sums are association-proof
+    // each term floored to BIGINT — integer sums are association-proof.
+    // Deliberately HOFs over a literal 2-D codebook, NOT the unrolled
+    // per-term expression tree the corpus encode uses: query rows are
+    // FEW (one lookup table per query), and the fully unrolled
+    // dim × nCentroids tree overflowed the JVM's 64 KB method limit
+    // (Janino "Code grows beyond 64 KB" → interpreted fallback plus an
+    // ERROR in every run's log). Same floor/scale/BIGINT arithmetic,
+    // bit-identical partials, O(1) generated code.
     val partials = model.codebooks.zipWithIndex.map { case (cb, j) =>
-      array(cb.map { c =>
-        c.zipWithIndex.map { case (cv, i) =>
-          floor(col("__qv").getItem(j * model.subDim + i) * lit(cv * 1e12) + lit(0.5))
-            .cast("long")
-        }.reduce(_ + _)
-      }: _*).as(s"p_$j")
+      val cbScaled = typedLit(cb.map(_.map(_ * 1e12).toSeq).toSeq)
+      transform(cbScaled, c =>
+        aggregate(sequence(lit(0), lit(model.subDim - 1)), lit(0L),
+          (acc, i) => acc + floor(
+            element_at(col("__qv"), lit(j * model.subDim + 1) + i) *
+              element_at(c, i + lit(1)) + lit(0.5)).cast("long")))
+        .as(s"p_$j")
     }
     val qp = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
