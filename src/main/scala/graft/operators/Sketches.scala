@@ -365,6 +365,15 @@ object Sketches {
     * comparable row count. */
   val MpSketchK = 256
 
+  /** [[mpQuantileSketch]]/[[mpMerge]] switch from the one-window-pass
+    * compaction to the distributed range-rank form once the LARGEST
+    * group exceeds this row count: below it a group's sort fits one
+    * task comfortably and the distributed form's per-round fixed jobs
+    * are pure overhead; above it a single hot group would serialize an
+    * entire round through one task — the 100 TB disqualifier. Both
+    * forms produce bit-identical survivors. */
+  val MpDistributedRankRows: Long = 2L * 1000 * 1000
+
   /** Deterministic parity bit for compacting (group, level): which of the
     * two rank classes survives the halving. Derandomized via the portable
     * md5 hash — KLL flips a real coin here; tying the coin to CONTENT
@@ -395,7 +404,31 @@ object Sketches {
     * over compactions, still geometric and still o(1/√k)-class; the
     * estimate side renormalizes by realized total weight, so dropped
     * weight biases ranks, never the weight ledger. */
-  private def mpCompactOnce(cur: DataFrame, groupCol: String, k: Int): DataFrame = {
+  private[graft] def mpCompactOnce(cur: DataFrame, groupCol: String, k: Int,
+      distributedRank: Boolean): DataFrame = {
+    if (!distributedRank) {
+      // SMALL-GROUP form (below [[MpDistributedRankRows]]): one window
+      // pass per round — a group sorts inside a single task, which is
+      // exactly right when it fits one task. The distributed form's
+      // extra per-round jobs (range sampling, checkpoint, broadcast
+      // builds) cost ~3× wall at bench SF for zero benefit there
+      // (measured 2.6 → 9.6 s at sf0.1) — the same local-floor/scale
+      // trade the CC local-fallback and coreness frontier gates encode.
+      // Both forms keep bit-identical survivors (rank ≡ row_number over
+      // the same total order), so the oracle replays either.
+      val wAll = Window.partitionBy(groupCol)
+      val wRank = Window.partitionBy(col(groupCol), col("level"))
+        .orderBy(col("value"), col("rid"))
+      val stepped = cur.select(col(groupCol), col("value"), col("rid"), col("level"),
+        (count(lit(1)).over(wAll) > k).as("__over"),
+        (col("level") === min(col("level")).over(wAll)).as("__atMin"),
+        row_number().over(wRank).as("__rn"), mpParity(groupCol).as("__par"))
+      return stepped
+        .where(!col("__over") || !col("__atMin") || pmod(col("__rn"), lit(2)) === col("__par"))
+        .select(col(groupCol), col("value"), col("rid"),
+          when(col("__over") && col("__atMin"), col("level") + 1)
+            .otherwise(col("level")).as("level"))
+    }
     // DISTRIBUTED rank, not Window.partitionBy(group): a per-group window
     // runs the whole group's sort in ONE task — 20M+ rows per return flag
     // at 10× scale, and a single hot group is exactly what a 100 TB
@@ -409,10 +442,10 @@ object Sketches {
     // oracle replays unchanged. Group stats (over k? min level?) come
     // from a map-combined aggregate broadcast back — the old
     // count-over-group window forced the same single-task-per-group
-    // shape. The caller materializes `cur` per round (the range
-    // partitioner's sampling pass then reads cache instead of
-    // re-running the round chain — repartitionByRange executes its
-    // child twice).
+    // shape. Each round's input is a narrow filter over the PREVIOUS
+    // round's checkpointed frame (see the eager pin below), so the
+    // range partitioner's sampling pass — repartitionByRange executes
+    // its child twice — re-runs only that filter against cache.
     // ONE exchange per round: the range repartition. Rows land
     // range-disjoint in (group, level, value, rid) order; the narrow
     // in-partition sort by that (unique → total) key makes row order a
@@ -423,11 +456,18 @@ object Sketches {
     // offsets. A window over (__pid, group, level) would compute the
     // same rank but re-exchange every row by hash — the bytes this
     // round shape exists to avoid.
+    // EAGERLY materialized: three consumers (the two broadcast builds
+    // below and the stepped join) would otherwise each re-execute the
+    // range exchange — measured 2.6 → 9.6 s at sf0.1 before this pin,
+    // at identical shuffle bytes. __pid/__mid are computed BEFORE the
+    // checkpoint, so the ranks are already plain columns and the
+    // cached row order no longer matters.
     val parted = cur
       .repartitionByRange(col(groupCol), col("level"), col("value"), col("rid"))
       .sortWithinPartitions(col(groupCol), col("level"), col("value"), col("rid"))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val cnts = parted.groupBy(col("__pid"), col(groupCol), col("level"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__mlo"))
     val gstats = cnts.groupBy(groupCol).agg(
@@ -493,18 +533,19 @@ object Sketches {
     var rounds = 0
     var cap = k.toLong
     while (cap < maxN) { cap *= 2; rounds += 1 }
-    // Eager checkpoints while rounds are data-heavy (the first halvings
-    // carry almost all of the 2n total rows): bounds lineage at depth ~4
-    // AND hands mpCompactOnce a materialized input, so the range
-    // partitioner's sampling pass and the round's count aggregate read
-    // cache instead of re-running the chain. Late rounds are k-row-scale
-    // — re-running ≤3 of them for a sampling pass costs less than a
-    // blocking checkpoint job each. Generations sum geometrically
-    // (n + n/2 + … ≤ 2n rows), so the retained blocks stay O(input).
+    // Hot-group gate: maxN is exactly the largest group's row count.
+    // Distributed rounds checkpoint their range-partitioned frame
+    // internally (multi-consumer pin, bounds lineage — a round's output
+    // is a narrow filter over that cache); window rounds keep the
+    // caller-side cadence (eager while data-heavy, sparse after).
+    // Generations sum geometrically (n + n/2 + … ≤ 2n rows), so the
+    // retained blocks stay O(input).
+    val distributedRank = maxN > MpDistributedRankRows
     var cur = if (rounds > 0) base.localCheckpoint(true) else base
     (1 to rounds).foreach { r =>
-      cur = mpCompactOnce(cur, groupCol, k)
-      if (r <= 4 || r % 4 == 0 || r == rounds) cur = cur.localCheckpoint(true)
+      cur = mpCompactOnce(cur, groupCol, k, distributedRank)
+      if (!distributedRank && (r <= 4 || r % 4 == 0 || r == rounds))
+        cur = cur.localCheckpoint(true)
     }
     mpFinish(cur, groupCol)
   }
@@ -530,10 +571,12 @@ object Sketches {
     var rounds = spread + 1
     var cap = k.toLong
     while (cap < maxN) { cap *= 2; rounds += 1 }
+    val distributedRank = maxN > MpDistributedRankRows
     if (rounds > 0) cur = cur.localCheckpoint(true)
     (1 to rounds).foreach { r =>
-      cur = mpCompactOnce(cur, groupCol, k)
-      if (r <= 4 || r % 4 == 0 || r == rounds) cur = cur.localCheckpoint(true)
+      cur = mpCompactOnce(cur, groupCol, k, distributedRank)
+      if (!distributedRank && (r <= 4 || r % 4 == 0 || r == rounds))
+        cur = cur.localCheckpoint(true)
     }
     // the spread+log2(maxN/k) round budget is heuristic for adversarial
     // level mixes: estimates stay valid on an oversized sketch, but an

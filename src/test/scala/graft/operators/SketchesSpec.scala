@@ -256,6 +256,26 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("MP compaction: window and distributed-rank forms keep identical survivors") {
+    // the MpDistributedRankRows gate switches plan shape only — pin the
+    // bit-identity of the two forms on a multi-group, multi-level,
+    // odd-run-heavy input across several chained rounds
+    val rows = (1 to 801).map(i =>
+      (if (i % 3 == 0) "a" else "b", (i * 37 % 211).toLong, s"r$i", i % 2)) ++
+      Seq(("c", 5L, "solo", 0))
+    val base = rows.toDF("g", "value", "rid", "level")
+    def run(distributed: Boolean): Seq[(String, Long, String, Int)] = {
+      var cur = base
+      (1 to 4).foreach(_ => cur = Sketches.mpCompactOnce(cur, "g", 16, distributed))
+      cur.orderBy("g", "level", "value", "rid").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+    }
+    val w = run(false)
+    val d = run(true)
+    assert(w == d, "gate forms must keep bit-identical survivors")
+    assert(w.nonEmpty && w.count(_._1 == "c") == 1)
+  }
+
   test("MP sketch: empty input yields empty sketch and empty estimates") {
     val df = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
     val sk = Sketches.mpQuantileSketch(df, "g", col("id"), col("v"), k = 16)
