@@ -109,4 +109,29 @@ class EmptyInputSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
       Set(("doc_id", 0L, 0L), ("text", 0L, 0L)))
   }
+
+  test("round-10 reshaped operators on empty inputs") {
+    val noVids = Seq.empty[Long].toDF("vid")
+    // empty edges, anchored and unanchored (count-guarded broadcast paths)
+    assert(GraphAnalytics.linkFeatures(noEdges, "src", "dst").count() == 0)
+    assert(GraphAnalytics.linkFeatures(noEdges, "src", "dst",
+      anchors = Some(Seq(1L).toDF("vid"))).count() == 0)
+    // real edges, EMPTY anchor set: broadcast of zero anchor rows
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(GraphAnalytics.linkFeatures(tri, "src", "dst",
+      anchors = Some(noVids)).count() == 0)
+    // kCore canonical fast path on empty input
+    assert(GraphAnalytics.kCore(noEdges, k = 2, assumeCanonical = true).count() == 0)
+    // negative sampling: empty pair table and empty weight table
+    val noPairs = Seq.empty[(Long, Long)].toDF("center", "context")
+    val w = Seq((1L, 3L), (2L, 1L)).toDF("vid", "w")
+    assert(GraphAnalytics.weightedNegativeSamples(noPairs, w, k = 2).count() == 0)
+    val pairs = Seq((1L, 2L)).toDF("center", "context")
+    val noW2 = Seq.empty[(Long, Long)].toDF("vid", "w")
+    assert(GraphAnalytics.weightedNegativeSamples(pairs, noW2, k = 2).count() == 0)
+    // weighted pagerank's pinned-cache staging on empty edges
+    assert(GraphAnalytics.pageRankWeightedDF(noW3).count() == 0)
+  }
+
+  private def noW3 = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
 }
