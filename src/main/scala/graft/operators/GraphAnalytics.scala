@@ -138,18 +138,30 @@ object GraphAnalytics {
     * per-vertex adjacency-set materialization — at web scale the
     * highest-degree vertex no longer has to fit its neighbor set in one
     * task. Input edges need not be canonical or self-loop-free; output is
-    * (vid, triangles) over every edge endpoint. */
-  def triangleCountsDF(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    * (vid, triangles) over every edge endpoint.
+    *
+    * `assumeCanonical = true`: the caller guarantees distinct canonical
+    * (src < dst) self-loop-free pairs — the [[coOccurrenceEdges]]
+    * contract — so the canonicalize + distinct staging (a full
+    * pair-level exchange; triangle counts are multiplicity-sensitive,
+    * so it cannot be dropped unconditionally) is skipped and staging is
+    * a map-only checkpoint. */
+  def triangleCountsDF(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      assumeCanonical: Boolean = false): DataFrame = {
     // The canonical edge list feeds FOUR plan branches (both join sides,
     // the close probe, the vertex universe). Materialize it once —
     // without this, Spark recomputes the whole upstream plan (e.g. a
     // co-occurrence projection) per branch: the audit showed 79 exchanges
     // on g_triangles, ~4x the upstream cost, all duplicate work.
-    val canon = edges.where(col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+    val canonBase =
+      if (assumeCanonical)
+        edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else
+        edges.where(col(srcCol) =!= col(dstCol))
+          .select(least(col(srcCol), col(dstCol)).as("u"),
+            greatest(col(srcCol), col(dstCol)).as("v"))
+          .distinct()
+    val canon = canonBase.localCheckpoint(true)
     val e1 = canon.select(col("u").as("a"), col("v").as("b"))
     val e2 = canon.select(col("u").as("b"), col("v").as("c"))
     val e3 = canon.select(col("u").as("a"), col("v").as("c"))

@@ -51,7 +51,10 @@ object AnalyticsQueries {
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables(s, dir, "lineitem")
     val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-    GraphAnalytics.triangleCountsDF(edges, "item_a", "item_b")
+    // assumeCanonical: the projection's pairs are distinct item_a < item_b,
+    // so the operator's canonicalize+distinct staging would re-exchange
+    // the edge list to change nothing
+    GraphAnalytics.triangleCountsDF(edges, "item_a", "item_b", assumeCanonical = true)
       .select(lit("Part").as("label"), col("vid").as("node_id"), col("triangles"))
   }
 
@@ -373,7 +376,8 @@ object AnalyticsQueries {
     // co-occurrence projection once
     val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
       .localCheckpoint(true)
-    val tri = GraphAnalytics.triangleCountsDF(edges, "item_a", "item_b")
+    val tri = GraphAnalytics.triangleCountsDF(edges, "item_a", "item_b",
+      assumeCanonical = true)
     val und = edges.select(col("item_a").as("u"), col("item_b").as("v"))
       .unionAll(edges.select(col("item_b").as("u"), col("item_a").as("v")))
     val deg = und.groupBy(col("u").as("vid")).agg(count(lit(1)).as("degree"))
