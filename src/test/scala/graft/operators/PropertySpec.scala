@@ -29,6 +29,47 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("anchored linkFeatures equals the all-pairs output restricted to anchors") {
+    // a feature row depends only on its anchor's 2-hop neighborhood, so
+    // the broadcast-anchored pipeline must agree row-for-row with the
+    // unanchored plan filtered to anchor rows — across random graphs,
+    // anchor sets, and partitionings
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = edges.toDF("src", "dst").repartition(1 + rnd.nextInt(5))
+      val anchorIds = (0 until 25).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val anchors = anchorIds.toDF("vid")
+      def rows(out: org.apache.spark.sql.DataFrame) =
+        out.select("a", "b", "n_common", "jaccard", "adamic_adar", "is_edge")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+      val anchored = rows(GraphAnalytics.linkFeatures(df, "src", "dst",
+        topPerVertex = 3, minCommon = 1, anchors = Some(anchors)))
+      val all = rows(GraphAnalytics.linkFeatures(df, "src", "dst",
+        topPerVertex = 3, minCommon = 1))
+        .filter(r => anchorIds.contains(r._1))
+      assert(anchored == all, s"seed=$seed anchors=${anchorIds.mkString(",")}")
+    }
+  }
+
+  test("kCore assumeCanonical equals the dedup path across random graphs") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val raw = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val canon = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val k = 2 + rnd.nextInt(3)
+      def rows(df: org.apache.spark.sql.DataFrame, assume: Boolean) =
+        GraphAnalytics.kCore(df, k = k, rounds = 10, assumeCanonical = assume)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // canonical input through the fast path == raw input through dedup
+      assert(rows(canon.toDF("src", "dst"), true) ==
+        rows(raw.toDF("src", "dst"), false), s"seed=$seed k=$k")
+    }
+  }
+
   test("chunking covers every character; stride==size reassembles the text") {
     val rnd = new scala.util.Random(5)
     (1 to 4).foreach { _ =>
