@@ -133,6 +133,32 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(bc == sh)
   }
 
+  test("sssp and (P)PR: broadcast and shuffle physical paths agree") {
+    // the MaxBroadcastVertices guard swaps plan shape, never semantics —
+    // integer math is partitioning-independent, so the paths must agree
+    // bit for bit on random graphs
+    val rnd = new scala.util.Random(31)
+    val wEdges = Seq.tabulate(300)(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong, (1 + rnd.nextInt(5)).toLong))
+      .toDF("src", "dst", "w")
+    val srcs = Seq(0L, 7L).toDF("vid")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(setOf(GraphAnalytics.ssspDistances(wEdges, srcs, rounds = 8,
+        broadcastDist = true)) ==
+      setOf(GraphAnalytics.ssspDistances(wEdges, srcs, rounds = 8,
+        broadcastDist = false)))
+    val edges = wEdges.select("src", "dst")
+    assert(setOf(GraphAnalytics.pageRankQuantizedDF(edges, numIter = 5,
+        broadcastRanks = true)) ==
+      setOf(GraphAnalytics.pageRankQuantizedDF(edges, numIter = 5,
+        broadcastRanks = false)))
+    assert(setOf(GraphAnalytics.personalizedPageRankDF(edges, srcs, numIter = 5,
+        broadcastRanks = true)) ==
+      setOf(GraphAnalytics.personalizedPageRankDF(edges, srcs, numIter = 5,
+        broadcastRanks = false)))
+  }
+
   test("triangle counts: one triangle, hand-computed") {
     // single-label triangle 1-2-3 plus pendant 4
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("nid")
