@@ -587,9 +587,14 @@ object GraphAnalytics {
     * to 6dp and sums DECIMAL (order-independent — a raw double Σ would
     * never reproduce), the [[TextAnalysis.unigramLogprob]] recipe.
     * Ranking compares the ROUNDED jaccard, ties broken by id. */
+  /** @param maxBroadcast broadcast-feasibility ceiling for the degree
+    * table and the anchored wedge/probe sides — defaults to
+    * [[MaxBroadcastVertices]]; tests inject 0 to pin the
+    * forced-shuffle path's agreement. */
   def linkFeatures(coEdges: DataFrame, aCol: String, bCol: String,
       topPerVertex: Int = 5, minCommon: Int = 2,
-      anchors: Option[DataFrame] = None): DataFrame = {
+      anchors: Option[DataFrame] = None,
+      maxBroadcast: Long = MaxBroadcastVertices): DataFrame = {
     val e = coEdges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u"))
@@ -602,7 +607,7 @@ object GraphAnalytics {
     // guarded broadcast: the vertex-sized degree table outgrows the
     // planner's auto-broadcast threshold with V and silently became a
     // two-sided shuffle join in the sf1 bench
-    val deg = if (degTable.count() <= MaxBroadcastVertices) broadcast(degTable) else degTable
+    val deg = if (degTable.count() <= maxBroadcast) broadcast(degTable) else degTable
     val awAll = und.select(col("u").as("a"), col("v").as("w"))
     val ancIds = anchors.map { anc =>
       broadcast(anc.select(col(anc.columns.head).cast("long").as("__anchor")))
@@ -613,7 +618,7 @@ object GraphAnalytics {
     // Σ_{a∈A} deg(a) bounds BOTH broadcast sides below (aw and the
     // pruned is_edge probe are each "und rows whose u is an anchor")
     val anchorRows = if (anchors.isDefined) aw.count() else Long.MaxValue
-    val useAnchorBroadcast = anchorRows <= MaxBroadcastVertices
+    val useAnchorBroadcast = anchorRows <= maxBroadcast
     val bw = und.select(col("u").as("b"), col("v").as("w2"))
     // streamed side is the pinned hash(u)=hash(b) adjacency; broadcast
     // joins preserve it, so the feature groupBy below never exchanges
@@ -1065,7 +1070,8 @@ object GraphAnalytics {
   def weightedNegativeSamples(pairs: DataFrame, weights: DataFrame, k: Int,
       centerCol: String = "center", contextCol: String = "context",
       vidCol: String = "vid", weightCol: String = "w",
-      buckets: Int = 4096, cumPartitions: Int = 32): DataFrame = {
+      buckets: Int = 4096, cumPartitions: Int = 32,
+      maxBroadcast: Long = MaxBroadcastVertices): DataFrame = {
     require(k >= 1 && buckets >= 1)
     val w0 = weights
       .select(col(vidCol).cast("long").as("vid"), col(weightCol).cast("long").as("w"))
@@ -1106,7 +1112,7 @@ object GraphAnalytics {
     // 82 MB at sf1 for a draws-sized output); past the guard the
     // equi-join shuffles both sides as before
     val drawsCp = draws.localCheckpoint(true)
-    val d = if (drawsCp.count() <= MaxBroadcastVertices) broadcast(drawsCp) else drawsCp
+    val d = if (drawsCp.count() <= maxBroadcast) broadcast(drawsCp) else drawsCp
     slots.join(d, Seq("slot"))
       .where(col("u") >= col("lo") && col("u") < col("hi"))
       .select(col("center"), col("context"), col("draw_i").cast("int").as("draw_i"),

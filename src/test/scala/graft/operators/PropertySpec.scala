@@ -70,6 +70,24 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("linkFeatures and negative sampling: forced-shuffle path agrees with broadcast path") {
+    // maxBroadcast = 0 routes every guarded broadcast to the shuffle
+    // plan — results must be bit-identical (plan shape, not semantics)
+    val rnd = new scala.util.Random(77)
+    val edges = Seq.fill(150)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val anchors = Some(Seq(1L, 3L, 5L).toDF("vid"))
+    def lf(mb: Long) = GraphAnalytics.linkFeatures(edges, "src", "dst",
+        topPerVertex = 3, minCommon = 1, anchors = anchors, maxBroadcast = mb)
+      .collect().map(_.toSeq).toSet
+    assert(lf(Long.MaxValue) == lf(0L))
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 2L)).toDF("center", "context")
+    val w = Seq.tabulate(12)(i => (i.toLong, (1 + i % 4).toLong)).toDF("vid", "w")
+    def ns(mb: Long) = GraphAnalytics.weightedNegativeSamples(pairs, w, k = 3,
+        maxBroadcast = mb).collect().map(_.toSeq).toSet
+    assert(ns(Long.MaxValue) == ns(0L))
+  }
+
   test("chunking covers every character; stride==size reassembles the text") {
     val rnd = new scala.util.Random(5)
     (1 to 4).foreach { _ =>
