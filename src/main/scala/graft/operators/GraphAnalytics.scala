@@ -673,13 +673,18 @@ object GraphAnalytics {
     // measured the silent flip to a two-sided shuffle join — 15.7x
     // shuffle on 10x data), while the semantic guard holds to 50M
     // vertices.
-    val edUnpinned = e.join(if (useBroadcast) broadcast(deg) else deg, "src")
-      .select(col("src"), col("dst"), col("deg"))
+    // repartition BEFORE the broadcast degree join: the exchange then
+    // carries bare (src, dst) pairs — the deg column attaches on top of
+    // the already-partitioned stream (a broadcast join preserves it),
+    // ~1/3 fewer staging bytes for the identical pinned cache
     val ed =
       if (useBroadcast)
-        edUnpinned.repartition(col("dst"))
+        e.repartition(col("dst"))
+          .join(broadcast(deg), "src")
+          .select(col("src"), col("dst"), col("deg"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else edUnpinned.localCheckpoint(true)
+      else e.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
 
     // SPARSE loop: ranks are kept only for vertices that RECEIVE edges —
     // any vertex absent from the in-sums has rank exactly resetMicro
@@ -756,15 +761,17 @@ object GraphAnalytics {
     val useBroadcast = broadcastRanks && verts.count() <= MaxBroadcastVertices
     // guarded broadcast for the loop-invariant degree join (the
     // pageRankQuantizedDF rule: an edge ⋈ vertex join never rides
-    // auto-broadcast) — without it the edge list shuffled a second
-    // time on src before the hash(dst) staging exchange
-    val edUnpinned = e.join(if (useBroadcast) broadcast(deg) else deg, "src")
-      .select(col("src"), col("dst"), col("deg"))
+    // auto-broadcast), applied AFTER the hash(dst) repartition so the
+    // staging exchange carries bare (src, dst) pairs and the deg column
+    // attaches on the already-partitioned stream
     val ed =
       if (useBroadcast)
-        edUnpinned.repartition(col("dst"))
+        e.repartition(col("dst"))
+          .join(broadcast(deg), "src")
+          .select(col("src"), col("dst"), col("deg"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else edUnpinned.localCheckpoint(true)
+      else e.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
     val s = sources.select(col(sources.columns.head).as("vid")).distinct()
       .localCheckpoint(true)
 
