@@ -819,7 +819,7 @@ object GraphAnalytics {
       srcCol: String = "src", dstCol: String = "dst",
       undirected: Boolean = true): DataFrame =
     ssspDistances(edges.withColumn("__unit_w", lit(1L)), sources, maxHops,
-      srcCol, dstCol, weightCol = "__unit_w", undirected)
+      srcCol, dstCol, weightCol = "__unit_w", undirected, unitWeight = true)
 
   /** Single/multi-source WEIGHTED shortest paths — Bellman-Ford
     * relaxation over integral edge weights: round i sets
@@ -870,9 +870,11 @@ object GraphAnalytics {
     * partitioning-independent. */
   def ssspDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
-      undirected: Boolean = true, broadcastDist: Boolean = true): DataFrame =
+      undirected: Boolean = true, broadcastDist: Boolean = true,
+      unitWeight: Boolean = false): DataFrame =
     ssspDistancesWithStats(edges, sources, rounds, srcCol, dstCol, weightCol,
-      undirected, broadcastDist, collectStats = false)._1
+      undirected, broadcastDist, collectStats = false,
+      unitWeight = unitWeight)._1
 
   /** [[ssspDistances]] plus the per-round frontier sizes (|improved|
     * after each executed round) — spec hook proving per-round work
@@ -882,7 +884,8 @@ object GraphAnalytics {
       rounds: Int, srcCol: String = "src", dstCol: String = "dst",
       weightCol: String = "w", undirected: Boolean = true,
       broadcastDist: Boolean = true,
-      collectStats: Boolean = true): (DataFrame, Seq[Long]) = {
+      collectStats: Boolean = true,
+      unitWeight: Boolean = false): (DataFrame, Seq[Long]) = {
     require(rounds >= 0, "rounds must be >= 0")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
@@ -904,9 +907,20 @@ object GraphAnalytics {
     // (dedup-shuffle + eager checkpoint + repartition-shuffle) moved the
     // full edge list twice, 13 s of the sf1 wall-clock.
     val eRaw = if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0
-    val e = t("eStage")(eRaw.repartition(col("v"))
-      .groupBy("u", "v").agg(min(col("w")).as("w"))
-      .persist(MEMORY_AND_DISK))
+    // unitWeight (the BFS case): the weight column is the CONSTANT 1 —
+    // shipping it through the staging exchange wastes a third of the
+    // bytes, and min-collapse degenerates to dedup, so stage bare
+    // (u, v) pairs and attach the constant on the partitioned stream
+    val e = t("eStage")(
+      if (unitWeight)
+        eRaw.select(col("u"), col("v"))
+          .repartition(col("v"))
+          .dropDuplicates("u", "v")
+          .withColumn("w", lit(1L))
+          .persist(MEMORY_AND_DISK)
+      else eRaw.repartition(col("v"))
+        .groupBy("u", "v").agg(min(col("w")).as("w"))
+        .persist(MEMORY_AND_DISK))
     val src = sources.select(col(sources.columns.head).as("vid")).distinct()
     // DENSE-INIT state: every vertex that can ever hold a distance is a
     // row from round 0 (dist NULL = unreached, `fresh` marking the
