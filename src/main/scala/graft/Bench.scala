@@ -111,6 +111,13 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         graft.queries.PipelineQueries.invalidateCheckpointedMemos()
+        // untimed GC hint: interpreted-HOF-heavy queries allocate hard,
+        // and in a single-JVM 170+-query suite the collector otherwise
+        // runs INSIDE later queries' timed reps (measured: dd_setsim_join
+        // 3.3 s isolated vs 29.7 s in-suite at identical shuffle bytes).
+        // Paying the pause between queries keeps per-query medians
+        // faithful to the isolated plan cost.
+        System.gc()
         val sorted = times.sorted
         name -> QueryStats(sorted(reps / 2), sorted.head, shuffleBytes, spilledBytes, errors)
       }
