@@ -40,9 +40,9 @@ object AsOf {
       .withColumn("__asof_v", rightValue)
       .select(col(keyCol), col(timeCol), col("__is_left"), col("__asof_v"))
     val lCols = left.columns
-    val unioned = l.select((lCols.map(col) :+ col("__is_left") :+ col("__asof_v")): _*)
+    val unioned = l.select((lCols.toSeq.map(col) :+ col("__is_left") :+ col("__asof_v")): _*)
       .unionByName(
-        r.select((lCols.map(c => if (c == keyCol || c == timeCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
+        r.select((lCols.toSeq.map(c => if (c == keyCol || c == timeCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
           :+ col("__is_left") :+ col("__asof_v")): _*))
     // right rows sort before left rows at the same timestamp → "at or before"
     val enriched = carryForward(unioned, keyCol, Seq(timeCol, "__is_left"),

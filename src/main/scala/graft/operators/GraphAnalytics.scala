@@ -1544,7 +1544,7 @@ object GraphAnalytics {
       // checks amortize the action
       var color = active.select(col("vid"), col("vid").as("c")).localCheckpoint(true)
       var colorSum = color.agg(coalesce(sum(col("c").cast("decimal(38,0)")), lit(0))
-        .cast("decimal(38,0)")).head.getDecimal(0)
+        .cast("decimal(38,0)")).head().getDecimal(0)
       var converged = false
       var rounds = 0
       while (!converged) {
@@ -1558,7 +1558,7 @@ object GraphAnalytics {
         require(rounds <= maxRoundsPerFixpoint, "SCC forward fixpoint exceeded round bound")
         color = color.localCheckpoint(true)
         val s = color.agg(coalesce(sum(col("c").cast("decimal(38,0)")), lit(0))
-          .cast("decimal(38,0)")).head.getDecimal(0)
+          .cast("decimal(38,0)")).head().getDecimal(0)
         converged = s.compareTo(colorSum) == 0
         colorSum = s
       }

@@ -77,7 +77,7 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, numBits: Int, seed: Long = 7L): Column = {
     val planes = hyperplanes(dim, numBits, seed)
     planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toSeq.map(lit): _*)
       when(dot(vec, planeCol) > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -242,8 +242,8 @@ object Similarity {
     * vector. Codebook literals fold into the plan, so encoding is pure
     * codegen'd column math over the scan. */
   private[graft] def pqCodeCols(v: Column, model: PqModel): Seq[Column] =
-    model.codebooks.zipWithIndex.map { case (cb, j) =>
-      val dists = array(cb.map { c =>
+    model.codebooks.toSeq.zipWithIndex.map { case (cb, j) =>
+      val dists = array(cb.toSeq.map { c =>
         c.zipWithIndex.map { case (cv, i) =>
           val t = v.getItem(j * model.subDim + i) - lit(cv)
           floor(t * t * lit(1e12) + lit(0.5)).cast("long")
@@ -298,7 +298,7 @@ object Similarity {
     }
     val qp = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-      .select(col("query_id") +: partials: _*)
+      .select(col("query_id") +: partials.toSeq: _*)
     val approxPico = (0 until model.m).map(j =>
       element_at(col(s"p_$j"), col(s"code_$j").cast("int"))).reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
@@ -323,8 +323,8 @@ object Similarity {
   // nearest cell(s) as column math against centroid literals — the
   // assignment never leaves codegen'd expressions
   private def cellDistances(centroids: Array[Array[Double]])(vec: Column): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.map(lit): _*)
+    array(centroids.toSeq.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.toSeq.map(lit): _*)
       struct((dot(vec, vec) - lit(2.0) * dot(vec, cCol) + lit(c.map(x => x * x).sum)).as("d2"),
         lit(i).as("cell"))
     }: _*)
@@ -455,7 +455,7 @@ object Similarity {
     val planes = rpPlanes(dim, outDim, seed)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val projections = planes.zipWithIndex.map { case (plane, j) =>
-      val picoPlane = array(plane.map(p => lit(p * 1e12)): _*)
+      val picoPlane = array(plane.toSeq.map(p => lit(p * 1e12)): _*)
       ((graft.functions.VectorFunctions.vec_dot_fixed_point(
         col(vecCol), picoPlane).cast("double") / lit(1e12)) * lit(scale)).as(s"rp_$j")
     }

@@ -529,7 +529,7 @@ object Sketches {
     val base = df.where(value.isNotNull).select(col(groupCol), value.as("value"),
       id.cast("string").as("rid"), lit(0).as("level"))
     val maxN = base.groupBy(groupCol).count()
-      .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     var rounds = 0
     var cap = k.toLong
     while (cap < maxN) { cap *= 2; rounds += 1 }
@@ -566,7 +566,7 @@ object Sketches {
     val stats = cur.groupBy(groupCol)
       .agg(count(lit(1)).as("n"), min("level").as("lo"), max("level").as("hi"))
       .agg(coalesce(max("n"), lit(0L)).as("n"),
-        coalesce(max(col("hi") - col("lo")), lit(0)).as("spread")).head
+        coalesce(max(col("hi") - col("lo")), lit(0)).as("spread")).head()
     val (maxN, spread) = (stats.getLong(0), stats.getInt(1))
     var rounds = spread + 1
     var cap = k.toLong
