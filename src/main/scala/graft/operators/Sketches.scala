@@ -534,6 +534,13 @@ object Sketches {
     var cap = k.toLong
     while (cap < maxN) { cap *= 2; rounds += 1 }
     // Hot-group gate: maxN is exactly the largest group's row count.
+    // A per-round DECAYED gate (groups halve every round, so round r's
+    // ceiling is maxN >> (r−1) — only the first rounds need the
+    // distributed rank) was measured at sf1 and REVERTED: with few hot
+    // groups the window rounds serialize on single tasks and give the
+    // fixed-job savings straight back (23.0 s vs 21.5 s static,
+    // overlapping noise; bytes ~equal). The static gate keeps every
+    // round of a hot build parallel.
     // Distributed rounds checkpoint their range-partitioned frame
     // internally (multi-consumer pin, bounds lineage — a round's output
     // is a narrow filter over that cache); window rounds keep the
