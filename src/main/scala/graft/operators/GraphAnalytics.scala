@@ -616,9 +616,14 @@ object GraphAnalytics {
       awAll.join(ids, col("a") === col("__anchor"), "left_semi")
     }
     // Σ_{a∈A} deg(a) bounds BOTH broadcast sides below (aw and the
-    // pruned is_edge probe are each "und rows whose u is an anchor")
+    // pruned is_edge probe are each "und rows whose u is an anchor").
+    // anchors.isDefined is part of the gate (not just a sentinel row
+    // count): without anchors, aw IS the full E-row adjacency, and no
+    // maxBroadcast override may broadcast it. The ceiling is halved per
+    // extra payload column — MaxBroadcastVertices is calibrated for
+    // 2-column (vid, value) rows, and aw/edgeFlagPruned carry 3.
     val anchorRows = if (anchors.isDefined) aw.count() else Long.MaxValue
-    val useAnchorBroadcast = anchorRows <= maxBroadcast
+    val useAnchorBroadcast = anchors.isDefined && anchorRows <= maxBroadcast / 3 * 2
     val bw = und.select(col("u").as("b"), col("v").as("w2"))
     // streamed side is the pinned hash(u)=hash(b) adjacency; broadcast
     // joins preserve it, so the feature groupBy below never exchanges
@@ -818,8 +823,9 @@ object GraphAnalytics {
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
       srcCol: String = "src", dstCol: String = "dst",
       undirected: Boolean = true): DataFrame =
-    ssspDistances(edges.withColumn("__unit_w", lit(1L)), sources, maxHops,
-      srcCol, dstCol, weightCol = "__unit_w", undirected, unitWeight = true)
+    ssspDistancesWithStats(edges.withColumn("__unit_w", lit(1L)), sources,
+      maxHops, srcCol, dstCol, weightCol = "__unit_w", undirected,
+      collectStats = false, unitWeight = true)._1
 
   /** Single/multi-source WEIGHTED shortest paths — Bellman-Ford
     * relaxation over integral edge weights: round i sets
@@ -870,11 +876,9 @@ object GraphAnalytics {
     * partitioning-independent. */
   def ssspDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
-      undirected: Boolean = true, broadcastDist: Boolean = true,
-      unitWeight: Boolean = false): DataFrame =
+      undirected: Boolean = true, broadcastDist: Boolean = true): DataFrame =
     ssspDistancesWithStats(edges, sources, rounds, srcCol, dstCol, weightCol,
-      undirected, broadcastDist, collectStats = false,
-      unitWeight = unitWeight)._1
+      undirected, broadcastDist, collectStats = false)._1
 
   /** [[ssspDistances]] plus the per-round frontier sizes (|improved|
     * after each executed round) — spec hook proving per-round work
@@ -1131,9 +1135,13 @@ object GraphAnalytics {
     // under a count guard lets it STREAM, so the lookup join runs with
     // zero exchange (the hash(slot) plan moved the whole vocabulary:
     // 82 MB at sf1 for a draws-sized output); past the guard the
-    // equi-join shuffles both sides as before
+    // equi-join shuffles both sides as before. The row ceiling is
+    // WIDTH-SCALED: MaxBroadcastVertices calibrates bytes for 2-column
+    // (vid, value) rows, and a draws row carries 5 — reusing the raw
+    // count near the boundary would build a 2.5× bigger relation,
+    // brushing Spark's 8 GiB broadcast hard cap.
     val drawsCp = draws.localCheckpoint(true)
-    val d = if (drawsCp.count() <= maxBroadcast) broadcast(drawsCp) else drawsCp
+    val d = if (drawsCp.count() <= maxBroadcast / 5 * 2) broadcast(drawsCp) else drawsCp
     slots.join(d, Seq("slot"))
       .where(col("u") >= col("lo") && col("u") < col("hi"))
       .select(col("center"), col("context"), col("draw_i").cast("int").as("draw_i"),

@@ -374,6 +374,14 @@ object Sketches {
     * forms produce bit-identical survivors. */
   val MpDistributedRankRows: Long = 2L * 1000 * 1000
 
+  /** Broadcast ceiling for the distributed compaction's per-round stat
+    * tables (offsets/gstats, 5 narrow columns each). offsets is
+    * O(partitions × live (group, level) pairs) — tiny in every measured
+    * round, but unbounded in the group count, so past this ceiling the
+    * rank joins fall back to shuffle joins instead of failing the
+    * broadcast build. */
+  val MpMaxBroadcastStatRows: Long = 20L * 1000 * 1000
+
   /** Deterministic parity bit for compacting (group, level): which of the
     * two rank classes survives the halving. Derandomized via the portable
     * md5 hash — KLL flips a real coin here; tying the coin to CONTENT
@@ -468,8 +476,18 @@ object Sketches {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint(true)
+    // cnts is O(partitions × live (group, level) pairs) — broadcast-sized
+    // for any sane round, but at 100 TB a very large group COUNT (with
+    // one hot group pulling the whole input into this path) can make
+    // the stat tables themselves the failure point, so both broadcasts
+    // ride a count guard with a shuffle-join fallback (the operators'
+    // standard discipline). The guard count reads the eagerly-pinned
+    // cnts frame, so the extra action is one cached-aggregate job.
     val cnts = parted.groupBy(col("__pid"), col(groupCol), col("level"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__mlo"))
+      .localCheckpoint(true)
+    val statsFit = cnts.count() <= MpMaxBroadcastStatRows
+    def maybeB(df: DataFrame): DataFrame = if (statsFit) broadcast(df) else df
     val gstats = cnts.groupBy(groupCol).agg(
       (sum(col("__cnt")) > k).as("__over"), min(col("level")).as("__minl"))
     val offsets = cnts
@@ -480,9 +498,9 @@ object Sketches {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__cnt")
     val stepped = parted
-      .join(broadcast(offsets), parted("__pid") === col("__opid")
+      .join(maybeB(offsets), parted("__pid") === col("__opid")
         && parted(groupCol) === col("__og") && parted("level") === col("__ol"))
-      .join(broadcast(gstats), groupCol)
+      .join(maybeB(gstats), groupCol)
       .select(col(groupCol), col("value"), col("rid"), col("level"),
         col("__over"), (col("level") === col("__minl")).as("__atMin"),
         (col("__mid") - col("__mlo") + 1L + col("__off")).as("__rn"),
