@@ -32,8 +32,14 @@ object GraphAnalytics {
   /** [[coreness]] switches from dense to frontier rounds once the
     * changed set falls below V / this factor: above it the candidate
     * neighborhoods cover ~everything and the frontier joins are pure
-    * overhead; below it per-round work tracks the changed set. */
-  private[graft] val FrontierSwitchFactor = 32L
+    * overhead; below it per-round work tracks the changed set. 128, not
+    * 32: a frontier round's real cost tracks Σdeg over the changed
+    * set's NEIGHBORHOOD (≈ moved × avg-deg² edges touched), so at
+    * moved = V/32 the candidate adjacency still covers most of E and
+    * the round pays dense-round work PLUS the frontier bookkeeping —
+    * measured at sf1: the first V/32-sized frontier round cost 3.4 s
+    * vs 1.6 s for the dense round preceding it. */
+  private[graft] val FrontierSwitchFactor = 128L
 
   /** Unified edge list of a PropertyGraph: one DataFrame of encoded
     * (src, dst) global vertex ids. Labels are indexed in sorted order for
@@ -1396,9 +1402,14 @@ object GraphAnalytics {
     val eRows = e0cp.count()
     val confParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val undParts = math.max(1, math.min(confParts, (2 * eRows / 300000L).toInt + 1))
+    // sortWithinPartitions(u) on top of the hash(u) layout: the cached
+    // relation then ADVERTISES per-partition ordering, so the frontier
+    // rounds' per-u window below (candidate discovery fused into one
+    // scan) runs sort-free — one staging sort buys zero per-round sorts
     val und = e0cp.unionAll(e0cp.select(col("v").as("u"), col("u").as("v")))
       .repartition(undParts, col("u"))
       .dropDuplicates("u", "v")
+      .sortWithinPartitions("u")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var c = und.groupBy("u").agg(count(lit(1)).cast("long").as("cv"))
       .localCheckpoint(true)
@@ -1426,9 +1437,15 @@ object GraphAnalytics {
       nv.groupBy("u", "cv").agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum(col("cnt")).over(wCum))
         .groupBy("u").agg(max(least(col("cum"), col("cv"))).cast("long").as("cv"))
-    def withOld(nvals: DataFrame): DataFrame =
-      c.select(col("u"), col("cv").as("pv")).join(maybeBroadcast(nvals), "u")
-        .select(col("u"), col("cv"), col("pv")).localCheckpoint(false)
+    // the round's ONE V-row broadcast, REUSED by both value joins: the
+    // neighbor-value join keys the build side on its first column and so
+    // does the old-value join, and both build children canonicalize to
+    // the same projection over the same checkpoint scan — physical
+    // planning turns the second build into a ReusedExchange. The r10
+    // shape built two V-row hash relations per dense round (collect +
+    // driver build each); the probe put that at ~0.5-1 s/round of the
+    // fixed floor.
+    var prevRoundCache: DataFrame = null
     while (r < budget && !done) {
       r += 1
       val tRound = System.nanoTime()
@@ -1437,22 +1454,62 @@ object GraphAnalytics {
       // frontier rounds once it shrinks — on slow fixpoints (the dense
       // co-occurrence ~60-round case) that is almost all rounds
       val frontierMode = r > 1 && lastMoved * FrontierSwitchFactor < nVerts
-      val cv = c.select(col("u").as("v"), col("cv"))
+      def withOldVia(cvO: DataFrame)(nvals: DataFrame): DataFrame =
+        nvals.join(maybeBroadcast(cvO), col("u") === col("__ou"))
+          .select(col("u"), col("cv"), col("__pv").as("pv"))
+          .localCheckpoint(false)
+      var roundCache: DataFrame = null
       if (!frontierMode) {
-        val upd = withOld(hIndexOf(
-          und.join(maybeBroadcast(cv), "v").select(col("u"), col("cv"))))
+        val cvN = c.select(col("u").as("__nb"), col("cv").as("__nbv"))
+        val cvO = c.select(col("u").as("__ou"), col("cv").as("__pv"))
+        val upd = withOldVia(cvO)(hIndexOf(
+          und.join(maybeBroadcast(cvN), col("v") === col("__nb"))
+            .select(col("u"), col("__nbv").as("cv"))))
         changed = upd.where(col("cv") =!= col("pv")).select(col("u"))
         c = upd.select(col("u"), col("cv")).localCheckpoint(false)
       } else {
-        // candidates: vertices with a neighbor in last round's frontier
-        val cand = und.join(maybeBroadcast(changed.select(col("u").as("v"))), "v")
-          .select(col("u")).distinct().localCheckpoint(false)
-        val candEdges = und.join(maybeBroadcast(cand), Seq("u"), "left_semi")
-        val upd = withOld(hIndexOf(
-          candEdges.join(maybeBroadcast(cv), "v").select(col("u"), col("cv"))))
+        // ONE adjacency scan finds the candidates AND their edges: flag
+        // rows whose v moved last round, then a per-u window marks every
+        // edge of a flagged u. Sort-free (the cached adjacency advertises
+        // its staging sort) and exchange-free (rides hash(u)) — the r10
+        // shape paid two full adjacency scans (candidate discovery +
+        // semi-join) plus a distinct exchange and an extra broadcast
+        // build per round. persist, NOT localCheckpoint: the candidate
+        // adjacency feeds the exchange-free h-index groupBy and a
+        // checkpoint's LogicalRDD would forget the hash(u) partitioning.
+        val chv = changed.select(col("u").as("__ch"))
+        val candEdges = und
+          .join(maybeBroadcast(chv), col("v") === col("__ch"), "left")
+          .select(col("u"), col("v"), col("__ch").isNotNull.as("__hit"))
+          .withColumn("__any", max(col("__hit")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("u")))
+          .where(col("__any")).select(col("u"), col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        roundCache = candEdges
+        // (a REJECTED variant is worth recording: semi-filtering the
+        // V-row value table to the candidates' neighborhood before
+        // broadcasting — the "value diet" — measured ~40% SLOWER per
+        // frontier round at sf1: the filter's key-set union+distinct
+        // added an 18 MB exchange that the two renamed consumers did
+        // not reuse, and the longer broadcast-build dependency chain
+        // serialized. The V-row build stays; its guard still degrades
+        // correctly past 50M vertices.)
+        val cvN = c.select(col("u").as("__nb"), col("cv").as("__nbv"))
+        val cvO = c.select(col("u").as("__ou"), col("cv").as("__pv"))
+        val upd = withOldVia(cvO)(hIndexOf(
+          candEdges.join(maybeBroadcast(cvN), col("v") === col("__nb"))
+            .select(col("u"), col("__nbv").as("cv"))))
         changed = upd.where(col("cv") =!= col("pv")).select(col("u"))
+        val cand = candEdges.select(col("u")).distinct()
+        // coalesce back to the staging partition count: the union grows
+        // partitions additively and six frontier rounds of compounding
+        // put 2048 tiny tasks under EVERY per-round stage by round 13
+        // (the probe's dominant late-round cost) — coalesce is narrow,
+        // no exchange
         c = c.join(maybeBroadcast(cand), Seq("u"), "left_anti")
-          .unionAll(upd.select(col("u"), col("cv"))).localCheckpoint(false)
+          .unionAll(upd.select(col("u"), col("cv")))
+          .coalesce(undParts)
+          .localCheckpoint(false)
       }
       // Job-count diet (the r8 shape ran 2-3 driver-blocking jobs per
       // round — eager checkpoints plus a count — and the fixed
@@ -1469,6 +1526,12 @@ object GraphAnalytics {
       lastMoved = changed.count()
       done = lastMoved == 0L
       if (collectStats) frontierSizes += lastMoved
+      // the PREVIOUS round's candidate adjacency is fully consumed once
+      // this round's count lands (this round's own cache must survive
+      // into round r+1: next round's broadcast builds still read c's
+      // lazy checkpoint, whose anti-join side scans it)
+      if (prevRoundCache != null) prevRoundCache.unpersist(false)
+      prevRoundCache = roundCache
       if (sys.props.contains("graft.coreness.debug"))
         println(s"[coreness] round $r mode=${if (frontierMode) "frontier" else "dense"} " +
           s"moved=$lastMoved elapsed=${(System.nanoTime() - tRound) / 1e9}")
@@ -1477,6 +1540,7 @@ object GraphAnalytics {
     // the caller's actions must not re-derive it from the source scans
     c = c.localCheckpoint(true)
     und.unpersist(false)
+    if (prevRoundCache != null) prevRoundCache.unpersist(false)
     val spark = edges.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val extraSchema = StructType(Seq(
