@@ -1985,6 +1985,13 @@ object GraphAnalytics {
   */
 object DataFramePregel {
 
+  /** Per-task state cap for the two-level contraction's partition-local
+    * union-find: past this many live vertices the task emits its current
+    * forest and resets (segmenting a partition only produces more, still
+    * valid, star pieces). 4M entries ≈ 130 MB of LongMap arrays — bounded
+    * regardless of how many edges a 100 TB scan packs into one split. */
+  private[operators] val ContractionFlushEntries = 4 * 1000 * 1000
+
   /** Iterate `step` until convergence or maxIter. `step` maps the current
     * vertex DataFrame to the next one; convergence = no row changed
     * (exceptAll probe). Each round is eagerly localCheckpoint'ed: the
@@ -2068,17 +2075,61 @@ object DataFramePregel {
     val allV = eIn.select(col("a").as("vid"))
       .unionAll(eIn.select(col("b").as("vid"))).distinct()
 
-    // canonical (u > v) self-loop-free edge list. No initial distinct and
-    // no materialization: both star phases tolerate duplicate edges (the
-    // neighborhood min is a multiset function and every round output runs
-    // its own distinct), so deduplicating here would pay a full (u, v)
-    // exchange plus a checkpoint to remove what round 0 removes for free —
-    // as a lazy map-only projection over the materialized eIn, this
-    // pipelines straight into round 0's first exchange. A duplicate that
-    // reaches a star only delays the star probe by one (dedup'ing) round.
+    // TWO-LEVEL CONTRACTION (the standard distributed-CC staging: local
+    // spanning forest per partition, then the global algorithm on the
+    // forest). A partition-local union-find over eIn's EXISTING layout —
+    // zero shuffle, one narrow pass — replaces each partition's subgraph
+    // by its spanning star pieces (vid → partition-local min). Two
+    // vertices are connected in G iff they are connected in the union of
+    // the per-partition forests (every dropped edge joins vertices
+    // already linked through the emitted star piece), and min-id labels
+    // are trajectory-independent, so the star rounds below — and the
+    // SQL oracle — are untouched; they just start from a 2-3x smaller
+    // edge list (sf1: 13.7M canonical edges → ≤ 4.9M forest rows,
+    // cutting round 0's three edge-sized exchanges, the suite's largest
+    // shuffle). State is BOUNDED: past ContractionFlushEntries the task
+    // emits its current forest and resets — splitting a partition into
+    // segments only yields more (still-valid) star pieces, so memory is
+    // capped no matter how large a 100 TB scan partition gets.
+    // Output is already canonical (child > its min-root, self-loops
+    // gone), exactly what the star rounds consume.
+    val aType = eIn.schema("a").dataType
+    import spark.implicits._
     var e: DataFrame = eIn
       .where(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent.update(c, r); c = n }
+          r
+        }
+        def flush(): Unit = {
+          // snapshot keys first: find() path-compresses (mutates) the map
+          val ks = parent.keysIterator.toArray
+          ks.foreach { v => val r = find(v); if (r != v) out += ((v, r)) }
+          parent = scala.collection.mutable.LongMap.empty[Long]
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // attach larger root under smaller: root = local min
+            if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+          }
+          if (parent.size >= ContractionFlushEntries) flush()
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("u", "v")
+      .select(col("u").cast(aType).as("u"), col("v").cast(aType).as("v"))
+      .localCheckpoint(true)
 
     // Convergence = the edge list IS a star (every u appears exactly once
     // and never as a v): stars are exactly the fixpoints of the

@@ -24,6 +24,14 @@ object CcProbe {
     val (edges, _) = t("unifiedEdges")(graft.operators.GraphAnalytics.unifiedEdges(g))
     val e2 = t("edges ckpt")(edges.localCheckpoint(true))
     println(s"[ccprobe] edge rows: ${e2.count()}")
+    // forest-size estimate for two-level contraction: per-partition
+    // distinct vids minus local component count = local forest edges
+    val fs = t("forest estimate")(e2
+      .select(spark_partition_id().as("p"), col("src").as("a"), col("dst").as("b"))
+      .select(col("p"), explode(array(col("a"), col("b"))).as("vid"))
+      .groupBy("p").agg(countDistinct(col("vid")).as("nv"))
+      .agg(sum(col("nv"))).head().getLong(0))
+    println(s"[ccprobe] sum per-partition distinct vids (forest upper bound): $fs")
     val res = t("cc total")(
       graft.operators.DataFramePregel.connectedComponents(e2, localThreshold = 0L))
     println(s"[ccprobe] assignments: ${t("final count")(res.count())}")
