@@ -30,6 +30,48 @@ object AnalyticsQueries {
   private val PrRounds = 10
   private val PrReset = 0.15
 
+  /** Deterministic HUB fixture for the iterative loops' skew story
+    * (every TPC-H-derived bench graph has benign degrees, so the
+    * per-round joins' behavior under power-law hubs was previously
+    * unmeasured): 8 hub vertices each absorb |orders|/8 in-edges
+    * (~V/100-degree hot keys at every SF), plus customer→order edges
+    * for depth. Vid spaces are disjoint integer constants (orders raw,
+    * customers +10¹², hubs +2·10¹²) so the identical graph replays in
+    * SQL. The hub edges concentrate the staging repartition(dst) and
+    * every per-round groupBy(dst) onto 8 keys — the skew pressure point
+    * the fixture exists to keep measured. */
+  private val SkewCustBase = 1000000000000L
+  private val SkewHubBase = 2000000000000L
+  private val SkewHubs = 8
+  private val SkewPrRounds = 6
+  private def skewEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(s, dir, "orders")
+    o.select(col("o_orderkey").cast("long").as("src"),
+        (lit(SkewHubBase) + col("o_orderkey").cast("long") % SkewHubs).as("dst"))
+      .unionAll(o.select((col("o_custkey").cast("long") + SkewCustBase).as("src"),
+        col("o_orderkey").cast("long").as("dst")))
+  }
+  private val SkewEdgesSql =
+    s"""  SELECT CAST(o_orderkey AS BIGINT) AS src,
+       |    CAST($SkewHubBase + o_orderkey % $SkewHubs AS BIGINT) AS dst FROM orders
+       |  UNION ALL SELECT CAST($SkewCustBase + o_custkey AS BIGINT),
+       |    CAST(o_orderkey AS BIGINT) FROM orders""".stripMargin
+
+  /** Quantized PageRank over the hub fixture — same integer round
+    * algebra as [[pagerank]]; the point is the 8 hot dst keys under the
+    * staging exchange and every per-round in-sum aggregation. */
+  def skewPagerank(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.pageRankQuantizedDF(skewEdges(s, dir), numIter = SkewPrRounds)
+      .select(col("vid").as("node_id"), col("rank").as("pagerank"))
+
+  /** Star-round CC over the hub fixture — hub neighborhoods put a
+    * V/100-sized group under each large-star window (and the two-level
+    * contraction's local union-find absorbs whole hub stars where a hub's
+    * edges co-locate). */
+  def skewCc(s: SparkSession, dir: String): DataFrame =
+    DataFramePregel.connectedComponents(skewEdges(s, dir))
+      .select(col("vid").as("node_id"), col("component"))
+
   /** Connected components over the unified graph via the DataFrame scale
     * path (star rounds + adaptive local fallback). Output is identical to
     * GraphX's connectedComponents — both label every vertex with the
@@ -1128,7 +1170,9 @@ object AnalyticsQueries {
     "g_assortativity" -> (assortativity _),
     "g_hits" -> (hits _),
     "g_link_features" -> (linkFeatures _),
-    "g_ppr" -> (ppr _))
+    "g_ppr" -> (ppr _),
+    "g_skew_pagerank" -> (skewPagerank _),
+    "g_skew_cc" -> (skewCc _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
@@ -1181,12 +1225,25 @@ object AnalyticsQueries {
     * engine-exact; the only floating-point op is the final /1e6, one
     * correctly-rounded IEEE division of an exactly-representable
     * integer. */
-  private def pagerankOracleSql(rounds: Int, resetProb: Double): String = {
+  private def pagerankOracleSql(rounds: Int, resetProb: Double): String =
+    pagerankOracleSqlOver(UnifiedEdgesSql, rounds, resetProb,
+      s"""SELECT CASE vid // 17592186044416
+         |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+         |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+         |  vid % 17592186044416 AS node_id,
+         |  CAST(rank_micro AS DOUBLE) / 1000000.0 AS pagerank
+         |FROM r$rounds""".stripMargin)
+
+  /** [[pagerankOracleSql]] over an arbitrary integer edge list — the
+    * quantized micro-unit round replay is graph-independent; the skew
+    * fixture reuses it over the hub graph. */
+  private def pagerankOracleSqlOver(edgesSql: String, rounds: Int,
+      resetProb: Double, finalSelect: String): String = {
     val micro = 1000000L
     val resetMicro = math.round(resetProb * micro)
     val dampMicro = micro - resetMicro
     val sb = new StringBuilder
-    sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n),\n"
+    sb ++= s"WITH e AS (\n$edgesSql\n),\n"
     sb ++= s"""deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
               |verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
               |r0 AS (SELECT vid, CAST($micro AS BIGINT) AS rank_micro FROM verts)""".stripMargin
@@ -1200,13 +1257,7 @@ object AnalyticsQueries {
                 |  CAST($resetMicro + COALESCE(c.in_sum, 0) * $dampMicro // $micro AS BIGINT) AS rank_micro
                 |  FROM verts v LEFT JOIN c$i c ON c.vid = v.vid)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT CASE vid // 17592186044416
-              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
-              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
-              |  vid % 17592186044416 AS node_id,
-              |  CAST(rank_micro AS DOUBLE) / 1000000.0 AS pagerank
-              |FROM r$rounds""".stripMargin
+    sb ++= "\n" + finalSelect
     sb.toString
   }
 
@@ -1219,13 +1270,28 @@ object AnalyticsQueries {
     * (child → min-id root) assignment; 16 rounds is ~3x the measured
     * convergence of the sf graphs (O(log n) bound). All integers —
     * hash-exact. */
-  private def ccOracleSql(rounds: Int): String = {
+  private def ccOracleSql(rounds: Int): String =
+    ccOracleSqlOver(UnifiedEdgesSql, rounds,
+      s"""SELECT CASE a.vid // 17592186044416
+         |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+         |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+         |  a.vid % 17592186044416 AS node_id,
+         |  COALESCE(s.v, a.vid) AS component
+         |FROM allv a LEFT JOIN s$rounds s ON s.u = a.vid
+         |UNION ALL
+         |SELECT 'ORACLE_UNDERCONVERGED', -1, -1
+         |WHERE EXISTS (
+         |  SELECT u, v FROM s$rounds EXCEPT SELECT u, v FROM s${rounds - 1})""".stripMargin)
+
+  /** [[ccOracleSql]] over an arbitrary integer edge list (the star-round
+    * replay is graph-independent; the skew fixture reuses it). */
+  private def ccOracleSqlOver(edgesSql: String, rounds: Int, finalSelect: String): String = {
     // AS MATERIALIZED is load-bearing: each s_i is referenced twice by
     // round i+1, and DuckDB's default CTE inlining would expand the
     // chain EXPONENTIALLY (observed as "too many open files" from 2^16
     // inlined lineitem scans).
     val sb = new StringBuilder
-    sb ++= s"WITH e AS MATERIALIZED (\n$UnifiedEdgesSql\n),\n"
+    sb ++= s"WITH e AS MATERIALIZED (\n$edgesSql\n),\n"
     sb ++= """allv AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
              |s0 AS MATERIALIZED (SELECT DISTINCT GREATEST(src, dst) AS u, LEAST(src, dst) AS v
              |  FROM e WHERE src <> dst)""".stripMargin
@@ -1240,17 +1306,7 @@ object AnalyticsQueries {
                 |  SELECT lg$i.v AS u, m AS v FROM lg$i JOIN m2_$i USING (u) WHERE lg$i.v <> m2_$i.m
                 |  UNION ALL SELECT u, m AS v FROM m2_$i))""".stripMargin
     }
-    sb ++= s"""
-              |SELECT CASE a.vid // 17592186044416
-              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
-              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
-              |  a.vid % 17592186044416 AS node_id,
-              |  COALESCE(s.v, a.vid) AS component
-              |FROM allv a LEFT JOIN s$rounds s ON s.u = a.vid
-              |UNION ALL
-              |SELECT 'ORACLE_UNDERCONVERGED', -1, -1
-              |WHERE EXISTS (
-              |  SELECT u, v FROM s$rounds EXCEPT SELECT u, v FROM s${rounds - 1})""".stripMargin
+    sb ++= "\n" + finalSelect
     sb.toString
   }
 
@@ -1721,6 +1777,15 @@ object AnalyticsQueries {
     "g_random_walks" -> walkOracleSql(WalkCount, WalkSteps),
     "g_sssp" -> ssspOracleSql(SsspRounds),
     "g_pagerank" -> pagerankOracleSql(PrRounds, PrReset),
+    "g_skew_pagerank" -> pagerankOracleSqlOver(SkewEdgesSql, SkewPrRounds, PrReset,
+      s"""SELECT vid AS node_id, CAST(rank_micro AS DOUBLE) / 1000000.0 AS pagerank
+         |FROM r$SkewPrRounds""".stripMargin),
+    "g_skew_cc" -> ccOracleSqlOver(SkewEdgesSql, 16,
+      """SELECT a.vid AS node_id, COALESCE(s.v, a.vid) AS component
+        |FROM allv a LEFT JOIN s16 s ON s.u = a.vid
+        |UNION ALL
+        |SELECT -1, -1
+        |WHERE EXISTS (SELECT u, v FROM s16 EXCEPT SELECT u, v FROM s15)""".stripMargin),
     "g_connected_components" -> ccOracleSql(16),
     "g_label_propagation" -> lpaOracleSql(LpaRounds),
     "g_bfs_distances" -> bfsOracleSql(BfsHops),
