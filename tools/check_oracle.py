@@ -23,7 +23,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def load(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata: one flat file per table; MakeSf1 replicas:
+        # Spark-written DATASET DIRECTORIES (part-*.parquet inside)
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     return con, oracle
 

@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# The round gate, in required order (SURVEY §6): build → full-suite
+# correctness vs the DuckDB oracle → plan hygiene (PlanAudit exits
+# non-zero on CARTESIAN / unexpected-BNLJ / INTERPRETED codegen-fallback
+# flags — the r10 ss_pq_topk Janino overflow shipped a silent
+# interpreted stage for a round; this step exists so the next one
+# can't). Bench runs AFTER the gate passes, never instead of it.
+#
+#   tools/gate.sh [sf_dir] [out_dir]
+set -euo pipefail
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/graft_gate_out}
+cd "$(dirname "$0")/.."
+
+echo "[gate] 1/3 verify dump @ $SF"
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} sbt -batch "runMain graft.Verify $SF $OUT"
+
+echo "[gate] 2/3 oracle compare"
+python3 tools/check_oracle.py "$SF" "$OUT"
+
+echo "[gate] 3/3 plan audit (fails on CARTESIAN/BNLJ/INTERPRETED)"
+sbt -batch "runMain graft.tools.PlanAudit /root/testdata/sf0.001" | tee /tmp/graft_gate_audit.log | grep -E "flagged|CARTESIAN|BNLJ|INTERPRETED|PLAN-ERROR" || true
+grep -q "flagged queries: 0" /tmp/graft_gate_audit.log
+
+echo "[gate] PASS"
