@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   * the workload shape a web corpus actually has. Replica 0 is always
   * verbatim, so every original row survives. */
 object MakeSf1 {
-  private val Replicas = 10
+  /** Replica count: 10 = sf1 from sf0.1 (the round default); override via
+    * SPARK_GRAFT_REPLICAS for deeper scale probes (30 = sf3). */
+  private val Replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -59,7 +59,10 @@ object StreamBench {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect().toSeq
-    val docBatches = docs.grouped(batchRows).take(nBatches).toSeq
+    // documents is a much smaller table than lineitem: size batches off
+    // the corpus so nBatches post-warmup batches actually exist
+    val docBatchRows = math.max(100, math.min(batchRows, docs.size / (nBatches + 1)))
+    val docBatches = docs.grouped(docBatchRows).take(nBatches + 1).toSeq
     val (dedupRps, dedupRows, dedupSecs) = drive[(Long, String)](docBatches, ms =>
       graft.streaming.StreamingDedup.incrementalMinhashPairs(
         ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
@@ -70,13 +73,13 @@ object StreamBench {
       .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
       .limit(batchRows * (nBatches + 1))
       .as[(Long, Long)].collect().toSeq
-    val edgeBatches = edges.grouped(batchRows).take(nBatches).toSeq
+    val edgeBatches = edges.grouped(batchRows).take(nBatches + 1).toSeq
     val (ccRps, ccRows, ccSecs) = drive[(Long, Long)](edgeBatches, ms =>
       graft.streaming.StreamingCc.incrementalCc(
         ms.toDF().toDF("src", "dst"), "src", "dst", s"$root/cc/state", s"$root/cc/ckpt"))
 
     val json =
-      f"""{"metric":"stream_rows_per_sec","dedup_rps":$dedupRps%.1f,"dedup_rows":$dedupRows,"dedup_secs":$dedupSecs%.2f,"cc_rps":$ccRps%.1f,"cc_rows":$ccRows,"cc_secs":$ccSecs%.2f,"batch_rows":$batchRows,"batches":$nBatches,"sf":"$dir","epoch_ms":${System.currentTimeMillis}}"""
+      f"""{"metric":"stream_rows_per_sec","dedup_rps":$dedupRps%.1f,"dedup_rows":$dedupRows,"dedup_secs":$dedupSecs%.2f,"cc_rps":$ccRps%.1f,"cc_rows":$ccRows,"cc_secs":$ccSecs%.2f,"batch_rows":$batchRows,"doc_batch_rows":$docBatchRows,"batches":$nBatches,"sf":"$dir","epoch_ms":${System.currentTimeMillis}}"""
     println(json)
     try {
       val repo = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo"))
