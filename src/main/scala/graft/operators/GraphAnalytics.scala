@@ -41,6 +41,76 @@ object GraphAnalytics {
     * vs 1.6 s for the dense round preceding it. */
   private[graft] val FrontierSwitchFactor = 128L
 
+  /** Rows-per-partition target for volume-sized staging exchanges — the
+    * partition-row bound that keeps a window / near-unique-key hash-agg
+    * stage's per-task state (sorter buffers, agg hash tables) in
+    * execution memory instead of spilling. */
+  private[graft] val VolumeRowsPerPartition = 300000L
+
+  /** Volume-sized shuffle partition count — the shared coreness recipe:
+    * one partition per [[VolumeRowsPerPartition]] rows, capped at
+    * `spark.sql.shuffle.partitions`, at least 1. Below the cap the count
+    * is volume-derived, so low-SF staging launches a handful of
+    * right-sized tasks instead of conf-many tiny ones (measured win,
+    * rounds 9-11: coreness/MIS/star-CC). Past the cap, partitions grow
+    * in ROWS and the window/agg stages riding them spill via
+    * UnsafeExternalSorter — and that is the MEASURED right trade, not a
+    * compromise: lifting the cap to 32× conf at sf3 (273 partitions of
+    * 300k rows instead of 32 of 2.5M) took every spill to zero
+    * (14-54 GB → 0) but made walls 2-4× WORSE on identical data —
+    * coreness 86.5 → 237.9 s, LPA 49.7 → 162.4 s, link_features
+    * 36.9 → 175.3 s, assortativity 40.0 → 178.4 s (bench_history/
+    * bench_log.jsonl, r11) — because per-round tiny-task scheduling and
+    * the O(maps × reduces) shuffle-block explosion (1,024 → 74,529
+    * blocks per exchange) dwarf sequential spill I/O, and an
+    * explicit-count repartition additionally opts OUT of AQE partition
+    * coalescing for that exchange. On a production fleet the config is
+    * sized to the cluster, the same cap binds at that value, and
+    * per-partition rows stay bounded by data/fleet — graceful spill
+    * past that is the documented 100 TB posture (BASELINE §7). */
+  private[graft] def volumeParts(spark: SparkSession, rows: Long): Int = {
+    val conf = spark.sessionState.conf.numShufflePartitions.toLong
+    math.max(1L, math.min(conf, rows / VolumeRowsPerPartition + 1L)).toInt
+  }
+
+  /** Partition-count override for a volume-staged exchange: Some(volume-
+    * sized) when the data is small enough that the config cap would NOT
+    * bind, None when it would — callers then fall back to a bare
+    * `repartition(key)`, which plans the config count AND keeps AQE
+    * partition coalescing available for that exchange (an explicit
+    * count opts out of it). */
+  private[graft] def volumePartsOpt(spark: SparkSession, rows: Long): Option[Int] = {
+    val conf = spark.sessionState.conf.numShufflePartitions.toLong
+    if (rows / VolumeRowsPerPartition + 1L >= conf) None
+    else Some(volumeParts(spark, rows))
+  }
+
+  /** Volume-GATED staging source for a doubled-union exchange. `rows` is
+    * the POST-union volume (an exact count or a cheap upper-bound hint).
+    * Small (cap won't bind): the source comes back locally checkpointed
+    * — the union's two consumers read materialized blocks instead of
+    * recomputing the lineage, and the pin is small by construction.
+    * Large (cap binds): the source comes back UNTOUCHED and the staging
+    * shape is exactly the bare `repartition(key)` baseline — eagerly
+    * checkpointing a full-scale edge list pins a deserialized copy in
+    * the block manager for ZERO partition-count benefit, and the r11
+    * sf3 re-bench of exactly that shape drove G1 into GCLocker-retry /
+    * 1 GiB page-allocation failures: 2-6× walls plus query errors
+    * (bench_history/bench_log.jsonl, the aborted 906 s run) on data the
+    * unpinned baseline handles at 566 s. */
+  private[graft] def volumeStage(df: DataFrame, rows: Long): (DataFrame, Option[Int]) =
+    volumePartsOpt(df.sparkSession, rows) match {
+      case None => (df, None)
+      case some => (df.localCheckpoint(true), some)
+    }
+
+  /** `repartition` with an optional explicit partition count
+    * ([[volumePartsOpt]]'s contract: None = bare, AQE-coalescible). */
+  private[graft] def repartitionSized(df: DataFrame, parts: Option[Int],
+      keys: Column*): DataFrame =
+    parts.map(p => df.repartition(p, keys.toSeq: _*))
+      .getOrElse(df.repartition(keys.toSeq: _*))
+
   /** Unified edge list of a PropertyGraph: one DataFrame of encoded
     * (src, dst) global vertex ids. Labels are indexed in sorted order for
     * determinism. */
@@ -208,8 +278,14 @@ object GraphAnalytics {
     // hash(g) with no further exchange (the dedup-on-top-of-repartition
     // recipe; distinct() first paid hash(g, item) AND THEN the window
     // re-exchanged everything by hash(g)).
-    val base = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
-      .repartition(col("g"))
+    // volume-sized ([[volumePartsOpt]]; one count job — for the
+    // parquet-scan inputs every caller passes this is a column-free
+    // row-count scan): the per-g window and pair join ride hash(g), so
+    // at low SF they run volume-proportional task counts; once the cap
+    // binds this degrades to the bare AQE-coalescible repartition
+    val src = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+    val base = repartitionSized(src,
+        volumePartsOpt(df.sparkSession, src.count()), col("g"))
       .dropDuplicates("g", "item")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
       .where(col("n") <= maxGroupSize)
@@ -297,8 +373,15 @@ object GraphAnalytics {
     // outputPartitioning (measured, round 4) while InMemoryRelation
     // keeps it, and hash(u) is exactly what lets every per-round
     // aggregation (grouping keys (u, community) ⊇ {u}) run in place.
-    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
+    // The staging exchange is volume-GATED ([[volumeStage]]; the count
+    // is a cheap column-pruned scan of the edge projection): below the
+    // config cap the per-round stages riding hash(u) launch a handful of
+    // right-sized tasks instead of conf-many tiny ones; once the cap
+    // binds this IS the bare baseline shape, with no pinned checkpoint.
+    val (eSrc, undParts) = volumeStage(e, 2 * e.count())
+    val und = repartitionSized(
+        eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
+        undParts, col("u"))
       .dropDuplicates("u", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // vertex table triples as round-0 labels, the final-shape anchor, and
@@ -596,14 +679,26 @@ object GraphAnalytics {
   /** @param maxBroadcast broadcast-feasibility ceiling for the degree
     * table and the anchored wedge/probe sides — defaults to
     * [[MaxBroadcastVertices]]; tests inject 0 to pin the
-    * forced-shuffle path's agreement. */
+    * forced-shuffle path's agreement.
+    * @param stagingRowsHint cheap upper bound on the doubled staging
+    * volume (e.g. 4 × the source fact-table rows when `coEdges` is a
+    * bounded-group co-occurrence projection). Spares the gate an exact
+    * count of an EXPENSIVE pair-join lineage; None counts `coEdges`. */
   def linkFeatures(coEdges: DataFrame, aCol: String, bCol: String,
       topPerVertex: Int = 5, minCommon: Int = 2,
       anchors: Option[DataFrame] = None,
-      maxBroadcast: Long = MaxBroadcastVertices): DataFrame = {
+      maxBroadcast: Long = MaxBroadcastVertices,
+      stagingRowsHint: Option[Long] = None): DataFrame = {
+    // Volume-GATED staging ([[volumeStage]]): small inputs checkpoint —
+    // which also materializes the caller's co-occurrence lineage ONCE
+    // before the doubled union consumes it twice — and size the hash(u)
+    // partitions the whole wedge enumeration streams through; at scale
+    // the bare baseline shape ships, with no pinned checkpoint.
     val e = coEdges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
+    val (eSrc, undParts) = volumeStage(e, stagingRowsHint.getOrElse(2 * e.count()))
+    val und = repartitionSized(
+        eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
+        undParts, col("u"))
       .dropDuplicates("u", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // degree agg rides hash(u); checkpointed so its three broadcast
@@ -916,19 +1011,28 @@ object GraphAnalytics {
     // and the result is ALREADY pinned for the rounds — the r9 shape
     // (dedup-shuffle + eager checkpoint + repartition-shuffle) moved the
     // full edge list twice, 13 s of the sf1 wall-clock.
-    val eRaw = if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0
+    // The staging exchange is volume-GATED ([[volumeStage]]; the count
+    // is a cheap column-pruned scan): every per-round stage rides this
+    // partitioning, so at low SF the rounds launch volume-proportional
+    // task counts; at scale the bare baseline shape ships unpinned.
     // unitWeight (the BFS case): the weight column is the CONSTANT 1 —
     // shipping it through the staging exchange wastes a third of the
     // bytes, and min-collapse degenerates to dedup, so stage bare
     // (u, v) pairs and attach the constant on the partitioned stream
+    val eProj = if (unitWeight) e0.select(col("u"), col("v")) else e0
+    val (eBase, eParts) = t("eCheckpoint")(
+      volumeStage(eProj, (if (undirected) 2L else 1L) * eProj.count()))
+    val eRaw =
+      if (!undirected) eBase
+      else if (unitWeight) eBase.unionAll(eBase.select(col("v").as("u"), col("u").as("v")))
+      else eBase.unionAll(eBase.select(col("v").as("u"), col("u").as("v"), col("w")))
     val e = t("eStage")(
       if (unitWeight)
-        eRaw.select(col("u"), col("v"))
-          .repartition(col("v"))
+        repartitionSized(eRaw, eParts, col("v"))
           .dropDuplicates("u", "v")
           .withColumn("w", lit(1L))
           .persist(MEMORY_AND_DISK)
-      else eRaw.repartition(col("v"))
+      else repartitionSized(eRaw, eParts, col("v"))
         .groupBy("u", "v").agg(min(col("w")).as("w"))
         .persist(MEMORY_AND_DISK))
     val src = sources.select(col(sources.columns.head).as("vid")).distinct()
@@ -1400,8 +1504,7 @@ object GraphAnalytics {
     // scan
     val e0cp = e0.localCheckpoint(true)
     val eRows = e0cp.count()
-    val confParts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val undParts = math.max(1, math.min(confParts, (2 * eRows / 300000L).toInt + 1))
+    val undParts = volumeParts(edges.sparkSession, 2 * eRows)
     // sortWithinPartitions(u) on top of the hash(u) layout: the cached
     // relation then ADVERTISES per-partition ordering, so the frontier
     // rounds' per-u window below (candidate discovery fused into one
@@ -1722,8 +1825,7 @@ object GraphAnalytics {
       .distinct().localCheckpoint(true)
     // volume-sized scan width over the cached edge blocks (narrow — each
     // coalesced task reads several cached partitions; no shuffle)
-    val eConfParts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val eParts = math.max(1, math.min(eConfParts, (eFull.count() / 300000L).toInt + 1))
+    val eParts = volumeParts(edges.sparkSession, eFull.count())
     val e = eFull.coalesce(eParts)
     val verts = e.select(col("src").as("vid")).unionAll(e.select(col("dst").as("vid")))
       .distinct()
@@ -1738,7 +1840,8 @@ object GraphAnalytics {
     // delta's partitions every round — the coalesce below re-bounds them
     // (narrow op, no shuffle).
     val regRows = regs.count()
-    val baseParts = math.max(1, math.min(eConfParts, (regRows / 500000L).toInt + 1))
+    val regConfParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val baseParts = math.max(1, math.min(regConfParts, (regRows / 500000L).toInt + 1))
     regs = regs.coalesce(baseParts).localCheckpoint(false)
     val useBroadcast = nVerts <= MaxBroadcastVertices
     def maybeBroadcast(df: DataFrame): DataFrame =
@@ -2196,12 +2299,10 @@ object DataFramePregel {
     // in-memory threshold, so hubs degrade gracefully.
     // Partition counts are volume-sized per round from the canonical
     // edge count the convergence checksum already paid for (~300k rows
-    // per partition, capped at the config value — the coreness recipe):
+    // per partition, capped at the config value — [[volumeParts]]):
     // star rounds shrink the edge list geometrically, and late
     // frontier-small rounds at a static count are pure stage-launch cost.
-    val confParts = spark.sessionState.conf.numShufflePartitions
-    def volParts(rows: Long): Int =
-      math.max(1, math.min(confParts, (rows / 300000L).toInt + 1))
+    def volParts(rows: Long): Int = GraphAnalytics.volumeParts(spark, rows)
     import org.apache.spark.sql.expressions.Window
     while (rounds < maxIter && !converged) {
       val parts = volParts(2L * edgeCount)

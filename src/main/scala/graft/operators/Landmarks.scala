@@ -54,9 +54,13 @@ object Landmarks {
     // one shuffle stages the edge list: repartition by the message key v
     // first, then the dedup distinct runs exchange-free on top
     // (HashPartitioning(v) satisfies the (u, v) clustering) and the
-    // result is already pinned for the rounds (the sssp staging shape)
-    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("v")).distinct()
+    // result is already pinned for the rounds (the sssp staging shape,
+    // volume-GATED the same way via GraphAnalytics.volumeStage: sized
+    // below the config cap, bare and unpinned once the cap binds)
+    val (eSrc, undParts) = GraphAnalytics.volumeStage(e0, 2 * e0.count())
+    val und = GraphAnalytics.repartitionSized(
+        eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
+        undParts, col("v")).distinct()
       .persist(MEMORY_AND_DISK)
     val verts = und.select(col("u").as("vid")).distinct().localCheckpoint(true)
     val useBroadcast =

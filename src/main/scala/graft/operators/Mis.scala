@@ -137,8 +137,7 @@ object Mis {
     // the previous cached table once plus two broadcast anti-joins.
     // sf1: 1.76 GB -> ~30 MB total shuffle for identical output.
     val eRows = e0.count()
-    val confParts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = math.max(1, math.min(confParts, (2 * eRows / 300000L).toInt + 1))
+    val parts = GraphAnalytics.volumeParts(edges.sparkSession, 2 * eRows)
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

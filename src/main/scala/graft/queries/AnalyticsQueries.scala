@@ -387,18 +387,27 @@ object AnalyticsQueries {
     // the dedup AND the multiplicity-sensitive degree aggregation both
     // ride it (persist keeps the partitioning; the projection's own pair
     // distinct is skipped — the hash(u) dedup subsumes it)
-    def stage(und: DataFrame): DataFrame = und
-      .repartition(col("u")).dropDuplicates("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // volume-GATED staging (GraphAnalytics.volumeStage with a CHEAP row
+    // hint — 4 × lineitem rows bounds both doubled edge lists, sparing
+    // the gate an exact count of the expensive pair-join lineage):
+    // dedup, degree agg and edge-end joins all ride the one hash(u)
+    // exchange at volume-proportional task counts below the cap, and at
+    // scale the bare baseline shape ships with no pinned checkpoint
+    val stagingHint = 4L * li.count()
+    def stage(proj: DataFrame): DataFrame = {
+      val (src, parts) = GraphAnalytics.volumeStage(proj, stagingHint)
+      GraphAnalytics.repartitionSized(
+          src.unionAll(src.select(col("v").as("u"), col("u").as("v"))),
+          parts, col("u"))
+        .dropDuplicates("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val co = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
       distinctPairs = false)
-    val coUnd = stage(co.select(col("item_a").as("u"), col("item_b").as("v"))
-      .unionAll(co.select(col("item_b").as("u"), col("item_a").as("v"))))
+    val coUnd = stage(co.select(col("item_a").as("u"), col("item_b").as("v")))
     val (e, _) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
     val uniUnd = stage(e.where(col("src") =!= col("dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-      .unionAll(e.where(col("src") =!= col("dst"))
-        .select(col("dst").as("u"), col("src").as("v"))))
+      .select(col("src").as("u"), col("dst").as("v")))
     val out = statsOf("co_occurrence", coUnd).unionAll(statsOf("unified", uniUnd))
       .localCheckpoint(true)
     coUnd.unpersist(blocking = false)
@@ -479,8 +488,12 @@ object AnalyticsQueries {
       distinctPairs = false)
     val anchors = graft.Tables(s, dir, "part")
       .where(col("p_size") === 50).select(col("p_partkey"))
+    // stagingRowsHint: bounded-group pairs (≤ 10 items/order, avg ~4)
+    // stay under ~1.5 × lineitem rows; 4 × doubled covers the union
+    // without an exact count of the pair-join lineage
     GraphAnalytics.linkFeatures(edges, "item_a", "item_b",
-      topPerVertex = LinkTopK, minCommon = LinkMinCommon, anchors = Some(anchors))
+      topPerVertex = LinkTopK, minCommon = LinkMinCommon, anchors = Some(anchors),
+      stagingRowsHint = Some(4L * li.count()))
       .select(col("a").as("item_a"), col("b").as("item_b"),
         col("n_common"), col("jaccard"), col("adamic_adar"), col("is_edge"))
   }

@@ -522,9 +522,13 @@ object RelationalQueries {
     // (oid, item), the window's re-exchange by oid, then both sides of
     // the self-join again because checkpoint drops outputPartitioning
     // (persist keeps it).
-    val sized = Tables(s, dir, "lineitem")
+    val basketSrc = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("oid"), col("l_partkey").cast("long").as("item"))
-      .repartition(col("oid"))
+    // volume-sized below the cap, bare AQE-coalescible repartition past
+    // it (GraphAnalytics.volumePartsOpt; the count is a column-free
+    // row-count scan) — the coOccurrenceEdges recipe
+    val sized = graft.operators.GraphAnalytics.repartitionSized(basketSrc,
+        graft.operators.GraphAnalytics.volumePartsOpt(s, basketSrc.count()), col("oid"))
       .dropDuplicates("oid", "item")
       .withColumn("bs", count(lit(1)).over(Window.partitionBy("oid")))
       .where(col("bs") <= AssocMaxBasket).select(col("oid"), col("item"))
