@@ -351,67 +351,75 @@ object AnalyticsQueries {
     * IEEE ops on identically-rounded doubles — so even this global
     * statistic is hash-checkable. Computed for both graph projections. */
   def assortativity(s: SparkSession, dir: String): DataFrame = {
-    def statsOf(name: String, und: DataFrame): DataFrame = {
+    def statsOf(name: String, canon: DataFrame): DataFrame = {
+      // degrees from the CANONICAL list: each undirected edge appears
+      // exactly once as (u < v), so deg(x) = #rows with u=x + #rows with
+      // v=x — one explode-agg whose exchange carries vertex-sized
+      // map-side partials, never edges. explode(array(u, v)) instead of
+      // a two-projection union: ONE scan task per partition feeding one
+      // shared partial hash table, so each partition emits
+      // distinct(u ∪ v) partial rows rather than distinct(u) +
+      // distinct(v) across two tasks
+      val degBase = canon.select(explode(array(col("u"), col("v"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
       // guarded broadcast: the degree table is vertex-sized and its two
       // edge-list joins silently flipped from planner auto-broadcast to
       // two-sided shuffle joins in the sf1 bench (17x shuffle on 10x
-      // data); the explicit hint holds to 50M vertices
-      // the degree table doubles as the guard count — its row count IS
-      // the vertex count, so the old dedicated distinct().count() pass
-      // re-exchanged the full edge list for a number the aggregation
-      // already produces
-      val degBase = und.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
+      // data); the explicit hint holds to 50M vertices. Its row count IS
+      // the vertex count, so it doubles as the guard.
       val deg = if (degBase.count()
           <= GraphAnalytics.MaxBroadcastVertices) broadcast(degBase) else degBase
-      val pairs = und
+      val pairs = canon
         .join(deg.select(col("u").as("__a"), col("d").as("dx")), col("u") === col("__a"))
         .join(deg.select(col("u").as("__b"), col("d").as("dy")), col("v") === col("__b"))
         .select(col("dx"), col("dy"))
+      // the DOUBLED list's six sums, folded over the canonical list: each
+      // edge contributes both (dx, dy) and (dy, dx), so n = 2·C,
+      // sx = sy = Σ(dx+dy), sxx = syy = Σ(dx²+dy²), sxy = Σ(2·dx·dy).
+      // Every per-row term is a long (deg² ≪ 2⁶³) cast to DECIMAL before
+      // the sum, so the fold is bit-identical to evaluating the doubled
+      // list — and to the oracle's HUGEINT replay of it.
       val sums = pairs.agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(col("dx").cast("decimal(38,0)")).cast("double").as("sx"),
-        sum(col("dy").cast("decimal(38,0)")).cast("double").as("sy"),
-        sum((col("dx") * col("dy")).cast("decimal(38,0)")).cast("double").as("sxy"),
-        sum((col("dx") * col("dx")).cast("decimal(38,0)")).cast("double").as("sxx"),
-        sum((col("dy") * col("dy")).cast("decimal(38,0)")).cast("double").as("syy"))
+        (count(lit(1)) * 2).cast("double").as("n"),
+        sum((col("dx") + col("dy")).cast("decimal(38,0)"))
+          .cast("double").as("sx"),
+        sum((col("dx") * col("dy") * 2).cast("decimal(38,0)"))
+          .cast("double").as("sxy"),
+        sum((col("dx") * col("dx") + col("dy") * col("dy")).cast("decimal(38,0)"))
+          .cast("double").as("sxx"))
+      // sy = sx and syy = sxx by the fold's symmetry — the closed form
+      // below substitutes them, leaving the IEEE op sequence unchanged
       val denom = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-        * (col("n") * col("syy") - col("sy") * col("sy")))
+        * (col("n") * col("sxx") - col("sx") * col("sx")))
       sums.select(lit(name).as("graph"), col("n").cast("long").as("n_edge_ends"),
         when(denom === 0.0, lit(0.0)).otherwise(
-          round((col("n") * col("sxy") - col("sx") * col("sy")) / denom, 6))
+          round((col("n") * col("sxy") - col("sx") * col("sx")) / denom, 6))
           .as("assortativity"))
     }
     val li = graft.Tables(s, dir, "lineitem")
-    // each side's adjacency feeds three consumers (edge ends + two degree
-    // joins): materialize once, staged through ONE hash(u) repartition so
-    // the dedup AND the multiplicity-sensitive degree aggregation both
-    // ride it (persist keeps the partitioning; the projection's own pair
-    // distinct is skipped — the hash(u) dedup subsumes it)
-    // volume-GATED staging (GraphAnalytics.volumeStage with a CHEAP row
-    // hint — 4 × lineitem rows bounds both doubled edge lists, sparing
-    // the gate an exact count of the expensive pair-join lineage):
-    // dedup, degree agg and edge-end joins all ride the one hash(u)
-    // exchange at volume-proportional task counts below the cap, and at
-    // scale the bare baseline shape ships with no pinned checkpoint
-    val stagingHint = 4L * li.count()
-    def stage(proj: DataFrame): DataFrame = {
-      val (src, parts) = GraphAnalytics.volumeStage(proj, stagingHint)
-      GraphAnalytics.repartitionSized(
-          src.unionAll(src.select(col("v").as("u"), col("u").as("v"))),
-          parts, col("u"))
-        .dropDuplicates("u", "v")
+    // staged once per side as the CANONICAL (u < v) edge set: a bare
+    // dropDuplicates IS the staging exchange (HashAggregate partial →
+    // exchange → final), so map-side combine collapses the projection's
+    // duplicate pairs BEFORE the wire. The previous shape's explicit
+    // repartition(u) shipped every duplicate of the DOUBLED list —
+    // 4× the bytes — to buy a hash(u) layout nothing downstream needs:
+    // the degree joins are guarded broadcasts and the six-sum fold is a
+    // scalar aggregate. (At the non-broadcast fallback both shapes pay
+    // comparable sort-merge exchanges; canonical still halves the rows.)
+    def stage(proj: DataFrame): DataFrame =
+      proj.dropDuplicates("u", "v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
     val co = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
       distinctPairs = false)
-    val coUnd = stage(co.select(col("item_a").as("u"), col("item_b").as("v")))
+    val coCanon = stage(co.select(col("item_a").as("u"), col("item_b").as("v")))
     val (e, _) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
-    val uniUnd = stage(e.where(col("src") =!= col("dst"))
-      .select(col("src").as("u"), col("dst").as("v")))
-    val out = statsOf("co_occurrence", coUnd).unionAll(statsOf("unified", uniUnd))
+    val ed = e.where(col("src") =!= col("dst"))
+    val uniCanon = stage(ed.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v")))
+    val out = statsOf("co_occurrence", coCanon).unionAll(statsOf("unified", uniCanon))
       .localCheckpoint(true)
-    coUnd.unpersist(blocking = false)
-    uniUnd.unpersist(blocking = false)
+    coCanon.unpersist(blocking = false)
+    uniCanon.unpersist(blocking = false)
     out
   }
 
