@@ -78,8 +78,31 @@ object StreamBench {
       graft.streaming.StreamingCc.incrementalCc(
         ms.toDF().toDF("src", "dst"), "src", "dst", s"$root/cc/state", s"$root/cc/ckpt"))
 
+    // ---- StreamingAnn: embeddings through the IVF index-maintenance
+    // stream (quantizer trained offline, as in production: the stream
+    // only assigns + writes cell-partitioned batch tables)
+    val embDf = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val model = graft.operators.Similarity.trainIvf(embDf, "embedding", nCells = 16)
+    val embs = embDf.as[(Long, Array[Float])].collect().toSeq
+    val embBatchRows = math.max(100, math.min(batchRows, embs.size / (nBatches + 1)))
+    val embBatches = embs.grouped(embBatchRows).take(nBatches + 1).toSeq
+    val (annRps, annRows, annSecs) = drive[(Long, Array[Float])](embBatches, ms =>
+      graft.streaming.StreamingAnn.incrementalIvfIndex(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        model, s"$root/ann/index", s"$root/ann/ckpt"))
+
+    // ---- StreamingSketches: HLL registers over lineitem partkeys
+    val keys = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("long"))
+      .limit(batchRows * (nBatches + 1)).as[Long].collect().toSeq
+    val keyBatches = keys.grouped(batchRows).take(nBatches + 1).toSeq
+    val (hllRps, hllRows, hllSecs) = drive[Long](keyBatches, ms =>
+      graft.streaming.StreamingSketches.hllRegistersStream(
+        ms.toDF().toDF("v"), "v", s"$root/hll/sketch", s"$root/hll/ckpt"))
+
     val json =
-      f"""{"metric":"stream_rows_per_sec","dedup_rps":$dedupRps%.1f,"dedup_rows":$dedupRows,"dedup_secs":$dedupSecs%.2f,"cc_rps":$ccRps%.1f,"cc_rows":$ccRows,"cc_secs":$ccSecs%.2f,"batch_rows":$batchRows,"doc_batch_rows":$docBatchRows,"batches":$nBatches,"sf":"$dir","epoch_ms":${System.currentTimeMillis}}"""
+      f"""{"metric":"stream_rows_per_sec","dedup_rps":$dedupRps%.1f,"dedup_rows":$dedupRows,"dedup_secs":$dedupSecs%.2f,"cc_rps":$ccRps%.1f,"cc_rows":$ccRows,"cc_secs":$ccSecs%.2f,"ann_rps":$annRps%.1f,"ann_rows":$annRows,"ann_secs":$annSecs%.2f,"hll_rps":$hllRps%.1f,"hll_rows":$hllRows,"hll_secs":$hllSecs%.2f,"batch_rows":$batchRows,"doc_batch_rows":$docBatchRows,"emb_batch_rows":$embBatchRows,"batches":$nBatches,"sf":"$dir","epoch_ms":${System.currentTimeMillis}}"""
     println(json)
     try {
       val repo = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo"))
