@@ -2091,9 +2091,17 @@ object DataFramePregel {
   /** Per-task state cap for the two-level contraction's partition-local
     * union-find: past this many live vertices the task emits its current
     * forest and resets (segmenting a partition only produces more, still
-    * valid, star pieces). 4M entries ≈ 130 MB of LongMap arrays — bounded
-    * regardless of how many edges a 100 TB scan packs into one split. */
-  private[operators] val ContractionFlushEntries = 4 * 1000 * 1000
+    * valid, star pieces). Sized for CONCURRENCY, not one task: union-find
+    * state is plain JVM heap the task memory manager cannot see, so the
+    * real budget is cap × task slots against the user-space fraction
+    * (1 − spark.memory.fraction). 2M entries ≈ 100 MB (LongMap slot
+    * arrays + one segment's primitive key/root arrays) × 32 slots ≈
+    * 3.2 GB — inside the default 40% user space of a 16 GB executor. The
+    * r11 sf10 probe measured the 4M original: 32 concurrent ~200 MB
+    * untracked maps squeezed the unified pool to UNABLE_TO_ACQUIRE_MEMORY
+    * task failures. Bounded regardless of how many edges a 100 TB scan
+    * packs into one split. */
+  private[operators] val ContractionFlushEntries = 2 * 1000 * 1000
 
   /** Iterate `step` until convergence or maxIter. `step` maps the current
     * vertex DataFrame to the next one; convergence = no row changed
@@ -2153,22 +2161,63 @@ object DataFramePregel {
       localThreshold: Long = 4000000L): DataFrame =
     connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter, checkpointDir, localThreshold)._1
 
+  /** @param flushEntries test-injection override of
+    * [[ContractionFlushEntries]] — a tiny cap forces many forest
+    * segments per partition, pinning the streaming emitter's
+    * segment-boundary correctness on graphs where it is checkable. */
   private[operators] def connectedComponentsWithRounds(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 30, checkpointDir: Option[String] = None,
-      localThreshold: Long = 4000000L): (DataFrame, Int) = {
+      localThreshold: Long = 4000000L,
+      flushEntries: Int = ContractionFlushEntries): (DataFrame, Int) = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // Memory-aware pin level (the r11 sf10 finding): a default-level
+    // localCheckpoint stores DESERIALIZED row objects — ~100 B/row for a
+    // bare long-pair list, 4-5x the data bytes — and at 10x-past-design
+    // volume the accumulated staging pins starved execution memory into
+    // UNABLE_TO_ACQUIRE task failures and executor-killing OOMs. Pins
+    // whose estimated row count would claim more than ~15% of the heap
+    // go DISK_ONLY (serialized blocks, zero heap residency; local-disk
+    // re-reads are sequential and page-cached). The ceiling is MEMORY-
+    // derived, NOT the volume-partitioning cap: at sf1 the 13.7M-row
+    // staging pins fit comfortably (tying the level to the 9.6M-row
+    // partitioning cap sent them all to disk and cost ~2x the wall at
+    // identical bytes — measured, this round), while sf10's 136M rows
+    // (~13 GB deserialized) are exactly what must not sit in protected
+    // storage.
+    val memPinRowCeiling: Long = (Runtime.getRuntime.maxMemory * 0.15 / 100).toLong
+    def ckpt(df: DataFrame, rowsHint: Long): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else if (rowsHint > memPinRowCeiling)
+        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else df.localCheckpoint(true)
 
     // materialize the bare (src, dst) pair ONCE: allV and the canonical
     // edge list both scan it, and the caller's lineage (for the unified
     // graph, a union of per-pattern joins) is far more expensive than
     // one 2-column materialization — previously each derived table
-    // re-ran that lineage from scratch
-    val eIn = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // re-ran that lineage from scratch. TWO-PHASE pin: the row count is
+    // unknowable before materializing, so pin at the default memory
+    // level first, count from memory (fast), and past the memory
+    // ceiling DEMOTE — re-checkpoint the blocks to DISK_ONLY and free
+    // the memory copy. The demote pass costs one extra scan exactly
+    // when the list is 10x past design volume; below the ceiling (every
+    // driver-gate SF and sf1) nothing changes. Measured: default-level
+    // eIn at sf10 (136M rows ≈ 13 GB deserialized in protected storage)
+    // fails the very next aggregation with AGGREGATE_OUT_OF_MEMORY;
+    // DISK_ONLY completes the query.
+    val eIn0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint(true)
+    val eInRowsExact = eIn0.count()
+    val eIn =
+      if (eInRowsExact <= memPinRowCeiling) eIn0
+      else {
+        val demoted =
+          eIn0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(eIn0)
+        demoted
+      }
 
     // every vertex that appears anywhere — singletons and roots must show
     // up in the final assignment even though stars drop them from edges.
@@ -2198,41 +2247,139 @@ object DataFramePregel {
     // gone), exactly what the star rounds consume.
     val aType = eIn.schema("a").dataType
     import spark.implicits._
-    var e: DataFrame = eIn
+    val ePairs = eIn
       .where(col("a") =!= col("b"))
       .select(col("a").cast("long"), col("b").cast("long"))
       .as[(Long, Long)]
-      .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent.update(c, r); c = n }
-          r
-        }
-        def flush(): Unit = {
-          // snapshot keys first: find() path-compresses (mutates) the map
-          val ks = parent.keysIterator.toArray
-          ks.foreach { v => val r = find(v); if (r != v) out += ((v, r)) }
-          parent = scala.collection.mutable.LongMap.empty[Long]
-        }
-        it.foreach { case (a, b) =>
-          if (!parent.contains(a)) parent.update(a, a)
-          if (!parent.contains(b)) parent.update(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { // attach larger root under smaller: root = local min
-            if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+    // STREAMING segment emitter: the r11 sf10 probe caught the previous
+    // shape buffering the ENTIRE partition's forest in one ArrayBuffer
+    // of boxed pairs — memory grew with partition size, defeating the
+    // flush cap's whole point. This iterator holds at most ONE live
+    // union-find map plus ONE flushed segment as two primitive long
+    // arrays; pairs are boxed only transiently as the encoder consumes
+    // them.
+    def contractIter(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] =
+        new Iterator[(Long, Long)] {
+          private var parent = scala.collection.mutable.LongMap.empty[Long]
+          private var segK: Array[Long] = null // flushed segment: child ids
+          private var segR: Array[Long] = null // flushed segment: their roots
+          private var segN = 0
+          private var segI = 0
+          private var exhausted = false
+          private def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent.update(c, r); c = n }
+            r
           }
-          if (parent.size >= ContractionFlushEntries) flush()
+          /** Drain the live forest into the segment arrays and reset. */
+          private def flushSeg(): Unit = {
+            // snapshot keys first: find() path-compresses (mutates) the map
+            val ks = parent.keysIterator.toArray
+            segK = new Array[Long](ks.length)
+            segR = new Array[Long](ks.length)
+            segN = 0; segI = 0
+            var i = 0
+            while (i < ks.length) {
+              val v = ks(i); val r = find(v)
+              if (r != v) { segK(segN) = v; segR(segN) = r; segN += 1 }
+              i += 1
+            }
+            parent = scala.collection.mutable.LongMap.empty[Long]
+          }
+          /** Consume input edges until the cap flushes a segment or the
+            * input ends (final flush). */
+          private def advance(): Unit = {
+            while (segI >= segN && !exhausted) {
+              if (!it.hasNext) { flushSeg(); exhausted = true }
+              else {
+                var flushed = false
+                while (it.hasNext && !flushed) {
+                  val (a, b) = it.next()
+                  if (!parent.contains(a)) parent.update(a, a)
+                  if (!parent.contains(b)) parent.update(b, b)
+                  val (ra, rb) = (find(a), find(b))
+                  if (ra != rb) { // attach larger root under smaller: root = local min
+                    if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+                  }
+                  if (parent.size >= flushEntries) { flushSeg(); flushed = true }
+                }
+              }
+            }
+          }
+          def hasNext: Boolean = { advance(); segI < segN }
+          def next(): (Long, Long) = {
+            advance()
+            val p = (segK(segI), segR(segI)); segI += 1; p
+          }
         }
-        flush()
-        out.iterator
-      }
-      .toDF("u", "v")
-      .select(col("u").cast(aType).as("u"), col("v").cast(aType).as("v"))
-      .localCheckpoint(true)
+
+    // LOCALITY PRE-PROBE (r11 sf10 finding): contraction only pays when
+    // partitions reuse vertices heavily — per-partition forest rows =
+    // distinct vids − local components, which at LOW locality (each
+    // partition a sparse slice of a huge id space) approaches the
+    // partition's edge count, so the "contraction" emits roughly the
+    // input again after a full expensive pass (measured at sf10: a
+    // ~5-minute pass whose output EXCEEDED round-0's raw exchange).
+    // Run the identical union-find on 8 STRIDED sample partitions
+    // (runJob touches only those) and skip the full pass unless the
+    // sampled edges shrink by ≥ 25%. Strided, not first/middle/last: a
+    // unioned edge list's partition ranges group by PATTERN (an N:1
+    // pattern's partitions never shrink — every child vertex is
+    // distinct — while co-occurrence-shaped ones shrink heavily), so a
+    // 3-point sample can land entirely in one stratum; 8 strides cover
+    // every pattern block and the in/out sums weight them by actual
+    // edge volume.
+    val eRdd = ePairs.rdd
+    val nPart = eRdd.getNumPartitions
+    val probeParts =
+      if (nPart <= 8) (0 until nPart).toList
+      else (0 until 8).map(i => (i.toLong * nPart / 8).toInt).distinct.toList
+    // each sample union-finds its FULL partition (one 8-task wave,
+    // ~7 s at sf1): shrink is volume-dependent — forest rows =
+    // distinct vids − components, and vertices only start repeating
+    // once a task has seen O(V_partition) edges — so a row-capped
+    // prefix systematically reads "no shrink" on partitions that
+    // shrink 3-4x in full (measured at sf1: 300k-prefix samples said
+    // skip; the full partitions read 6.15M → 1.63M)
+    val probeRes: Array[(Long, Long)] =
+      if (probeParts.isEmpty) Array((0L, 0L))
+      else spark.sparkContext.runJob(eRdd,
+        (it: Iterator[(Long, Long)]) => {
+          var n = 0L
+          var c = 0L
+          val out = contractIter(it.map { p => n += 1; p })
+          while (out.hasNext) { out.next(); c += 1 }
+          (n, c)
+        }, probeParts)
+    val (sampleIn, sampleOut) =
+      (probeRes.iterator.map(_._1).sum, probeRes.iterator.map(_._2).sum)
+    val contractionPays = sampleIn > 0 && sampleOut * 4 <= sampleIn * 3
+    // full-partition samples → a volume estimate for the FOREST
+    // checkpoint's storage-level pick. Extrapolate the sampled forest
+    // rows, not the input (forest ≤ input, and the strides hit the
+    // biggest partitions, so the input extrapolation over-shoots the
+    // memory ceiling and sent sf1's 4.9M-row forest to disk — measured)
+    val forestRowsEst =
+      if (probeParts.isEmpty) 0L else sampleOut * nPart / probeParts.size
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] pre-probe parts=$probeParts/$nPart in=$sampleIn out=$sampleOut pays=$contractionPays forestEst=$forestRowsEst")
+
+    // raw fallback: the canonical multiset view of eIn (child = greater
+    // id, root candidate = smaller — the orientation the star rounds
+    // consume). Lazy narrow projection over the pinned eIn blocks;
+    // duplicates are harmless to the window-min star phases and the
+    // round-0 distinct removes them on the first exchange.
+    def rawCanonical: DataFrame = eIn.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+
+    var e: DataFrame =
+      if (!contractionPays) rawCanonical
+      else ckpt(ePairs
+        .mapPartitions(contractIter)
+        .toDF("u", "v")
+        .select(col("u").cast(aType).as("u"), col("v").cast(aType).as("v")), forestRowsEst)
 
     // Convergence = the edge list IS a star (every u appears exactly once
     // and never as a v): stars are exactly the fixpoints of the
@@ -2255,6 +2402,16 @@ object DataFramePregel {
     }
 
     var (edgeCount, isStar) = starProbe(e)
+    // POST-GATE (belt to the pre-probe's braces): if heterogeneous
+    // partitions fooled the 3-partition sample and the materialized
+    // forest did NOT shrink ≥ 25% vs the input, feed the rounds the raw
+    // canonical list instead — starProbe's edgeCount is exactly the
+    // forest row count, so the check is free.
+    if (contractionPays && !isStar && edgeCount * 4 > eInRowsExact * 3) {
+      e = rawCanonical
+      val p = starProbe(e)
+      edgeCount = p._1; isStar = p._2
+    }
     var rounds = 0
     var converged = edgeCount == 0 || isStar
 
@@ -2337,9 +2494,12 @@ object DataFramePregel {
         .select(col("p.u").as("u"), col("p.v").as("v"))
         .repartition(parts, col("u"))
         .distinct()
-      // one eager action materializes the whole round
+      // one eager action materializes the whole round; the pin level is
+      // volume-aware (DISK_ONLY past the cap — round 0 of a 10x-scale
+      // list must not park gigabytes of deserialized rows in protected
+      // storage; rounds shrink geometrically back under the cap)
       val t0 = System.nanoTime()
-      e = ckpt(small)
+      e = ckpt(small, 2L * edgeCount)
       val t1 = System.nanoTime()
       val probe = starProbe(e)
       edgeCount = probe._1; isStar = probe._2

@@ -12,4 +12,17 @@ object DatasetBridge {
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 
   def analyzedPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Drop the block-manager blocks behind a locally-checkpointed
+    * DataFrame (`LogicalRDD` is `private[sql]`). ONLY safe when nothing
+    * will read `df` again: a localCheckpoint truncates lineage, so the
+    * data is unrecoverable after this. Used to demote an oversized
+    * staging pin — re-checkpoint to DISK_ONLY first, then free the
+    * memory copy through this. No-op for non-checkpoint plans. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -57,6 +57,26 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(reliable == comps.toSet)
   }
 
+  test("contraction segment streaming: a tiny flush cap yields identical components") {
+    // flushEntries = 3 forces the partition-local union-find to flush a
+    // forest segment every ~3 live vertices — dozens of segments per
+    // partition on this graph — exercising every segment boundary of the
+    // streaming emitter (live map → primitive-array segment → reset).
+    // Segment forests are still valid star pieces, so the result must be
+    // bit-identical to the default one-segment-per-partition run.
+    val rnd = new scala.util.Random(23)
+    val edges = (Seq.tabulate(400)(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong)) ++
+      (700L until 760L).map(i => (i, i + 1)))
+      .toDF("src", "dst")
+    val tiny = DataFramePregel.connectedComponentsWithRounds(
+      edges, "src", "dst", maxIter = 30, localThreshold = 0L, flushEntries = 3)
+      ._1.as[(Long, Long)].collect().toSet
+    val full = DataFramePregel.connectedComponentsWithRounds(
+      edges, "src", "dst", maxIter = 30, localThreshold = 0L)
+      ._1.as[(Long, Long)].collect().toSet
+    assert(tiny == full)
+  }
+
   test("local union-find fallback agrees with the distributed star rounds") {
     val rnd = new scala.util.Random(11)
     // random sparse graph + a long chain + singleton-producing self-loop
