@@ -29,6 +29,83 @@ object GraphAnalytics {
     * failure at scale. */
   val MaxBroadcastVertices: Long = 50L * 1000 * 1000
 
+  /** WIDTH-SCALED broadcast-feasibility ceiling. [[MaxBroadcastVertices]]
+    * calibrates the 8 GiB broadcast hard cap for the 2-column
+    * (vid, value) rows the vertex-table guards carry; a wider build side
+    * hits the same BYTE cap at proportionally fewer rows, so reusing the
+    * 2-column row ceiling for a 5-column table would sail 2.5× past the
+    * calibration. One helper instead of per-site `/3*2`-style ratios so
+    * the next wide broadcast cannot reuse the narrow ceiling by
+    * accident. `maxRows` stays a parameter because the guard sites are
+    * test-injectable ([[linkFeatures]], [[weightedNegativeSamples]]). */
+  private[graft] def maxBroadcastRows(maxRows: Long, cols: Int): Long =
+    maxRows * 2 / math.max(2, cols)
+
+  /** Heap available to cached/checkpointed blocks, cluster-wide.
+    * localCheckpoint and persist blocks reside on EXECUTORS, so the
+    * budget is executor-heap-derived — per-executor `spark.executor
+    * .memory` × live executor count (`getExecutorMemoryStatus` lists
+    * one entry per block manager including the driver's, hence the −1).
+    * In local mode the driver JVM IS the executor and
+    * `Runtime.maxMemory` is exact. (r11 ADVICE: the driver-heap-only
+    * form was correct locally but misestimated a real fleet where
+    * driver and executor heaps differ.) */
+  private[graft] def storageHeapBytes(spark: SparkSession): Long = {
+    val sc = spark.sparkContext
+    if (sc.isLocal) Runtime.getRuntime.maxMemory
+    else {
+      val perExec = sc.getConf.getSizeAsBytes("spark.executor.memory", "1g")
+      val execs = math.max(1, sc.getExecutorMemoryStatus.size - 1)
+      perExec * execs
+    }
+  }
+
+  /** Row ceiling above which a DESERIALIZED staging pin (~100 B/row for
+    * a narrow long-pair table, 4-5× the data bytes) would claim more
+    * than ~15% of the storage-capable heap — the r11 sf10 finding:
+    * default-level pins past this squeezed the unified pool into
+    * UNABLE_TO_ACQUIRE_MEMORY task failures. Pins above the ceiling go
+    * DISK_ONLY (serialized blocks, zero heap residency; local-disk
+    * re-reads are sequential and page-cached). MEMORY-derived, not
+    * volume-partitioning-derived: tying the level to the 300k-rows/
+    * partition cap sent sf1's comfortably-fitting pins to disk for
+    * ~2× the wall at identical bytes (measured, r11). */
+  private[graft] def pinRowCeiling(spark: SparkSession): Long =
+    (storageHeapBytes(spark) * 0.15 / 100).toLong
+
+  /** Storage level for a pin of `rows` rows under the memory budget:
+    * deserialized MEMORY_AND_DISK below [[pinRowCeiling]] (the
+    * localCheckpoint/persist default — fast round-loop scans),
+    * DISK_ONLY past it. */
+  private[graft] def pinLevel(spark: SparkSession, rows: Long)
+      : org.apache.spark.storage.StorageLevel =
+    if (rows > pinRowCeiling(spark)) org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** TWO-PHASE memory-aware localCheckpoint (the r11 CC recipe,
+    * extracted for the whole round-loop family): the row count is
+    * unknowable before materializing, so pin at the default memory
+    * level first, count FROM MEMORY (fast), and past [[pinRowCeiling]]
+    * DEMOTE — re-checkpoint the blocks to DISK_ONLY and free the memory
+    * copy via [[org.apache.spark.sql.graft.DatasetBridge
+    * .unpersistCheckpoint]]. The demote pass costs one extra scan
+    * exactly when the table is 10× past design volume; below the
+    * ceiling (every driver-gate SF and sf1) nothing changes. Returns
+    * the pinned frame and its exact row count. NOTE: a localCheckpoint
+    * (LogicalRDD) forgets outputPartitioning — callers that need a
+    * partitioning-advertising cache use persist([[pinLevel]]) instead. */
+  private[graft] def pinTwoPhase(df: DataFrame): (DataFrame, Long) = {
+    val p0 = df.localCheckpoint(true)
+    val rows = p0.count()
+    if (rows <= pinRowCeiling(df.sparkSession)) (p0, rows)
+    else {
+      val demoted =
+        p0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(p0)
+      (demoted, rows)
+    }
+  }
+
   /** [[coreness]] switches from dense to frontier rounds once the
     * changed set falls below V / this factor: above it the candidate
     * neighborhoods cover ~everything and the frontier joins are pure
@@ -103,6 +180,22 @@ object GraphAnalytics {
       case None => (df, None)
       case some => (df.localCheckpoint(true), some)
     }
+
+  /** True when counting `df` is cheap — its optimized plan is only
+    * Project/Filter over a single leaf: a parquet leaf answers a bare
+    * count from footer metadata and a filtered one from one narrow
+    * column scan; a pinned checkpoint counts from its blocks. Anything
+    * else (joins, aggregates, unions, generators) would execute the
+    * full upstream lineage once for the count and again for the real
+    * job — those callers must pass an explicit hint or forgo
+    * volume sizing. */
+  private[graft] def isCheapCount(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    val plan = df.queryExecution.optimizedPlan
+    plan.collectLeaves().size == 1 && plan.collect {
+      case p if p.children.nonEmpty && !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] => p
+    }.isEmpty
+  }
 
   /** `repartition` with an optional explicit partition count
     * ([[volumePartsOpt]]'s contract: None = bare, AQE-coalescible). */
@@ -271,21 +364,26 @@ object GraphAnalytics {
     * of the pair stream for nothing. Multiplicity-sensitive consumers
     * (degree counts, triangle joins) must keep the default. */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-      maxGroupSize: Int = 10, distinctPairs: Boolean = true): DataFrame = {
+      maxGroupSize: Int = 10, distinctPairs: Boolean = true,
+      rowsHint: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE staging exchange: repartition by group first — the (g, item)
     // dedup, the group-size window and the pair self-join all ride
     // hash(g) with no further exchange (the dedup-on-top-of-repartition
     // recipe; distinct() first paid hash(g, item) AND THEN the window
     // re-exchanged everything by hash(g)).
-    // volume-sized ([[volumePartsOpt]]; one count job — for the
-    // parquet-scan inputs every caller passes this is a column-free
-    // row-count scan): the per-g window and pair join ride hash(g), so
-    // at low SF they run volume-proportional task counts; once the cap
-    // binds this degrades to the bare AQE-coalescible repartition
+    // volume-sized ([[volumePartsOpt]]): the per-g window and pair join
+    // ride hash(g), so at low SF they run volume-proportional task
+    // counts; once the cap binds this degrades to the bare
+    // AQE-coalescible repartition. The sizing count runs ONLY when the
+    // caller passes `rowsHint` or the input is a bare scan (a
+    // column-free row-count over parquet metadata / pinned blocks) —
+    // counting an arbitrary upstream lineage would execute it twice
+    // (r11 ADVICE); unknown volume falls back to the bare repartition.
     val src = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+    val rows = rowsHint.orElse(if (isCheapCount(src)) Some(src.count()) else None)
     val base = repartitionSized(src,
-        volumePartsOpt(df.sparkSession, src.count()), col("g"))
+        rows.flatMap(volumePartsOpt(df.sparkSession, _)), col("g"))
       .dropDuplicates("g", "item")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
       .where(col("n") <= maxGroupSize)
@@ -497,7 +595,11 @@ object GraphAnalytics {
   def hitsDF(edges: DataFrame, numIter: Int = 5,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val Micro = 1000000L
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    // two-phase staging pin (demotes past [[pinRowCeiling]] — the r11
+    // CC recipe applied to the whole round-loop family after the sf10
+    // pagerank probe)
+    val (e, eRows) = pinTwoPhase(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
     val nVerts = verts.count()
@@ -511,11 +613,15 @@ object GraphAnalytics {
     def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     // persist (NOT localCheckpoint): a checkpointed LogicalRDD forgets
     // outputPartitioning, and hash(agg key) is the whole point of the
-    // two caches (see the shuffle-shape scaladoc above)
+    // two caches (see the shuffle-shape scaladoc above); level
+    // memory-budgeted by the exact edge count — at 10×-past-design
+    // volume BOTH caches going deserialized-resident is exactly the
+    // storage-pool squeeze the sf10 probe measured, so past the
+    // ceiling they hold serialized disk blocks instead
     val eBySrc = if (!useBroadcast) e else e.repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(pinLevel(edges.sparkSession, eRows))
     val eByDst = if (!useBroadcast) e else e.repartition(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(pinLevel(edges.sparkSession, eRows))
 
     // normalize a raw BIGINT score column back to total mass `scale`:
     // each row's quotient truncates identically in Spark's `div` and
@@ -592,6 +698,21 @@ object GraphAnalytics {
     // checkpoint execution of the round loop (exchange reuse does not
     // span executions — measured +180 MB at sf1)
     val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum")).localCheckpoint(true)
+    // TWO-PHASE persist demote (the pinTwoPhase recipe adapted for a
+    // partitioning-advertising cache, which a localCheckpoint cannot
+    // replace): wsum's materialization above filled the cache, so the
+    // count reads memory; past [[pinRowCeiling]] re-persist DISK_ONLY —
+    // the next action re-runs the staging exchange ONCE to write
+    // serialized disk blocks, a bounded cost paid exactly when the
+    // deserialized copy would otherwise squeeze the storage pool into
+    // per-round recompute (the sf10 g_pagerank finding). The collapsed
+    // row count is unknowable pre-materialization, hence demote rather
+    // than a priori level choice.
+    val eRows = e.count()
+    if (eRows > pinRowCeiling(edges.sparkSession)) {
+      e.unpersist(blocking = false)
+      e.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
     // guarded broadcasts for every V-proportional side (weight sums,
@@ -607,7 +728,8 @@ object GraphAnalytics {
     // broadcast probes + an in-place aggregation — no per-round shuffle
     val ed = e.join(maybeBroadcast(wsum), "src")
       .select(col("src"), col("dst"), col("w"), col("wsum"))
-    val edPinned = if (useBroadcast) ed else ed.localCheckpoint(true)
+    val edPinned = if (useBroadcast) ed
+      else ed.localCheckpoint(true, pinLevel(edges.sparkSession, eRows))
 
     // E-row sums in BIGINT, V-row damping multiply in DECIMAL — the
     // pageRankQuantizedDF/hitsDF mass-accounting recipe; the per-edge
@@ -724,7 +846,7 @@ object GraphAnalytics {
     // extra payload column — MaxBroadcastVertices is calibrated for
     // 2-column (vid, value) rows, and aw/edgeFlagPruned carry 3.
     val anchorRows = if (anchors.isDefined) aw.count() else Long.MaxValue
-    val useAnchorBroadcast = anchors.isDefined && anchorRows <= maxBroadcast / 3 * 2
+    val useAnchorBroadcast = anchors.isDefined && anchorRows <= maxBroadcastRows(maxBroadcast, 3)
     val bw = und.select(col("u").as("b"), col("v").as("w2"))
     // streamed side is the pinned hash(u)=hash(b) adjacency; broadcast
     // joins preserve it, so the feature groupBy below never exchanges
@@ -768,7 +890,17 @@ object GraphAnalytics {
     val Micro = 1000000L
     val resetMicro = math.round(resetProb * Micro)
     val dampMicro = Micro - resetMicro
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    // TWO-PHASE memory-aware pins (the r11 CC recipe, extended here
+    // after the sf10 probe caught g_pagerank's edge cache evicted under
+    // storage pressure — every round then re-executed the staging
+    // exchange, a 14.3× byte ratio on 10× data): the staging checkpoint
+    // demotes to DISK_ONLY past [[pinRowCeiling]], and the hash(dst)
+    // edge cache picks its persist level from the SAME exact row count
+    // (known a priori here — the degree join is row-preserving), so at
+    // 10×-past-design volume the loop-invariant degrades to disk-backed
+    // sequential re-reads instead of per-round recompute, with zero
+    // change below the ceiling.
+    val (e, eRows) = pinTwoPhase(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
@@ -782,15 +914,18 @@ object GraphAnalytics {
     // repartition BEFORE the broadcast degree join: the exchange then
     // carries bare (src, dst) pairs — the deg column attaches on top of
     // the already-partitioned stream (a broadcast join preserves it),
-    // ~1/3 fewer staging bytes for the identical pinned cache
+    // ~1/3 fewer staging bytes for the identical pinned cache.
+    // persist (NOT localCheckpoint — hash(dst) must survive for the
+    // per-round in-sum aggregations), level memory-budgeted by eRows.
     val ed =
       if (useBroadcast)
         e.repartition(col("dst"))
           .join(broadcast(deg), "src")
           .select(col("src"), col("dst"), col("deg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(pinLevel(edges.sparkSession, eRows))
       else e.join(deg, "src")
-        .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+        .select(col("src"), col("dst"), col("deg"))
+        .localCheckpoint(true, pinLevel(edges.sparkSession, eRows))
 
     // SPARSE loop: ranks are kept only for vertices that RECEIVE edges —
     // any vertex absent from the in-sums has rank exactly resetMicro
@@ -860,7 +995,11 @@ object GraphAnalytics {
     val Micro = 1000000L
     val resetMicro = math.round(resetProb * Micro)
     val dampMicro = Micro - resetMicro
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    // two-phase staging pin + memory-budgeted cache level, exactly the
+    // pageRankQuantizedDF shape (see the scaladoc there): past
+    // [[pinRowCeiling]] the loop-invariant goes DISK_ONLY instead of
+    // being evicted into per-round recompute
+    val (e, eRows) = pinTwoPhase(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct()
@@ -875,9 +1014,10 @@ object GraphAnalytics {
         e.repartition(col("dst"))
           .join(broadcast(deg), "src")
           .select(col("src"), col("dst"), col("deg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(pinLevel(edges.sparkSession, eRows))
       else e.join(deg, "src")
-        .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+        .select(col("src"), col("dst"), col("deg"))
+        .localCheckpoint(true, pinLevel(edges.sparkSession, eRows))
     val s = sources.select(col(sources.columns.head).as("vid")).distinct()
       .localCheckpoint(true)
 
@@ -1251,7 +1391,7 @@ object GraphAnalytics {
     // count near the boundary would build a 2.5× bigger relation,
     // brushing Spark's 8 GiB broadcast hard cap.
     val drawsCp = draws.localCheckpoint(true)
-    val d = if (drawsCp.count() <= maxBroadcast / 5 * 2) broadcast(drawsCp) else drawsCp
+    val d = if (drawsCp.count() <= maxBroadcastRows(maxBroadcast, 5)) broadcast(drawsCp) else drawsCp
     slots.join(d, Seq("slot"))
       .where(col("u") >= col("lo") && col("u") < col("hi"))
       .select(col("center"), col("context"), col("draw_i").cast("int").as("draw_i"),
@@ -2185,8 +2325,9 @@ object DataFramePregel {
     // partitioning cap sent them all to disk and cost ~2x the wall at
     // identical bytes — measured, this round), while sf10's 136M rows
     // (~13 GB deserialized) are exactly what must not sit in protected
-    // storage.
-    val memPinRowCeiling: Long = (Runtime.getRuntime.maxMemory * 0.15 / 100).toLong
+    // storage. Executor-heap-derived ([[GraphAnalytics.pinRowCeiling]]):
+    // the blocks live on executors, not the driver.
+    val memPinRowCeiling: Long = GraphAnalytics.pinRowCeiling(spark)
     def ckpt(df: DataFrame, rowsHint: Long): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else if (rowsHint > memPinRowCeiling)
@@ -2207,17 +2348,8 @@ object DataFramePregel {
     // eIn at sf10 (136M rows ≈ 13 GB deserialized in protected storage)
     // fails the very next aggregation with AGGREGATE_OUT_OF_MEMORY;
     // DISK_ONLY completes the query.
-    val eIn0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .localCheckpoint(true)
-    val eInRowsExact = eIn0.count()
-    val eIn =
-      if (eInRowsExact <= memPinRowCeiling) eIn0
-      else {
-        val demoted =
-          eIn0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(eIn0)
-        demoted
-      }
+    val (eIn, eInRowsExact) =
+      GraphAnalytics.pinTwoPhase(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
 
     // every vertex that appears anywhere — singletons and roots must show
     // up in the final assignment even though stars drop them from edges.
@@ -2246,6 +2378,17 @@ object DataFramePregel {
     // Output is already canonical (child > its min-root, self-loops
     // gone), exactly what the star rounds consume.
     val aType = eIn.schema("a").dataType
+    // The contraction (and its pre-probe) and the local union-find
+    // fallback funnel vertex ids through cast("long"); a non-integral
+    // vid type (e.g. string) would yield nulls that the (Long, Long)
+    // encoder turns into 0s — silent component corruption. The star
+    // rounds themselves are type-generic (greatest/least), so
+    // non-integral ids simply skip the long-typed shortcuts.
+    val integralVids = aType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     import spark.implicits._
     val ePairs = eIn
       .where(col("a") =!= col("b"))
@@ -2334,7 +2477,8 @@ object DataFramePregel {
     val eRdd = ePairs.rdd
     val nPart = eRdd.getNumPartitions
     val probeParts =
-      if (nPart <= 8) (0 until nPart).toList
+      if (!integralVids) Nil // non-integral vids: no contraction, no probe
+      else if (nPart <= 8) (0 until nPart).toList
       else (0 until 8).map(i => (i.toLong * nPart / 8).toInt).distinct.toList
     // each sample union-finds its FULL partition (one 8-task wave,
     // ~7 s at sf1): shrink is volume-dependent — forest rows =
@@ -2408,6 +2552,11 @@ object DataFramePregel {
     // canonical list instead — starProbe's edgeCount is exactly the
     // forest row count, so the check is free.
     if (contractionPays && !isStar && edgeCount * 4 > eInRowsExact * 3) {
+      // the rejected forest is never read again — free its checkpoint
+      // blocks NOW, or an edge-list-sized cache stays pinned in
+      // protected storage for the whole run, precisely in the
+      // adversarial-scale scenario this gate exists for (r11 ADVICE)
+      org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(e)
       e = rawCanonical
       val p = starProbe(e)
       edgeCount = p._1; isStar = p._2
@@ -2415,7 +2564,7 @@ object DataFramePregel {
     var rounds = 0
     var converged = edgeCount == 0 || isStar
 
-    if (!converged && edgeCount <= localThreshold) {
+    if (!converged && integralVids && edgeCount <= localThreshold) {
       import spark.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {

@@ -287,7 +287,28 @@ object Similarity {
     // (Janino "Code grows beyond 64 KB" → interpreted fallback plus an
     // ERROR in every run's log). Same floor/scale/BIGINT arithmetic,
     // bit-identical partials, O(1) generated code.
-    val partials = model.codebooks.zipWithIndex.map { case (cb, j) =>
+    val qp = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .select(col("query_id") +: pqPartialCols(model): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_pico").desc, col("neighbor_id"))
+    broadcast(qp).crossJoin(codes)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_pico", adcScore(model))
+      .withColumn("approx_dot", col("approx_pico").cast("double") / lit(1e12))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_dot"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-query ADC lookup-table columns p_0..p_{m-1} (each an
+    * nCentroids-long array of pico-grid partial dots against the
+    * codebook literals), built over a `__qv` double-array column. Shared
+    * by [[pqTopKEncoded]] (full-corpus ADC) and [[ivfPqTopKEncoded]]
+    * (cell-pruned ADC) so the two paths score bit-identically. */
+  private def pqPartialCols(model: PqModel): Seq[Column] =
+    model.codebooks.zipWithIndex.toSeq.map { case (cb, j) =>
       val cbScaled = typedLit(cb.map(_.map(_ * 1e12).toSeq).toSeq)
       transform(cbScaled, c =>
         aggregate(sequence(lit(0), lit(model.subDim - 1)), lit(0L),
@@ -296,22 +317,64 @@ object Similarity {
               element_at(c, i + lit(1)) + lit(0.5)).cast("long")))
         .as(s"p_$j")
     }
+
+  /** The ADC approximate dot in pico-grid integers: m table lookups
+    * (code_j indexes p_j) summed as BIGINT. */
+  private def adcScore(model: PqModel): Column =
+    (0 until model.m).map(j =>
+      element_at(col(s"p_$j"), col(s"code_$j").cast("int"))).reduce(_ + _)
+
+  /** IVFADC index (Jégou et al., TPAMI 2011 §IV — the system the paper
+    * actually deploys): one row per corpus vector, carrying its coarse
+    * IVF cell AND its m PQ codes — (neighbor_id, cell, code_0..code_{m-1}).
+    * This is the 100 TB at-rest ANN shape: stored partitioned by `cell`,
+    * a query reads only its nProbe cells' partitions (sub-linear I/O,
+    * the IVF property) and each row it reads is m small codes instead
+    * of dim×8 bytes (the PQ property) — where [[pqTopKEncoded]] alone
+    * stays corpus-linear and [[ivfTopKAssigned]] alone re-reads full
+    * vectors. Encode ONCE and persist; queries never touch raw
+    * embeddings. */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfModel, pq: PqModel): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    corpus.select(
+      col(idCol).as("neighbor_id") +:
+        nearestCell(ivf.centroids, v).as("cell") +:
+        pqCodeCols(v, pq): _*)
+  }
+
+  /** ADC top-k over the nProbe nearest cells of an IVFADC index (see
+    * [[ivfPqEncode]]): each query explodes its probed cells, the probe
+    * is a broadcast equi-join on `cell` — so a cell-partitioned at-rest
+    * index prunes partitions instead of scanning the corpus — and
+    * scoring is the identical pico-grid ADC of [[pqTopKEncoded]]
+    * (shared [[pqPartialCols]]/[[adcScore]]), so with nProbe = nCells
+    * the two outputs are bit-identical (spec-pinned). Corpus vectors
+    * live in exactly one cell and probed cells are distinct, so no pair
+    * dedup is needed. */
+  def ivfPqTopKEncoded(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ivf: IvfModel, pq: PqModel, nProbe: Int): DataFrame = {
     val qp = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-      .select(col("query_id") +: partials.toSeq: _*)
-    val approxPico = (0 until model.m).map(j =>
-      element_at(col(s"p_$j"), col(s"code_$j").cast("int"))).reduce(_ + _)
+      .select(col("query_id"), col("__qv"),
+        explode(nearestCells(ivf.centroids, col("__qv"), nProbe)).as("cell"))
+      .select(col("query_id") +: col("cell") +: pqPartialCols(pq): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("approx_pico").desc, col("neighbor_id"))
-    broadcast(qp).crossJoin(codes)
+    broadcast(qp).join(codes, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_pico", approxPico)
+      .withColumn("approx_pico", adcScore(pq))
       .withColumn("approx_dot", col("approx_pico").cast("double") / lit(1e12))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("approx_dot"),
         col("rank").cast("long").as("rank"))
   }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ivf: IvfModel, pq: PqModel, nProbe: Int): DataFrame =
+    ivfPqTopKEncoded(ivfPqEncode(corpus, idCol, vecCol, ivf, pq),
+      queries, idCol, vecCol, k, ivf, pq, nProbe)
 
   /** IVF-style approximate top-k: the coarse quantizer's cells partition
     * the corpus; each query exactly reranks only the `nProbe` nearest

@@ -379,8 +379,11 @@ object Sketches {
     * O(partitions × live (group, level) pairs) — tiny in every measured
     * round, but unbounded in the group count, so past this ceiling the
     * rank joins fall back to shuffle joins instead of failing the
-    * broadcast build. */
-  val MpMaxBroadcastStatRows: Long = 20L * 1000 * 1000
+    * broadcast build. Width-scaled from the 2-column vertex ceiling
+    * ([[GraphAnalytics.maxBroadcastRows]]): 5 columns → 2/5 of the
+    * row budget at the same byte cap. */
+  val MpMaxBroadcastStatRows: Long =
+    GraphAnalytics.maxBroadcastRows(GraphAnalytics.MaxBroadcastVertices, 5)
 
   /** Deterministic parity bit for compacting (group, level): which of the
     * two rank classes survives the halving. Derandomized via the portable

@@ -93,6 +93,30 @@ class GraphAnalyticsSpec extends SparkTestBase {
     byComp.foreach { case (cid, members) => assert(members.map(_._1).min == cid) }
   }
 
+  test("connected components: non-integral (string) vertex ids stay correct") {
+    // string vids cannot ride the cast("long") shortcuts (contraction,
+    // pre-probe, local union-find) — a silent cast would null every id
+    // and collapse all components onto 0. The integral-type gate must
+    // route them straight to the type-generic star rounds.
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("z", "z"))
+      .toDF("src", "dst")
+    val got = DataFramePregel.connectedComponents(edges)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "a"), ("b", "a"), ("c", "a"),
+      ("x", "x"), ("y", "x"), ("z", "z")))
+  }
+
+  test("maxBroadcastRows scales the 2-column row ceiling by build-side width") {
+    val base = GraphAnalytics.MaxBroadcastVertices
+    assert(GraphAnalytics.maxBroadcastRows(base, 2) == base)
+    assert(GraphAnalytics.maxBroadcastRows(base, 3) == base * 2 / 3)
+    assert(GraphAnalytics.maxBroadcastRows(base, 5) == base * 2 / 5)
+    // width below the 2-column calibration never RAISES the ceiling
+    assert(GraphAnalytics.maxBroadcastRows(base, 1) == base)
+    // the MP stat-table ceiling derives from the same helper (5 columns)
+    assert(Sketches.MpMaxBroadcastStatRows == base * 2 / 5)
+  }
+
   test("label propagation: barbell graph splits one component into two communities") {
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10: connected
     // components would merge everything into one; LPA keeps two dense

@@ -205,6 +205,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(scores(100L) == scores(top.head))
   }
 
+  test("IVFADC: all-cells probe is bit-identical to PQ-only ADC; pruned probe has recall") {
+    val rnd = new scala.util.Random(9)
+    val vecs = (1L to 80L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val ivf = Similarity.trainIvf(vecs, "embedding", nCells = 4, seed = 42L,
+      sampleRows = 1000, iters = 5)
+    val pq = Similarity.trainPq(vecs, "embedding", m = 4, nCentroids = 4,
+      seed = 42L, sampleRows = 1000, iters = 5)
+    val queries = vecs.where(col("vec_id") <= 5)
+    // nProbe = nCells ⇒ every (query, neighbor) pair survives the cell
+    // join exactly once, and scoring shares pqPartialCols/adcScore — the
+    // composed operator must reproduce the full-ADC output bit-for-bit
+    val full = Similarity.pqTopK(vecs, queries, "vec_id", "embedding", k = 5, pq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val ivfpqAll = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, ivf, pq, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(ivfpqAll == full)
+    // pruned probe: the index row count a query touches drops to
+    // ~nProbe/nCells of the corpus, yet recall vs BRUTE FORCE stays
+    // useful (identical-twin guarantee: a duplicate shares its query's
+    // cell, so it is always probed)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+    val approx = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, ivf, pq, nProbe = 2)
+    val recall = Similarity.recallAtK(approx, exact)
+      .agg(avg(col("recall"))).as[Double].head()
+    assert(recall >= 0.2, s"IVFADC recall collapsed: $recall")
+  }
+
   test("fixed-point dot: matches a double dot to the grid and is exactly integer picos") {
     val vecs = Seq((1L, Array(0.5f, -0.25f, 0.125f))).toDF("vec_id", "embedding")
     val w = Array(1.0, 2.0, 4.0)
