@@ -60,6 +60,34 @@ object GraphAnalytics {
     }
   }
 
+  /** HEAP-AWARE vertex-broadcast ceiling — what the V-row broadcast
+    * guards actually compare against. [[MaxBroadcastVertices]] alone
+    * calibrates Spark's 8 GiB broadcast HARD CAP; on a small-heap
+    * executor the binding constraint arrives earlier: the driver-side
+    * HashedRelation build plus the executor-resident copy cost
+    * ~100 B/row per live generation. Calibrated against the sf10 probe
+    * (17 GB heap, 18.6M vertices): every SINGLE-family 2-column
+    * broadcast loop (quantized pagerank, HITS, BFS, SSSP, MIS, LPA,
+    * k-core, CC) ran green — heap/900 ≈ 18.9M keeps those measured-green
+    * configurations broadcasting — while weighted pagerank, which holds
+    * TWO live V-row broadcast families (the pinned weight sums plus each
+    * round's ranks), died in the build ("Not enough memory to build and
+    * broadcast"); ITS guard width-scales this ceiling by 4/2 via
+    * [[maxBroadcastRows]], routing it to the shuffle-join fallback. On a
+    * production 64 GB executor the static 50M hard-cap ceiling binds
+    * again. */
+  private[graft] def maxBroadcastVerticesDyn: Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    math.min(MaxBroadcastVertices, perExecutorHeapBytes(spark) / 900)
+  }
+
+  /** Heap of ONE executor — the budget for anything replicated
+    * per-executor (broadcast variables), as opposed to
+    * [[storageHeapBytes]]'s cluster-wide cache budget. */
+  private[graft] def perExecutorHeapBytes(spark: SparkSession): Long =
+    if (spark.sparkContext.isLocal) Runtime.getRuntime.maxMemory
+    else spark.sparkContext.getConf.getSizeAsBytes("spark.executor.memory", "1g")
+
   /** Row ceiling above which a DESERIALIZED staging pin (~100 B/row for
     * a narrow long-pair table, 4-5× the data bytes) would claim more
     * than ~15% of the storage-capable heap — the r11 sf10 finding:
@@ -330,7 +358,13 @@ object GraphAnalytics {
           .select(least(col(srcCol), col(dstCol)).as("u"),
             greatest(col(srcCol), col(dstCol)).as("v"))
           .distinct()
-    val canon = canonBase.localCheckpoint(true)
+    // two-phase pin (the r11 memory-cliff recipe): at 10×-past-design
+    // volume the canonical edge list's DESERIALIZED checkpoint blocks
+    // squeeze the unified pool and the wedge-close aggregation dies with
+    // AGGREGATE_OUT_OF_MEMORY (measured: g_clustering_coeff at sf10 on a
+    // 17 GB heap); past [[pinRowCeiling]] the four consumers re-read
+    // serialized disk blocks instead
+    val (canon, _) = pinTwoPhase(canonBase)
     val e1 = canon.select(col("u").as("a"), col("v").as("b"))
     val e2 = canon.select(col("u").as("b"), col("v").as("c"))
     val e3 = canon.select(col("u").as("a"), col("v").as("c"))
@@ -491,7 +525,7 @@ object GraphAnalytics {
     // of the round-4 PageRank persist experiment). Past the guard the
     // label join shuffles label-table-sized data per round against the
     // still-pinned adjacency.
-    val useBroadcast = broadcastLabels && verts.count() <= MaxBroadcastVertices
+    val useBroadcast = broadcastLabels && verts.count() <= maxBroadcastVerticesDyn
     var labels = verts.withColumn("community", col("vid"))
     (1 to numIter).foreach { i =>
       // Fusing both aggregations onto one bare repartition(u) exchange
@@ -609,7 +643,7 @@ object GraphAnalytics {
     // then never shuffles for the joins — each half-update is ONE
     // map-side-combined agg exchange instead of join+agg exchanges
     // (measured 29 s -> seconds at sf0.1)
-    val useBroadcast = nVerts <= MaxBroadcastVertices
+    val useBroadcast = nVerts <= maxBroadcastVerticesDyn
     def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     // persist (NOT localCheckpoint): a checkpointed LogicalRDD forgets
     // outputPartitioning, and hash(agg key) is the whole point of the
@@ -719,8 +753,12 @@ object GraphAnalytics {
     // per-round ranks, the final fill): the sf1 bench measured these
     // joins silently flipping from planner auto-broadcast to two-sided
     // shuffle joins as the tables outgrew the 10 MB threshold (15.9x
-    // shuffle on 10x data); the semantic guard holds to 50M vertices
-    val useBroadcast = verts.count() <= MaxBroadcastVertices
+    // shuffle on 10x data). WIDTH-SCALED guard (4 of the 2-col
+    // calibration): unlike the single-family loops, TWO V-row broadcast
+    // families are live at once here (the round-invariant wsum AND each
+    // round's ranks) — at the plain ceiling this exact shape died in
+    // the broadcast build at sf10 on a 17 GB heap (probe, r12)
+    val useBroadcast = verts.count() <= maxBroadcastRows(maxBroadcastVerticesDyn, 4)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     // lazy map-join over the pinned edge cache: the wsum broadcast
@@ -809,7 +847,7 @@ object GraphAnalytics {
   def linkFeatures(coEdges: DataFrame, aCol: String, bCol: String,
       topPerVertex: Int = 5, minCommon: Int = 2,
       anchors: Option[DataFrame] = None,
-      maxBroadcast: Long = MaxBroadcastVertices,
+      maxBroadcast: Long = maxBroadcastVerticesDyn,
       stagingRowsHint: Option[Long] = None): DataFrame = {
     // Volume-GATED staging ([[volumeStage]]): small inputs checkpoint —
     // which also materializes the caller's co-occurrence lineage ONCE
@@ -904,7 +942,7 @@ object GraphAnalytics {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
-    val useBroadcast = broadcastRanks && verts.count() <= MaxBroadcastVertices
+    val useBroadcast = broadcastRanks && verts.count() <= maxBroadcastVerticesDyn
     // the degree join is loop-invariant — pay it once, not once per round.
     // EXPLICIT guarded broadcast: deg is V-proportional and slips past
     // the planner's auto-broadcast threshold as data grows (the sf1 bench
@@ -1003,7 +1041,7 @@ object GraphAnalytics {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct()
-    val useBroadcast = broadcastRanks && verts.count() <= MaxBroadcastVertices
+    val useBroadcast = broadcastRanks && verts.count() <= maxBroadcastVerticesDyn
     // guarded broadcast for the loop-invariant degree join (the
     // pageRankQuantizedDF rule: an edge ⋈ vertex join never rides
     // auto-broadcast), applied AFTER the hash(dst) repartition so the
@@ -1204,7 +1242,7 @@ object GraphAnalytics {
     // MaxBroadcastVertices the guard falls back to shuffle joins
     // (frontier and messages exchange; map-side combine defends the
     // wire).
-    val useBroadcast = broadcastDist && nVerts <= MaxBroadcastVertices
+    val useBroadcast = broadcastDist && nVerts <= maxBroadcastVerticesDyn
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     val d0 = src.withColumn("d0", lit(0L))
@@ -1285,7 +1323,7 @@ object GraphAnalytics {
     // edge list, not a per-step shuffle of it (measured 132 MB → ~1 MB
     // total shuffle for 8 steps at sf0.1); past the ceiling (billions of
     // simultaneous walks) the equi-join shuffle plan takes over
-    val useBroadcast = w0.count() <= MaxBroadcastVertices
+    val useBroadcast = w0.count() <= maxBroadcastVerticesDyn
     (1 to steps).foreach { t =>
       val f = if (useBroadcast) broadcast(frontier) else frontier
       val nxt = e.join(f, e("u") === f("vid"))
@@ -1346,7 +1384,7 @@ object GraphAnalytics {
       centerCol: String = "center", contextCol: String = "context",
       vidCol: String = "vid", weightCol: String = "w",
       buckets: Int = 4096, cumPartitions: Int = 32,
-      maxBroadcast: Long = MaxBroadcastVertices): DataFrame = {
+      maxBroadcast: Long = maxBroadcastVerticesDyn): DataFrame = {
     require(k >= 1 && buckets >= 1)
     val w0 = weights
       .select(col(vidCol).cast("long").as("vid"), col(weightCol).cast("long").as("w"))
@@ -1439,7 +1477,7 @@ object GraphAnalytics {
       .localCheckpoint(true)
     var frontier = w0
     var out = w0.select(col("walk_id"), col("vid")).withColumn("step", lit(0L))
-    val useBroadcast = w0.count() <= MaxBroadcastVertices
+    val useBroadcast = w0.count() <= maxBroadcastVerticesDyn
     (1 to steps).foreach { t =>
       val f = if (useBroadcast) broadcast(frontier) else frontier
       val cand = e.join(f, e("u") === f("vid"))
@@ -1523,7 +1561,7 @@ object GraphAnalytics {
     // the next-peel count as the round's materializing action — the
     // sssp/coreness discipline. Past the ceiling, shuffle joins.
     val useBroadcast =
-      e.select(col("u")).distinct().count() <= MaxBroadcastVertices
+      e.select(col("u")).distinct().count() <= maxBroadcastVerticesDyn
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     var deg = e.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
@@ -1657,7 +1695,7 @@ object GraphAnalytics {
     var c = und.groupBy("u").agg(count(lit(1)).cast("long").as("cv"))
       .localCheckpoint(true)
     val nVerts = c.count()
-    val useBroadcast = nVerts <= MaxBroadcastVertices
+    val useBroadcast = nVerts <= maxBroadcastVerticesDyn
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     // frontier after round r = vertices whose value changed in round r;
@@ -1680,6 +1718,121 @@ object GraphAnalytics {
       nv.groupBy("u", "cv").agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum(col("cnt")).over(wCum))
         .groupBy("u").agg(max(least(col("cum"), col("cv"))).cast("long").as("cv"))
+    // MAP MODE (the r11-verdict "driver-side build floor" fix): with
+    // integral vids under the broadcast guard, the per-round V-row value
+    // broadcasts are replaced by a manual base+overlay LongLongMap pair
+    // probed from a codegen lookup expression — the base generation
+    // broadcasts once, each round ships only the rows that MOVED (which
+    // the round's one collect already brought to the driver), and the
+    // two value joins vanish from the plan. The legacy join loop below
+    // stays as the type-generic / past-guard fallback. Trace effect:
+    // the ~0.5 s/round zero-job gap (driver HashedRelation build +
+    // torrent serialize per round, CorenessProbe r11) collapses to a
+    // primitive-array map build from already-collected rows.
+    val integralVids = e0.schema("u").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val spark0 = edges.sparkSession
+    // memory gate for map mode: the value map costs ≤64 B/vertex (two
+    // long arrays at ≤0.5 load factor) REPLICATED PER EXECUTOR, and a
+    // dense round holds the outgoing new-generation broadcast alongside
+    // the old one — budget 5% of one executor's heap, i.e. heap/64/20
+    // vertices (16g → ~12.5M: sf1's 1.9M rides the map loop, sf10's
+    // 18.6M falls back to the join loop, whose sf10 probe is green)
+    val mapModeMaxVerts = perExecutorHeapBytes(spark0) / 64 * 5 / 100
+    if (useBroadcast && integralVids && nVerts <= mapModeMaxVerts) {
+      import graft.functions.{BroadcastLongMapLookup, LongLongMap}
+      import spark0.implicits._
+      val sc = spark0.sparkContext
+      val vidType = e0.schema("u").dataType
+      // base generation: the initial degree table, collected from the
+      // checkpointed frame c already materialized for the nVerts count
+      val basePairs = c.select(col("u").cast("long"), col("cv")).as[(Long, Long)].collect()
+      var bcBase = sc.broadcast(LongLongMap.build(basePairs.iterator, basePairs.length))
+      var bcOverlay = sc.broadcast(LongLongMap.Empty)
+      // entries changed since the last fold — always mirrored in bcOverlay
+      val overlayAcc = scala.collection.mutable.LongMap.empty[Long]
+      var changedKeys: Array[Long] = null
+      def lookup(k: Column): Column =
+        BroadcastLongMapLookup(k.cast("long"), bcOverlay, bcBase, -1L)
+      while (r < budget && !done) {
+        r += 1
+        val tRound = System.nanoTime()
+        val frontierMode = r > 1 && lastMoved * FrontierSwitchFactor < nVerts
+        val src =
+          if (!frontierMode) und
+          else {
+            // last round's movers as a LocalRelation (≤ V/128 rows by the
+            // frontier gate — built driver-side, no collect job), then the
+            // staging-sorted cached adjacency marks candidates' full
+            // adjacency in one sort-free window scan (the r11 fused shape)
+            val chv = changedKeys.toSeq.toDF("__chk")
+              .select(col("__chk").cast(vidType).as("__ch"))
+            und.join(broadcast(chv), col("v") === col("__ch"), "left")
+              .select(col("u"), col("v"), col("__ch").isNotNull.as("__hit"))
+              .withColumn("__any", max(col("__hit")).over(
+                org.apache.spark.sql.expressions.Window.partitionBy("u")))
+              .where(col("__any")).select(col("u"), col("v"))
+          }
+        // the round is ONE job: neighbor values and the old value are
+        // codegen map probes (no joins, rides hash(u) end to end), and
+        // the movers' collect is both the action and the next round's
+        // driver state — no per-round checkpoint frames to maintain
+        val upd = hIndexOf(src.select(col("u"), lookup(col("v")).as("cv")))
+          .withColumn("pv", lookup(col("u")))
+        val moved = upd.where(col("cv") =!= col("pv"))
+          .select(col("u").cast("long"), col("cv")).as[(Long, Long)].collect()
+        lastMoved = moved.length
+        done = lastMoved == 0L
+        if (collectStats) frontierSizes += lastMoved
+        if (lastMoved > 0) {
+          changedKeys = moved.map(_._1)
+          moved.foreach { case (k, v) => overlayAcc.update(k, v) }
+          if (overlayAcc.size.toLong * 8 > nVerts) {
+            // fold the outgrown overlay into a new base generation (the
+            // dense-era shape: most rounds fold; V primitive inserts)
+            val oldB = bcBase
+            bcBase = sc.broadcast(LongLongMap.build(
+              bcBase.value.pairs ++ overlayAcc.iterator, nVerts.toInt))
+            oldB.destroy()
+            overlayAcc.clear()
+          }
+          val oldO = bcOverlay
+          bcOverlay = sc.broadcast(LongLongMap.build(overlayAcc.iterator, overlayAcc.size))
+          oldO.destroy()
+        }
+        if (sys.props.contains("graft.coreness.debug"))
+          println(s"[coreness] round $r mode=${if (frontierMode) "frontier" else "dense"} " +
+            s"moved=$lastMoved overlay=${overlayAcc.size} " +
+            s"elapsed=${(System.nanoTime() - tRound) / 1e9}")
+      }
+      // final values: one exchange-free distinct over the cached
+      // adjacency (every vertex appears as u in the doubled list) probed
+      // with the final map state — never a V-row driver parallelize
+      c = und.select(col("u")).dropDuplicates("u")
+        .select(col("u"), lookup(col("u")).as("cv"))
+        .localCheckpoint(true)
+      und.unpersist(false)
+      bcBase.destroy(); bcOverlay.destroy()
+      val spark = spark0
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val extraSchema = StructType(Seq(
+        StructField("vid", LongType, nullable = false),
+        StructField("coreness", LongType, nullable = false)))
+      val extras = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+      if (lastMoved > 0L) // ran out of budget while still moving
+        extras += org.apache.spark.sql.Row(-1L, lastMoved)
+      if (toFixpoint && r > rounds)
+        extras += org.apache.spark.sql.Row(-2L, (r - rounds).toLong)
+      val base = c.select(col("u").as("vid"), col("cv").as("coreness"))
+      val out =
+        if (extras.isEmpty) base
+        else base.unionAll(spark.createDataFrame(
+          spark.sparkContext.parallelize(extras.toSeq, 1), extraSchema))
+      return (out, frontierSizes.toSeq)
+    }
     // the round's ONE V-row broadcast, REUSED by both value joins: the
     // neighbor-value join keys the build side on its first column and so
     // does the old-value join, and both build children canonicalize to
@@ -1983,7 +2136,7 @@ object GraphAnalytics {
     val regConfParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val baseParts = math.max(1, math.min(regConfParts, (regRows / 500000L).toInt + 1))
     regs = regs.coalesce(baseParts).localCheckpoint(false)
-    val useBroadcast = nVerts <= MaxBroadcastVertices
+    val useBroadcast = nVerts <= maxBroadcastVerticesDyn
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     // round 0: every ball is brand new — the whole vertex set is the frontier

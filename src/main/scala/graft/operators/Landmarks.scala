@@ -64,7 +64,7 @@ object Landmarks {
       .persist(MEMORY_AND_DISK)
     val verts = und.select(col("u").as("vid")).distinct().localCheckpoint(true)
     val useBroadcast =
-      verts.count() * nLandmarks <= GraphAnalytics.MaxBroadcastVertices
+      verts.count() * nLandmarks <= GraphAnalytics.maxBroadcastVerticesDyn
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     val landmarks = verts

@@ -368,7 +368,7 @@ object AnalyticsQueries {
       // data); the explicit hint holds to 50M vertices. Its row count IS
       // the vertex count, so it doubles as the guard.
       val deg = if (degBase.count()
-          <= GraphAnalytics.MaxBroadcastVertices) broadcast(degBase) else degBase
+          <= GraphAnalytics.maxBroadcastVerticesDyn) broadcast(degBase) else degBase
       val pairs = canon
         .join(deg.select(col("u").as("__a"), col("d").as("dx")), col("u") === col("__a"))
         .join(deg.select(col("u").as("__b"), col("d").as("dy")), col("v") === col("__b"))

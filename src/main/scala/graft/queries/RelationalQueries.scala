@@ -539,7 +539,7 @@ object RelationalQueries {
     // auto-broadcast with the part count and would flip the rule join
     // to a two-sided shuffle at scale)
     val itemCntBase = sized.groupBy("item").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
-    val itemCnt = if (itemCntBase.count() <= graft.operators.GraphAnalytics.MaxBroadcastVertices)
+    val itemCnt = if (itemCntBase.count() <= graft.operators.GraphAnalytics.maxBroadcastVerticesDyn)
       broadcast(itemCntBase) else itemCntBase
     val pairs = sized.as("a").join(sized.as("b"),
         col("a.oid") === col("b.oid") && col("a.item") =!= col("b.item"))

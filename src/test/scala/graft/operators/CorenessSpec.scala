@@ -86,6 +86,27 @@ class CorenessSpec extends SparkTestBase {
     assert(got == c, "frontier result diverged from dense recompute")
   }
 
+  test("map-mode and legacy join-mode agree (string vids route to the legacy loop)") {
+    // integral vids under the broadcast guard take the broadcast-map
+    // round loop (no per-round V-row broadcast build); any other vid
+    // type falls back to the type-generic join loop. Same graph run
+    // both ways must agree value-for-value, including frontier sizes —
+    // string-mapping the vids is exactly the legacy-path switch.
+    var s = 777L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) >>> 1; s }
+    val edges = (1 to 200).map(_ => (next() % 80, next() % 80)).filter(e => e._1 != e._2)
+    val (mapDf, mapSizes) =
+      GraphAnalytics.corenessWithStats(edges.toDF("src", "dst"), rounds = 12)
+    val strEdges = edges.map { case (a, b) => (s"v$a", s"v$b") }
+    val (legDf, legSizes) =
+      GraphAnalytics.corenessWithStats(strEdges.toDF("src", "dst"), rounds = 12)
+    val got = mapDf.as[(Long, Long)].collect().toMap
+    val leg = legDf.as[(String, Long)].collect()
+      .map { case (v, c) => (v.stripPrefix("v").toLong, c) }.toMap
+    assert(got == leg, "map-mode diverged from the legacy join loop")
+    assert(mapSizes == legSizes, s"frontier traces diverged: $mapSizes vs $legSizes")
+  }
+
   test("sentinel row appears when rounds are too few on a slow chain") {
     // a 14-vertex path: degree-2 interior needs ~half the path length of
     // rounds to drain to coreness 1 from both ends

@@ -117,6 +117,18 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(Sketches.MpMaxBroadcastStatRows == base * 2 / 5)
   }
 
+  test("maxBroadcastVerticesDyn: min of the 8GiB-cap ceiling and one executor heap/900") {
+    // the V-row broadcast guards compare against this, not the static
+    // cap. heap/900 is calibrated to the sf10 probe on a 17 GB heap:
+    // single-family 2-col broadcasts measured green at 18.6M vertices
+    // (17e9/900 ≈ 18.9M keeps them), while weighted pagerank's TWO-family
+    // shape (which crashed there) width-scales this by 4 → shuffle joins;
+    // a production 64 GB executor re-binds at the static 50M cap
+    val dyn = GraphAnalytics.maxBroadcastVerticesDyn
+    val heap = Runtime.getRuntime.maxMemory // local mode: driver == executor
+    assert(dyn == math.min(GraphAnalytics.MaxBroadcastVertices, heap / 900))
+  }
+
   test("label propagation: barbell graph splits one component into two communities") {
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10: connected
     // components would merge everything into one; LPA keeps two dense
