@@ -1742,7 +1742,10 @@ object GraphAnalytics {
     // vertices (16g → ~12.5M: sf1's 1.9M rides the map loop, sf10's
     // 18.6M falls back to the join loop, whose sf10 probe is green)
     val mapModeMaxVerts = perExecutorHeapBytes(spark0) / 64 * 5 / 100
-    if (useBroadcast && integralVids && nVerts <= mapModeMaxVerts) {
+    // -Dgraft.coreness.noMapMode forces the legacy join loop — the
+    // same-container A/B switch for the probe traces
+    if (useBroadcast && integralVids && nVerts <= mapModeMaxVerts &&
+        !sys.props.contains("graft.coreness.noMapMode")) {
       import graft.functions.{BroadcastLongMapLookup, LongLongMap}
       import spark0.implicits._
       val sc = spark0.sparkContext

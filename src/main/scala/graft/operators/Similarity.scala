@@ -664,7 +664,22 @@ object Similarity {
       .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
     val va = reps.select(col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a"))
     val vb = reps.select(col("id").as("id_b"), col("vec").as("v_b"), col("nrm").as("n_b"))
-    val repPairs = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+    // EXPLICIT guarded broadcast of the vector sides (width-scaled for
+    // dim+2-column rows): the checkpointed reps advertise no stats, so
+    // the planner sort-merges these joins and every CANDIDATE row then
+    // drags two dim-float vectors through an exchange — on a 30-way
+    // near-dup corpus (sf3 probe) that was 6M candidates × ~540 B =
+    // 6.76 GB shuffle and an 1096 s wall for a corpus whose rep table is
+    // 31 MB. Broadcast means candidate pairs cross the wire as bare
+    // (id_a, id_b) and vectors attach map-side — the shuffles-carry-ids-
+    // never-payloads staging rule. Past the guard (corpus reps outgrow
+    // one executor's heap share) the shuffle shape returns, which is the
+    // correct degradation.
+    val nReps = reps.count() // cache-scan count: reps is checkpointed
+    val repBroadcastable = nReps <=
+      GraphAnalytics.maxBroadcastRows(GraphAnalytics.maxBroadcastVerticesDyn, dim + 2)
+    def vecSide(df: DataFrame): DataFrame = if (repBroadcastable) broadcast(df) else df
+    val repPairs = cand.join(vecSide(va), Seq("id_a")).join(vecSide(vb), Seq("id_b"))
       .withColumn("cosine_sim",
         when(col("n_a") * col("n_b") === 0.0, lit(0.0))
           .otherwise(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
@@ -675,9 +690,19 @@ object Similarity {
     // two groups (disjoint groups ⇒ no duplicates after least/greatest
     // normalization); a group of g identical vectors stands for its own
     // g·(g−1)/2 internal pairs
+    // broadcast the 2-column member maps under the narrow-row guard:
+    // checkpointed members also advertise no stats, so these expansion
+    // joins sort-merged — and the SECOND one exchanged the already-
+    // EXPANDED pair stream (sf3 probe: a 5.5M-pair output crossed the
+    // wire at 2.05 GB in one 57 s stage). Broadcast makes the whole
+    // expansion map-side: the output pairs never shuffle at all.
+    val nMembers = members.count() // cache-scan count
+    val memBroadcastable = nMembers <=
+      GraphAnalytics.maxBroadcastRows(GraphAnalytics.maxBroadcastVerticesDyn, 2)
+    def memSide(df: DataFrame): DataFrame = if (memBroadcastable) broadcast(df) else df
     val ma = members.select(col("rep").as("id_a"), col("id").as("__ma"))
     val mb = members.select(col("rep").as("id_b"), col("id").as("__mb"))
-    val cross = repPairs.join(ma, Seq("id_a")).join(mb, Seq("id_b"))
+    val cross = repPairs.join(memSide(ma), Seq("id_a")).join(memSide(mb), Seq("id_b"))
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine_sim"))
     val selfCos = when(col("nrm") * col("nrm") === 0.0, lit(0.0))
@@ -689,7 +714,7 @@ object Similarity {
       .select(col("__grp"), col("cosine_sim"))
     val wa = members.select(col("rep").as("__grp"), col("id").as("__wa"))
     val wb = members.select(col("rep").as("__grp"), col("id").as("__wb"))
-    val within = dupReps.join(wa, Seq("__grp")).join(wb, Seq("__grp"))
+    val within = dupReps.join(memSide(wa), Seq("__grp")).join(memSide(wb), Seq("__grp"))
       .where(col("__wa") < col("__wb"))
       .select(col("__wa").as("id_a"), col("__wb").as("id_b"), col("cosine_sim"))
     cross.unionAll(within)
