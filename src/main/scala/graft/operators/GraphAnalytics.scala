@@ -551,6 +551,158 @@ object GraphAnalytics {
     labels
   }
 
+  /** Synchronous modularity-optimizing community detection — the local
+    * move phase of Louvain (Blondel et al. 2008, J. Stat. Mech. P10008)
+    * run as fixed synchronous rounds, in an INTEGER-EXACT gain algebra
+    * so the whole loop replays as chained CTEs in the DuckDB oracle
+    * (the [[labelPropagationDF]]/[[pageRankQuantizedDF]] technique).
+    *
+    * Per round every vertex u considers its neighbors' communities plus
+    * its own; placing u in C changes modularity by
+    * `ΔQ ∝ w(u→C)/m − k_u·vol'(C)/(2m²)` where `w(u→C)` counts u's edges
+    * into C, `k_u` is u's degree, and `vol'(C)` is C's total degree with
+    * u's own contribution removed when C is u's current community (the
+    * standard Louvain bookkeeping). Scaling by the positive constant
+    * 2m² makes the comparison integral: `gain(C) = 2m·w(u→C) −
+    * k_u·vol'(C)` — every term a product of exact counts, accumulated in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) so no SF can overflow it. u's
+    * current community is always a candidate (with w = 0 when no
+    * neighbor shares it) and WINS ties — a vertex moves only on a
+    * strictly positive relative gain (Louvain's move rule); ties among
+    * strictly-better candidates go to the smallest community id.
+    *
+    * Two deterministic defenses replace Louvain's sequential sweep
+    * (which is order-dependent, so neither distributed nor replayable):
+    * stay-on-tie above, and PARITY-ALTERNATING rounds — round i lets
+    * only vertices with `pmod(vid, 2) = i % 2` move. Fully synchronous
+    * updates would let adjacent vertex pairs swap communities forever
+    * (the classic bipartite oscillation, reproduced in ModularitySpec's
+    * fixture before this gate existed); alternating update classes is
+    * the standard symmetric-breaking schedule for synchronous local
+    * moves, halves per-round join work, and doubles the effective
+    * round count needed — the default numIter moves each class twice.
+    *
+    * Plan shape per round (the LPA recipe): the undirected adjacency is
+    * staged ONCE by hash(u) and pinned; community volumes are a
+    * community-count-sized aggregate; with state broadcast (the default,
+    * guarded by [[maxBroadcastRows]] at 3 columns) the neighbor-label
+    * join, the candidate fold and the gain argmax all ride the pinned
+    * hash(u) layout exchange-free — past the guard the state joins
+    * shuffle V-sized rows per round against the still-pinned adjacency
+    * and map-side partial combine defends the (u, community) wire
+    * against hot vertices. */
+  def modularityCommunitiesDF(edges: DataFrame, numIter: Int = 4,
+      srcCol: String = "src", dstCol: String = "dst",
+      broadcastState: Boolean = true): DataFrame = {
+    require(numIter >= 1, "numIter must be >= 1")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val (eSrc, undParts) = volumeStage(e, 2 * e.count())
+    val und = repartitionSized(
+        eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
+        undParts, col("u"))
+      .dropDuplicates("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2m = Σ k_u = |und| (the doubled distinct list counts each edge
+    // end once); counted from the pinned blocks, and the same count
+    // replays as COUNT(*) over the oracle's und CTE.
+    val twoM = und.count()
+    // loop-invariant degrees ride hash(u) — no exchange; state rows are
+    // (vid, community, k) so the per-round argmax can re-emit k without
+    // a second degree join.
+    val deg = und.groupBy(col("u").as("vid")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val useBroadcast = broadcastState &&
+      deg.count() <= maxBroadcastRows(maxBroadcastVerticesDyn, 3)
+    var state = deg.select(col("vid"), col("vid").as("community"), col("k"))
+    (1 to numIter).foreach { i =>
+      val st = if (useBroadcast) broadcast(state) else state
+      // community volumes: ≤V rows, usually far fewer as communities
+      // coarsen; DECIMAL accumulation (2m can exceed BIGINT×deg bounds
+      // at extreme scale, and DuckDB sums BIGINT into HUGEINT anyway).
+      val volBase = state.groupBy(col("community"))
+        .agg(sum(col("k").cast("decimal(38,0)")).as("vol"))
+      val vol = if (useBroadcast) broadcast(volBase) else volBase
+      // w(u→C): edges from the round's ACTIVE parity class into each
+      // neighboring community; grouping keys ⊇ {u} so the aggregation
+      // rides hash(u) in the broadcast path. The union row (u, cur, 0)
+      // keeps the current community a candidate even when no neighbor
+      // shares it.
+      val par = i % 2
+      val wuc = und.where(pmod(col("u"), lit(2)) === lit(par))
+        .join(st.select(col("vid").as("__v"), col("community")),
+          col("v") === col("__v"))
+        .select(col("u"), col("community"), lit(1L).as("wn"))
+        .unionAll(state.where(pmod(col("vid"), lit(2)) === lit(par))
+          .select(col("vid").as("u"), col("community"), lit(0L).as("wn")))
+        .groupBy(col("u"), col("community")).agg(sum(col("wn")).as("w"))
+      // argmax (gain, prefer-current-on-tie, then smallest community);
+      // the inactive parity class carries over unchanged.
+      val moved = wuc
+        .join(st.select(col("vid").as("__u"), col("community").as("cur"),
+          col("k")), col("u") === col("__u"))
+        .join(vol, Seq("community"))
+        .select(col("u"), col("community"), col("k"),
+          (lit(twoM).cast("decimal(38,0)") * col("w") -
+            col("k").cast("decimal(38,0)") *
+              (col("vol") - when(col("community") === col("cur"), col("k"))
+                .otherwise(lit(0L)))).as("gain"),
+          when(col("community") === col("cur"), 1L).otherwise(0L).as("is_cur"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("gain"), col("is_cur"),
+          (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
+        .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
+      val next = moved.unionAll(
+        state.where(pmod(col("vid"), lit(2)) =!= lit(par)))
+      state = if (i % 2 == 0 || i == numIter) next.localCheckpoint(true) else next
+    }
+    und.unpersist(blocking = false)
+    state.select(col("vid"), col("community"))
+  }
+
+  /** Global modularity Q of a (vid, community) assignment over `edges` —
+    * the quality statistic the local moves above optimize:
+    * `Q = Σ_C [in(C)/(2m) − (vol(C)/(2m))²]` with in(C) counting edge
+    * ENDS inside C (the doubled-list convention, so a fully-internal
+    * community of 3 edges contributes in = 6). Both sums are exact
+    * DECIMAL folds of integers; the returned double is
+    * `round(q_num/q_den, 6)` — two correctly-rounded integer→double
+    * casts and one IEEE division on identical exact inputs in either
+    * engine (the assortativity technique, AnalyticsQueries.scala). */
+  def modularityScore(edges: DataFrame, labels: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      vidCol: String = "vid", communityCol: String = "community"): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .dropDuplicates("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lblBase = labels.select(col(vidCol).as("vid"), col(communityCol).as("c"))
+      .localCheckpoint(true)
+    val lbl = if (lblBase.count() <= maxBroadcastVerticesDyn) broadcast(lblBase)
+      else lblBase
+    val ends = und
+      .join(lbl.select(col("vid").as("__a"), col("c").as("cu")), col("u") === col("__a"))
+      .join(lbl.select(col("vid").as("__b"), col("c").as("cv")), col("v") === col("__b"))
+      .select(col("u"), col("cu"), col("cv"))
+    // per-community (vol, in): vol counts u's edge ends, in the subset
+    // landing inside u's own community — one pass over the doubled list.
+    val perC = ends.groupBy(col("cu"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("vol"),
+        sum(when(col("cu") === col("cv"), 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("in_c"))
+    val sums = perC.agg(count(lit(1)).as("n_communities"),
+      sum(col("vol")).as("two_m"),
+      sum(col("in_c")).as("in_sum"),
+      sum(col("vol") * col("vol")).as("vol_sq"))
+    und.unpersist(blocking = false)
+    // q_num = 2m·Σin − Σvol²; q_den = (2m)² — exact decimals until the
+    // final two casts + one division + round.
+    sums.select(col("n_communities"),
+      round((col("two_m") * col("in_sum") - col("vol_sq")).cast("double") /
+        (col("two_m") * col("two_m")).cast("double"), 6).as("modularity"))
+  }
+
   /** PageRank in FIXED-POINT integer arithmetic — identical join-agg loop
     * to [[pageRankDF]], but ranks live in micro-units (rank × 10⁶) as
     * BIGINT, contributions use integral division, and damping is the

@@ -404,6 +404,87 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every RAW document by how much more likely its
+    * hashed n-gram bag is under a TARGET corpus's bag-of-words model
+    * than under the raw corpus's own, then resample ∝ weight by
+    * Gumbel-top-k. The published recipe, distributed:
+    *
+    *   - features = unigrams ∪ bigrams, hashed into `buckets` buckets
+    *     (the [[featureHash]] trick — no vocabulary pass, no driver
+    *     dictionary; the portable md5 keeps buckets engine-identical);
+    *   - two bucket-count models with add-one smoothing:
+    *     p̂(b) = (n_b + 1)/(T + B) for target and raw;
+    *   - per-bucket log-ratio L_b = round(ln p̂_t(b) − ln p̂_r(b), 6) as
+    *     DECIMAL(18,6) — the unigramLogprob lesson: quantize each term
+    *     once, then every downstream sum is exact and order-independent;
+    *   - log weight(d) = Σ_b count_d(b) · L_b (exact decimal);
+    *   - Gumbel-top-k: key = logw + round(−ln(−ln u), 6) with u the
+    *     derandomized md5 uniform of (seed, id) ([[weightedSample]]'s
+    *     trick — clamped one dyadic step below 1.0 so −ln(−ln u) cannot
+    *     overflow), which samples WITHOUT replacement with
+    *     P(i first) = softmax(logw) — the Gumbel-max theorem — while
+    *     replaying bit-for-bit in SQL.
+    *
+    * Scale shape: shuffles carry (doc_id, bucket) pairs — never text;
+    * both models are B-row aggregates broadcast back; the top-k is a
+    * TakeOrderedAndProject (per-partition heaps + merge, no global
+    * sort). `target` is typically a small exemplar set (the
+    * distribution you want more of) and may be a filtered view of
+    * `raw` — each side tokenizes its own input once. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096, topK: Int = 100,
+      seed: Long = 17L): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, "buckets must be in [2, 65536]")
+    def feats(df: DataFrame): DataFrame = {
+      val toks = split(trim(lower(col(textCol))), "\\s+")
+      df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+        .select(col("doc_id"), explode(concat(col("__toks"),
+          transform(
+            slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+            (t, i) => concat(t, lit(" "), get(col("__toks"), i + 1))))).as("f"))
+        .where(col("f") =!= "")
+        .select(col("doc_id"), (Dedup.md5Long(col("f")) % buckets).as("bucket"))
+    }
+    val spark = raw.sparkSession
+    // (doc_id, bucket) pairs feed the raw model AND the per-doc scores —
+    // pinned so tokenize+hash runs once
+    val rawF = feats(raw).localCheckpoint(true)
+    val rawModel = rawF.groupBy(col("bucket")).agg(count(lit(1)).as("nr"))
+    val tgtModel = feats(target).groupBy(col("bucket")).agg(count(lit(1)).as("nt"))
+    val ratios = spark.range(buckets).select(col("id").as("bucket"))
+      .join(rawModel, Seq("bucket"), "left")
+      .join(tgtModel, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawModel.agg(sum(col("nr")).as("tr"))))
+      .crossJoin(broadcast(tgtModel.agg(sum(col("nt")).as("tt"))))
+      .select(col("bucket"),
+        round(log((coalesce(col("nt"), lit(0L)) + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+          log((coalesce(col("nr"), lit(0L)) + 1).cast("double") /
+            (col("tr") + buckets).cast("double")), 6)
+          .cast("decimal(18,6)").as("lb"))
+    val scored = rawF.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lb")).as("logw"))
+    val h = Dedup.md5Long(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    // u ∈ (0, 1): the +1 avoids ln(0) below; the clamp one dyadic step
+    // under 1.0 (exact in both engines — a power-of-two subtraction)
+    // avoids −ln(0) above, where the long→double rounding of h+1 can
+    // land exactly on 2^60
+    val u = least((h + lit(1L)).cast("double") / lit(math.pow(2.0, 60)),
+      lit(1.0 - math.pow(2.0, -40)))
+    val keyed = scored.withColumn("sample_key",
+      (col("logw") + round(-log(-log(u)), 6).cast("decimal(18,6)"))
+        .cast("double") + lit(0.0))
+    val w = Window.orderBy(col("sample_key").desc, col("doc_id"))
+    keyed.orderBy(col("sample_key").desc, col("doc_id")).limit(topK)
+      .select(col("doc_id"), col("n_feats"),
+        col("logw").cast("double").as("log_weight"), col("sample_key"),
+        row_number().over(w).cast("long").as("rank"))
+  }
+
   def temperatureSample(df: DataFrame, idCol: String, langCol: String,
       alpha: Double = 0.3): DataFrame = {
     val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("n_in"))

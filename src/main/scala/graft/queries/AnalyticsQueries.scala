@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.TpchGraph
-import graft.operators.{DataFramePregel, GraphAnalytics}
+import graft.operators.{Betweenness, DataFramePregel, GraphAnalytics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,59 @@ object AnalyticsQueries {
   }
 
   private val LpaRounds = 5
+
+  /** Modularity-optimizing community detection (synchronous Louvain
+    * local moves, 4 rounds) over the unified graph. Where LPA adopts the
+    * most FREQUENT neighbor community, this weighs each candidate by the
+    * exact integer modularity gain `2m·w(u→C) − k_u·vol'(C)` — so small
+    * tight groups resist absorption by high-volume communities. Fully
+    * integer → the oracle replays the rounds as chained CTEs (HUGEINT =
+    * the operator's DECIMAL(38,0)). */
+  def modularityCommunities(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    GraphAnalytics.decode(
+      GraphAnalytics.modularityCommunitiesDF(edges, numIter = ModRounds),
+      "vid", labels)
+      .select(col("label"), col("node_id"), col("community"))
+  }
+
+  private val ModRounds = 4
+  private val ModScoreRounds = 3
+
+  /** Global modularity Q of the communities the local moves find on the
+    * part co-occurrence graph (the one with real community structure —
+    * the unified graph is multipartite). Exact DECIMAL sums down to one
+    * final correctly-rounded division (the assortativity technique), so
+    * even this global statistic hash-checks. */
+  def modularityScore(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(s, dir, "lineitem")
+    // pinned once: both the community rounds and the scoring pass
+    // consume the projection, and its lineage (window + self-join)
+    // should not execute twice
+    val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .localCheckpoint(true)
+    val comm = GraphAnalytics.modularityCommunitiesDF(edges,
+      numIter = ModScoreRounds, srcCol = "item_a", dstCol = "item_b")
+    GraphAnalytics.modularityScore(edges, comm,
+      srcCol = "item_a", dstCol = "item_b")
+  }
+
+  /** Pivot-sampled bounded-horizon betweenness centrality (Brandes 2001
+    * accumulation; Brandes & Pich 2007 pivots; Brandes 2008 bounded
+    * distance) over the unified graph: 4 md5-selected pivots, 6-hop
+    * horizon, δ in micro-units with exact integral division — the whole
+    * forward-σ/reverse-δ computation replays as chained CTEs. */
+  def betweenness(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    GraphAnalytics.decode(
+      Betweenness.pivotBetweenness(edges, nPivots = BcPivots,
+        horizon = BcHorizon, seed = BcSeed), "vid", labels)
+      .select(col("label"), col("node_id"), col("betweenness"))
+  }
+
+  private val BcPivots = 4
+  private val BcHorizon = 6
+  private val BcSeed = 11L
 
   def degreeDistribution(s: SparkSession, dir: String): DataFrame =
     GraphAnalytics.degreeDistribution(TpchGraph.load(s, dir))
@@ -1193,7 +1246,10 @@ object AnalyticsQueries {
     "g_link_features" -> (linkFeatures _),
     "g_ppr" -> (ppr _),
     "g_skew_pagerank" -> (skewPagerank _),
-    "g_skew_cc" -> (skewCc _))
+    "g_skew_cc" -> (skewCc _),
+    "g_modularity" -> (modularityCommunities _),
+    "g_modularity_score" -> (modularityScore _),
+    "g_betweenness" -> (betweenness _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
@@ -1240,6 +1296,129 @@ object AnalyticsQueries {
               |FROM l$rounds""".stripMargin
     sb.toString
   }
+
+  /** Modularity round replay: appends `m2`/`s0` and per-round
+    * `v`/`a`/`g`/`s` CTEs on top of an `und` CTE already in scope
+    * (symmetric distinct doubled edges, u <> v) — mirroring
+    * [[GraphAnalytics.modularityCommunitiesDF]]'s integer gain algebra
+    * term for term; DuckDB's HUGEINT plays the operator's
+    * DECIMAL(38,0). */
+  private def modularityRoundCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """m2 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM und),
+             |s0 AS (SELECT u AS vid, u AS community, COUNT(*) AS k FROM und GROUP BY 1, 2)""".stripMargin
+    (1 to rounds).foreach { i =>
+      val par = i % 2
+      sb ++= s""",
+                |v$i AS (SELECT community, SUM(k) AS vol FROM s${i - 1} GROUP BY 1),
+                |a$i AS (SELECT u, community, SUM(w) AS w FROM (
+                |  SELECT und.u AS u, s.community AS community, 1 AS w
+                |  FROM und JOIN s${i - 1} s ON und.v = s.vid WHERE und.u % 2 = $par
+                |  UNION ALL SELECT vid AS u, community, 0 AS w FROM s${i - 1}
+                |  WHERE vid % 2 = $par) GROUP BY 1, 2),
+                |g$i AS (SELECT a.u AS u, a.community AS community, s.k AS k,
+                |    m2.m2 * a.w - CAST(s.k AS HUGEINT) *
+                |      (v.vol - CASE WHEN a.community = s.community THEN s.k ELSE 0 END) AS gain,
+                |    CASE WHEN a.community = s.community THEN 1 ELSE 0 END AS is_cur
+                |  FROM a$i a JOIN s${i - 1} s ON a.u = s.vid
+                |  JOIN v$i v ON v.community = a.community CROSS JOIN m2),
+                |s$i AS (SELECT vid, community, k FROM (
+                |    SELECT u AS vid, community, k,
+                |      row_number() OVER (PARTITION BY u
+                |        ORDER BY gain DESC, is_cur DESC, community ASC) AS rn
+                |    FROM g$i) WHERE rn = 1
+                |  UNION ALL SELECT vid, community, k FROM s${i - 1} WHERE vid % 2 <> $par)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Betweenness oracle: replay the forward σ levels (labeled BFS with
+    * HUGEINT path counts, NOT EXISTS = the operator's anti-join) and the
+    * reverse δ accumulation (`//` = Spark's `div` — both truncate), then
+    * the per-vertex dependency sum over levels 1..horizon; one
+    * correctly-rounded /1e6 at the end. */
+  private def betweennessOracleSql(nPivots: Int, horizon: Int, seed: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+              |$UnifiedEdgesSql
+              |), und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+              |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+              |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+              |verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und),
+              |pv AS MATERIALIZED (SELECT vid AS pvt FROM (
+              |  SELECT vid, ('0x' || substring(md5('$seed:' || CAST(vid AS VARCHAR)), 1, 15))::BIGINT AS p
+              |  FROM verts) ORDER BY p, vid LIMIT $nPivots),
+              |l0 AS (SELECT pvt AS vid, pvt, CAST(1 AS HUGEINT) AS sigma FROM pv),
+              |r0 AS (SELECT vid, pvt FROM l0)""".stripMargin
+    (1 to horizon).foreach { i =>
+      sb ++= s""",
+                |l$i AS MATERIALIZED (SELECT vid, pvt, sigma FROM (
+                |  SELECT und.v AS vid, l.pvt AS pvt, SUM(l.sigma) AS sigma
+                |  FROM und JOIN l${i - 1} l ON und.u = l.vid GROUP BY 1, 2) m
+                |  WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} r
+                |    WHERE r.vid = m.vid AND r.pvt = m.pvt)),
+                |r$i AS (SELECT vid, pvt FROM r${i - 1}
+                |  UNION ALL SELECT vid, pvt FROM l$i)""".stripMargin
+    }
+    sb ++= s""",
+              |d$horizon AS (SELECT vid, pvt, CAST(0 AS HUGEINT) AS delta FROM l$horizon)""".stripMargin
+    (horizon to 1 by -1).foreach { i =>
+      sb ++= s""",
+                |c$i AS (SELECT lp.vid AS vid, lp.pvt AS pvt,
+                |    SUM(lp.sigma * (1000000 + d.delta) // lw.sigma) AS dsum
+                |  FROM und JOIN l$i lw ON und.v = lw.vid
+                |  JOIN d$i d ON d.vid = lw.vid AND d.pvt = lw.pvt
+                |  JOIN l${i - 1} lp ON lp.vid = und.u AND lp.pvt = lw.pvt
+                |  GROUP BY 1, 2),
+                |d${i - 1} AS (SELECT l.vid, l.pvt, COALESCE(c.dsum, CAST(0 AS HUGEINT)) AS delta
+                |  FROM l${i - 1} l LEFT JOIN c$i c ON c.vid = l.vid AND c.pvt = l.pvt)""".stripMargin
+    }
+    sb ++= s""",
+              |alld AS (${(1 to horizon).map(i => s"SELECT vid, delta FROM d$i").mkString("\n  UNION ALL ")}),
+              |bc AS (SELECT vid, SUM(delta) AS bcm FROM alld GROUP BY 1)
+              |SELECT CASE v.vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  v.vid % 17592186044416 AS node_id,
+              |  CAST(COALESCE(bc.bcm, 0) AS DOUBLE) / 1000000.0 AS betweenness
+              |FROM verts v LEFT JOIN bc ON bc.vid = v.vid""".stripMargin
+    sb.toString
+  }
+
+  private def modularityOracleSql(rounds: Int): String =
+    s"""WITH e AS (
+       |$UnifiedEdgesSql
+       |), und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+       |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+       |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+       |${modularityRoundCtes(rounds)}
+       |SELECT CASE vid // 17592186044416
+       |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+       |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+       |  vid % 17592186044416 AS node_id, community
+       |FROM s$rounds""".stripMargin
+
+  /** Score oracle: the same rounds over the co-occurrence graph, then
+    * Q = (2m·Σin − Σvol²)/(2m)² with exact HUGEINT sums and the final
+    * two casts + one IEEE division + round(…, 6) — the identical op
+    * sequence Spark executes on its DECIMAL sums. */
+  private def modularityScoreOracleSql(rounds: Int): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+       |sized AS (SELECT g, item FROM (
+       |  SELECT g, item, count(*) OVER (PARTITION BY g) AS n FROM li) WHERE n <= 10),
+       |co AS (SELECT DISTINCT a.item AS u, b.item AS v
+       |  FROM sized a JOIN sized b ON a.g = b.g AND a.item < b.item),
+       |und AS MATERIALIZED (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co),
+       |${modularityRoundCtes(rounds)},
+       |ends AS (SELECT la.community AS cu, lb.community AS cv FROM und
+       |  JOIN s$rounds la ON und.u = la.vid JOIN s$rounds lb ON und.v = lb.vid),
+       |perc AS (SELECT cu, CAST(COUNT(*) AS HUGEINT) AS vol,
+       |  CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS HUGEINT) AS in_c
+       |  FROM ends GROUP BY 1)
+       |SELECT COUNT(*) AS n_communities,
+       |  round(CAST(SUM(vol) * SUM(in_c) - SUM(vol * vol) AS DOUBLE)
+       |    / CAST(SUM(vol) * SUM(vol) AS DOUBLE), 6) AS modularity
+       |FROM perc""".stripMargin
 
   /** PageRank oracle: replay the fixed-point rounds. All arithmetic is
     * BIGINT (micro-units, integral division), so every intermediate is
@@ -1809,6 +1988,9 @@ object AnalyticsQueries {
         |WHERE EXISTS (SELECT u, v FROM s16 EXCEPT SELECT u, v FROM s15)""".stripMargin),
     "g_connected_components" -> ccOracleSql(16),
     "g_label_propagation" -> lpaOracleSql(LpaRounds),
+    "g_modularity" -> modularityOracleSql(ModRounds),
+    "g_modularity_score" -> modularityScoreOracleSql(ModScoreRounds),
+    "g_betweenness" -> betweennessOracleSql(BcPivots, BcHorizon, BcSeed),
     "g_bfs_distances" -> bfsOracleSql(BfsHops),
     "g_kcore" -> kcoreOracleSql(KCoreK, KCoreRounds),
     "g_triangles" ->

@@ -314,6 +314,19 @@ object TextQueries {
   def temperatureSample(s: SparkSession, dir: String): DataFrame =
     TA.temperatureSample(Tables(s, dir, "documents"), "doc_id", "lang")
 
+  /** DSIR importance resampling: select raw documents whose hashed-ngram
+    * distribution most resembles the English subset (the target
+    * exemplar), Gumbel-top-100. */
+  def dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    TA.dsirSelect(docs, docs.where(col("lang") === "en"), "doc_id", "text",
+      buckets = DsirBuckets, topK = DsirTopK, seed = DsirSeed)
+  }
+
+  private val DsirBuckets = 64
+  private val DsirTopK = 100
+  private val DsirSeed = 17L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tfidf" -> (tfidf _),
     "tx_bm25" -> (bm25 _),
@@ -325,6 +338,7 @@ object TextQueries {
     "tx_bigram_logprob" -> (bigramLogprob _),
     "tx_char_entropy" -> (charEntropy _),
     "tx_temperature_sample" -> (temperatureSample _),
+    "tx_dsir" -> (dsir _),
     "tx_repetition" -> (repetition _),
     "tx_pii_redact" -> (piiRedact _),
     "tx_split" -> (split _),
@@ -577,7 +591,57 @@ object TextQueries {
        |FROM t5 LEFT JOIN s ON s.lang = t5.lang""".stripMargin
   }
 
+  /** DSIR oracle: the hashed unigram∪bigram featurization, both add-one
+    * smoothed bucket models, the quantized log-ratio table over
+    * range(B), the exact decimal per-doc weight sum, and the Gumbel key
+    * — op for op the TextAnalysis.dsirSelect pipeline (`%` on the
+    * nonnegative md5 prefix ≡ Spark's, 1152921504606846976 = 2^60,
+    * pow(2,-40) the exact dyadic clamp). */
+  private val dsirOracle: String = {
+    val b = DsirBuckets
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, unnest(list_concat(t,
+       |    list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS f
+       |  FROM tk),
+       |fb AS MATERIALIZED (
+       |  SELECT doc_id, lang, ('0x' || substring(md5(f), 1, 15))::BIGINT % $b AS bucket
+       |  FROM f WHERE f <> ''),
+       |rawm AS (SELECT bucket, count(*) AS nr FROM fb GROUP BY 1),
+       |tgtm AS (SELECT bucket, count(*) AS nt FROM fb WHERE lang = 'en' GROUP BY 1),
+       |tots AS (SELECT (SELECT count(*) FROM fb) AS tr,
+       |  (SELECT count(*) FROM fb WHERE lang = 'en') AS tt),
+       |lb AS (
+       |  SELECT g.range AS bucket,
+       |    CAST(round(ln(CAST(COALESCE(nt, 0) + 1 AS DOUBLE) / CAST(tt + $b AS DOUBLE))
+       |      - ln(CAST(COALESCE(nr, 0) + 1 AS DOUBLE) / CAST(tr + $b AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS lb
+       |  FROM range($b) g LEFT JOIN rawm ON rawm.bucket = g.range
+       |  LEFT JOIN tgtm ON tgtm.bucket = g.range CROSS JOIN tots),
+       |docf AS (SELECT doc_id, bucket, count(*) AS c FROM fb GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, SUM(c) AS n_feats, SUM(c * lb.lb) AS logw
+       |  FROM docf JOIN lb USING (bucket) GROUP BY 1),
+       |keyed AS (
+       |  SELECT doc_id, n_feats, logw,
+       |    CAST(logw + CAST(round(-ln(-ln(LEAST(
+       |      (('0x' || substring(md5('${DsirSeed}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+       |        / 1152921504606846976.0, 1.0 - pow(2.0, -40)))), 6) AS DECIMAL(18,6))
+       |      AS DOUBLE) + 0.0 AS sample_key
+       |  FROM sc),
+       |ranked AS (
+       |  SELECT doc_id, n_feats, logw, sample_key,
+       |    row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+       |  FROM keyed)
+       |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       |  CAST(logw AS DOUBLE) AS log_weight, sample_key, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $DsirTopK""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "tx_dsir" -> dsirOracle,
     "tx_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, n_chars,

@@ -44,7 +44,7 @@ object PlanAudit {
     "g_butterflies", "g_hits", "g_negative_samples", "q_dq_report",
     "q_hll_distinct", "q_kmv_setops", "q_mp_quantiles", "q_skyline_orders",
     "q_skyline_parts", "tx_bigram_logprob", "tx_bm25", "tx_chunk_bm25",
-    "tx_tfidf", "tx_unigram_logprob")
+    "tx_dsir", "tx_tfidf", "tx_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
