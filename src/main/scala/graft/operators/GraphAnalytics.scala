@@ -786,8 +786,35 @@ object GraphAnalytics {
     // pagerank probe)
     val (e, eRows) = pinTwoPhase(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val verts = e.select(col("src").as("vid"))
-      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
+    // vertex set without the (src ∪ dst) distinct-over-2E exchange (the
+    // pageRankQuantizedDF r12 recipe): the src half is one E-partial
+    // distinct whose count gates the cache builds (|src set| ≤ V, so it
+    // is a sound precondition for the broadcast guard); the dst half
+    // then rides eByDst's own hash(dst) partitioning exchange-free, and
+    // the dst-only remainder comes off a guarded broadcast anti-join —
+    // the two legs are disjoint and internally distinct, no final
+    // distinct at all. Past the gate the old union-distinct stands.
+    val srcSet = e.select(col("src").as("vid")).dropDuplicates("vid")
+      .localCheckpoint(true)
+    val srcFits = srcSet.count() <= maxBroadcastVerticesDyn
+    // persist (NOT localCheckpoint): a checkpointed LogicalRDD forgets
+    // outputPartitioning, and hash(agg key) is the whole point of the
+    // two caches (see the shuffle-shape scaladoc above); level
+    // memory-budgeted by the exact edge count — at 10×-past-design
+    // volume BOTH caches going deserialized-resident is exactly the
+    // storage-pool squeeze the sf10 probe measured, so past the
+    // ceiling they hold serialized disk blocks instead
+    val eBySrcStaged = if (!srcFits) e else e.repartition(col("src"))
+      .persist(pinLevel(edges.sparkSession, eRows))
+    val eByDstStaged = if (!srcFits) e else e.repartition(col("dst"))
+      .persist(pinLevel(edges.sparkSession, eRows))
+    val verts = (if (srcFits)
+        srcSet.unionAll(
+          eByDstStaged.select(col("dst").as("vid")).dropDuplicates("vid")
+            .join(broadcast(srcSet.select(col("vid").as("__sv"))),
+              col("vid") === col("__sv"), "left_anti"))
+      else srcSet.unionAll(e.select(col("dst").as("vid"))).distinct())
+      .localCheckpoint(true)
     val nVerts = verts.count()
     val scale = Micro * nVerts // target L1 mass per score vector
     // broadcast the vertex-sized score tables (same plan trade and
@@ -797,17 +824,15 @@ object GraphAnalytics {
     // (measured 29 s -> seconds at sf0.1)
     val useBroadcast = nVerts <= maxBroadcastVerticesDyn
     def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
-    // persist (NOT localCheckpoint): a checkpointed LogicalRDD forgets
-    // outputPartitioning, and hash(agg key) is the whole point of the
-    // two caches (see the shuffle-shape scaladoc above); level
-    // memory-budgeted by the exact edge count — at 10×-past-design
-    // volume BOTH caches going deserialized-resident is exactly the
-    // storage-pool squeeze the sf10 probe measured, so past the
-    // ceiling they hold serialized disk blocks instead
-    val eBySrc = if (!useBroadcast) e else e.repartition(col("src"))
-      .persist(pinLevel(edges.sparkSession, eRows))
-    val eByDst = if (!useBroadcast) e else e.repartition(col("dst"))
-      .persist(pinLevel(edges.sparkSession, eRows))
+    // narrow band (src set fits the guard, full vertex set does not —
+    // dst-heavy graph): score joins will not broadcast, a sort-merge
+    // join against the pins would re-exchange edges per half-update;
+    // fall back to the bare staging pin like the !srcFits path
+    val (eBySrc, eByDst) = if (srcFits && !useBroadcast) {
+      eBySrcStaged.unpersist(blocking = false)
+      eByDstStaged.unpersist(blocking = false)
+      (e, e)
+    } else (eBySrcStaged, eByDstStaged)
 
     // normalize a raw BIGINT score column back to total mass `scale`:
     // each row's quotient truncates identically in Spark's `div` and
@@ -899,8 +924,22 @@ object GraphAnalytics {
       e.unpersist(blocking = false)
       e.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
-    val verts = e.select(col("src").as("vid"))
-      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
+    // vertex set via wsum's keys (the distinct sources, already
+    // checkpointed) plus a dst-distinct anti-joined against them — the
+    // pageRankQuantizedDF r12 recipe's half-win: e here is hash(src,dst)
+    // partitioned so the dst dedup still pays one E-partial exchange,
+    // but the src half and the final 2E-partial union-distinct are gone.
+    // Gated on wsum fitting its broadcast guard; past it the old
+    // union-distinct stands.
+    val wsumFits = wsum.count() <= maxBroadcastRows(maxBroadcastVerticesDyn, 4)
+    val verts = (if (wsumFits)
+        wsum.select(col("src").as("vid")).unionAll(
+          e.select(col("dst").as("vid")).dropDuplicates("vid")
+            .join(broadcast(wsum.select(col("src").as("__sv"))),
+              col("vid") === col("__sv"), "left_anti"))
+      else e.select(col("src").as("vid"))
+        .unionAll(e.select(col("dst").as("vid"))).distinct())
+      .localCheckpoint(true)
     // guarded broadcasts for every V-proportional side (weight sums,
     // per-round ranks, the final fill): the sf1 bench measured these
     // joins silently flipping from planner auto-broadcast to two-sided
@@ -1091,10 +1130,16 @@ object GraphAnalytics {
     // sequential re-reads instead of per-round recompute, with zero
     // change below the ceiling.
     val (e, eRows) = pinTwoPhase(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val verts = e.select(col("src").as("vid"))
-      .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
-    val useBroadcast = broadcastRanks && verts.count() <= maxBroadcastVerticesDyn
+    // the degree table is loop-invariant and now TRIPLE-consumed (the
+    // edge-cache build join, the vertex-set union below, and the guard
+    // count) — checkpointed so the E-row aggregation runs once
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // the staging decision keys off the DEGREE table fitting the
+    // broadcast guard (its row count = |src vertices| ≤ V, known before
+    // the full vertex set exists) — this breaks the circularity that
+    // kept the r12 verts-exchange residual deferred: the hash(dst) edge
+    // cache can now be built FIRST and the vertex set derived from it.
+    val degFits = broadcastRanks && deg.count() <= maxBroadcastVerticesDyn
     // the degree join is loop-invariant — pay it once, not once per round.
     // EXPLICIT guarded broadcast: deg is V-proportional and slips past
     // the planner's auto-broadcast threshold as data grows (the sf1 bench
@@ -1107,8 +1152,8 @@ object GraphAnalytics {
     // ~1/3 fewer staging bytes for the identical pinned cache.
     // persist (NOT localCheckpoint — hash(dst) must survive for the
     // per-round in-sum aggregations), level memory-budgeted by eRows.
-    val ed =
-      if (useBroadcast)
+    val edStaged =
+      if (degFits)
         e.repartition(col("dst"))
           .join(broadcast(deg), "src")
           .select(col("src"), col("dst"), col("deg"))
@@ -1116,6 +1161,35 @@ object GraphAnalytics {
       else e.join(deg, "src")
         .select(col("src"), col("dst"), col("deg"))
         .localCheckpoint(true, pinLevel(edges.sparkSession, eRows))
+    // vertex set WITHOUT the (src ∪ dst) distinct exchange (the sf10
+    // probe's one super-linear stage: a distinct over 2E rows writes
+    // Σ per-map-task distinct keys — measured 4.2×V partials / 625 MB on
+    // 10× data as replica layouts decay map-side combine). In the
+    // broadcast path all three pieces are exchange-free: deg's keys ARE
+    // the distinct sources; the dst-side dedup rides the edge cache's
+    // own hash(dst) partitioning (alias-preserved); the dst-only
+    // remainder comes off a guarded broadcast anti-join against deg.
+    // The two legs are disjoint and internally distinct — no final
+    // distinct at all. Shuffle fallback keeps the old union-distinct
+    // (without a broadcastable deg there is no cheaper formulation).
+    val verts = (if (degFits)
+        deg.select(col("src").as("vid")).unionAll(
+          edStaged.select(col("dst").as("vid")).dropDuplicates("vid")
+            .join(broadcast(deg), col("vid") === deg("src"), "left_anti"))
+      else e.select(col("src").as("vid"))
+        .unionAll(e.select(col("dst").as("vid"))).distinct())
+      .localCheckpoint(true)
+    val useBroadcast = broadcastRanks && verts.count() <= maxBroadcastVerticesDyn
+    val ed = if (degFits && !useBroadcast) {
+      // narrow band (dst-heavy graph: out-degree table fits the guard,
+      // full vertex set does not): per-round rank joins will NOT
+      // broadcast, and a sort-merge join against the hash(dst) pin
+      // would re-exchange the edge list every round — rebuild the
+      // shuffle-path cache instead and drop the staged one.
+      edStaged.unpersist(blocking = false)
+      e.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+        .localCheckpoint(true, pinLevel(edges.sparkSession, eRows))
+    } else edStaged
 
     // SPARSE loop: ranks are kept only for vertices that RECEIVE edges —
     // any vertex absent from the in-sums has rank exactly resetMicro
@@ -1190,17 +1264,22 @@ object GraphAnalytics {
     // [[pinRowCeiling]] the loop-invariant goes DISK_ONLY instead of
     // being evicted into per-round recompute
     val (e, eRows) = pinTwoPhase(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val verts = e.select(col("src").as("vid"))
-      .unionAll(e.select(col("dst").as("vid"))).distinct()
-    val useBroadcast = broadcastRanks && verts.count() <= maxBroadcastVerticesDyn
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // the broadcast guard here only needs the vertex COUNT (PPR's rank
+    // table is reach-bounded, not verts-anchored) — derived without the
+    // (src ∪ dst) distinct-over-2E exchange via the pageRankQuantizedDF
+    // r12 recipe: deg's row count is the src half; the dst-only half
+    // rides the hash(dst) edge cache plus a guarded broadcast anti-join.
+    // degFits (|deg| ≤ V ≤ guard required) soundly gates the staging.
+    val nSrc = deg.count()
+    val degFits = broadcastRanks && nSrc <= maxBroadcastVerticesDyn
     // guarded broadcast for the loop-invariant degree join (the
     // pageRankQuantizedDF rule: an edge ⋈ vertex join never rides
     // auto-broadcast), applied AFTER the hash(dst) repartition so the
     // staging exchange carries bare (src, dst) pairs and the deg column
     // attaches on the already-partitioned stream
-    val ed =
-      if (useBroadcast)
+    val edStaged =
+      if (degFits)
         e.repartition(col("dst"))
           .join(broadcast(deg), "src")
           .select(col("src"), col("dst"), col("deg"))
@@ -1208,6 +1287,20 @@ object GraphAnalytics {
       else e.join(deg, "src")
         .select(col("src"), col("dst"), col("deg"))
         .localCheckpoint(true, pinLevel(edges.sparkSession, eRows))
+    val nVerts = if (degFits)
+        nSrc + edStaged.select(col("dst").as("vid")).dropDuplicates("vid")
+          .join(broadcast(deg), col("vid") === deg("src"), "left_anti").count()
+      else e.select(col("src").as("vid"))
+        .unionAll(e.select(col("dst").as("vid"))).distinct().count()
+    val useBroadcast = broadcastRanks && nVerts <= maxBroadcastVerticesDyn
+    val ed = if (degFits && !useBroadcast) {
+      // dst-heavy narrow band: rank joins will not broadcast; a
+      // sort-merge join against the hash(dst) pin would re-exchange
+      // the edge list every round — rebuild the shuffle-path cache
+      edStaged.unpersist(blocking = false)
+      e.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+        .localCheckpoint(true, pinLevel(edges.sparkSession, eRows))
+    } else edStaged
     val s = sources.select(col(sources.columns.head).as("vid")).distinct()
       .localCheckpoint(true)
 
