@@ -42,6 +42,13 @@ object GraftFunctions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_dot_fixed_point" -> (es => VecDotFixedPoint(es(0), es(1))),
     "vec_norm" -> (es => VecNorm(es.head)),
+    "vec_quant_l2" -> (es => VecQuantL2(es(0), es(1), {
+      require(es(2).foldable, "vec_quant_l2 scale must be a literal")
+      es(2).eval() match {
+        case d: java.lang.Double => d.doubleValue()
+        case other => other.toString.toDouble
+      }
+    })),
     "graft_token_count" -> (es => tokenCount(es.head)),
     "graft_hamming" -> (es => hamming(es(0), es(1))),
     "graft_fingerprint" -> (es => XxHash64(Seq(normalized(es.head)), 42L)),

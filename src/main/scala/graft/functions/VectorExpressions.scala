@@ -161,6 +161,62 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Exact squared L2 distance on the integer grid: the float/double vector
+  * LEFT is quantized per element as floor(xᵢ·scale + 0.5) and compared to
+  * the ALREADY-QUANTIZED BIGINT vector RIGHT (a centroid), returning
+  * Σ (qᵢ − cᵢ)² as an exact BIGINT.
+  *
+  * Same portability argument as [[VecDotFixedPoint]]: quantization is
+  * per-element (no float-association ambiguity to disagree on) and the
+  * integer sum is order-independent, so a DuckDB replay via
+  * `list_transform` + `list_sum` lands on the identical integer — which
+  * makes distributed k-means (KMeans.scala) oracle-checkable round by
+  * round. Codegen keeps it one tight primitive loop per row per centroid.
+  *
+  * Overflow headroom: |qᵢ − cᵢ| ≤ 2·|x|·scale; at the micro grid
+  * (scale=10⁶) and |x| ≤ 10³ each term is ≤ 4·10¹⁸/n for n ≤ 4 — any
+  * normalized embedding is 6+ orders below that. */
+case class VecQuantL2(left: Expression, right: Expression, scale: Double)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  @transient private lazy val readL = VecCodegen.reader(VecCodegen.elemType(left))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = math.floor(readL(a, i) * scale + 0.5).toLong - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val ga = VecCodegen.getter(VecCodegen.elemType(left), a, i)
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = (long) java.lang.Math.floor($ga * ${scale}D + 0.5) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecQuantL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-API wrappers around the native expressions. */
   def vec_dot(a: Column, b: Column): Column =
@@ -169,4 +225,7 @@ object VectorFunctions {
     ColumnBridge.column(VecDotFixedPoint(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def vec_norm(a: Column): Column =
     ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
+  def vec_quant_l2(v: Column, centroid: Column, scale: Double): Column =
+    ColumnBridge.column(VecQuantL2(ColumnBridge.expression(v),
+      ColumnBridge.expression(centroid), scale))
 }

@@ -52,4 +52,45 @@ object TimeSeries {
         last(col("obs_value"), ignoreNulls = true).over(w).as("filled_value"),
         col("n_obs").isNull.as("is_gap"))
   }
+
+  /** SCD2 (type-2 slowly-changing-dimension) history from a change
+    * stream: per key, consecutive equal `attrCol` values collapse into
+    * validity intervals — the lakehouse dimension-history primitive
+    * (Kimball's type-2 dimension, built from an event log instead of
+    * per-batch diffs; complements PropertyGraphIO's copy-on-write upsert,
+    * which keeps only the CURRENT version).
+    *
+    * Output per interval: (key, version 1.., attr, valid_from = first
+    * event's time, valid_to = next interval's valid_from or NULL,
+    * n_events = rows collapsed into the interval, is_current).
+    *
+    * Scale shape: ONE hash exchange on the key; change detection (lag),
+    * the per-key row count, the interval lead/row_number all run as
+    * Window operators over that same (key, time, tie) partitioning+sort —
+    * the start-row filter preserves both, so Catalyst plans no second
+    * exchange and no second sort. Nothing is collected; per-key state is
+    * one row per VERSION, not per event. Ties at equal `tUsCol` break on
+    * `tieCol` (pass the event's unique id) so replay is deterministic.
+    * Null attr values are genuine states: transitions use null-safe
+    * equality, so null→x and x→null both open new intervals. */
+  def scd2History(df: DataFrame, keyCol: String, tUsCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tUsCol), col(tieCol))
+    val marked = df
+      .select(col(keyCol), col(tUsCol), col(tieCol), col(attrCol))
+      .where(col(keyCol).isNotNull && col(tUsCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__tot", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__chg",
+        col("__rn") === 1 || !(col(attrCol) <=> lag(col(attrCol), 1).over(w)))
+    marked.where(col("__chg")).select(
+      col(keyCol),
+      row_number().over(w).cast("int").as("version"),
+      col(attrCol),
+      col(tUsCol).as("valid_from"),
+      lead(col(tUsCol), 1).over(w).as("valid_to"),
+      (coalesce(lead(col("__rn"), 1).over(w).cast("long"), col("__tot") + 1)
+        - col("__rn")).as("n_events"),
+      lead(col(tUsCol), 1).over(w).isNull.as("is_current"))
+  }
 }

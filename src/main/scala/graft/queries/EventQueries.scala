@@ -228,7 +228,19 @@ object EventQueries {
         count(lit(1)).over(w).cast("double")).as("mean_24h"))
   }
 
+  /** SCD2 dimension-history build: each user's event_type stream collapses
+    * into validity intervals (TimeSeries.scd2History — one exchange, all
+    * windows riding it). */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"),
+        col("event_type"))
+    graft.operators.TimeSeries.scd2History(ev, "user_id", "t_us", "event_id",
+      "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_scd2" -> (scd2 _),
     "ev_rolling_24h" -> (rolling24h _),
     "ev_gapfill" -> (gapFill _),
     "ev_funnel" -> (funnel _),
@@ -246,6 +258,21 @@ object EventQueries {
     .map { case (id, s0, e0) => s"($id, $s0, $e0)" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ev_scd2" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, t_us, event_id, event_type,
+        |    row_number() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS tot,
+        |    (row_number() OVER w = 1 OR
+        |     event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |s AS (SELECT * FROM m WHERE chg)
+        |SELECT user_id, CAST(row_number() OVER w2 AS INT) AS version,
+        |  event_type, t_us AS valid_from, lead(t_us) OVER w2 AS valid_to,
+        |  CAST(COALESCE(lead(rn) OVER w2, tot + 1) - rn AS BIGINT) AS n_events,
+        |  (lead(t_us) OVER w2 IS NULL) AS is_current
+        |FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id)""".stripMargin,
     "ev_rolling_24h" ->
       """SELECT event_id, user_id, t_us,
         |  COUNT(*) OVER w AS n_24h,

@@ -60,6 +60,31 @@ object PipelineQueries {
   private val pqCodes =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
+  /** Distributed-k-means models keyed by corpus dir (KMeans.train — full-
+    * corpus Lloyd, exact integer grid, zero shuffles per round). */
+  private val kmModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.KMeans.KMeansModel]
+
+  private val KmK = 8
+  private val KmIters = 4
+  private val KmPerCell = 10
+
+  private def kmModel(s: SparkSession, dir: String): graft.operators.KMeans.KMeansModel =
+    kmModels.getOrElseUpdate(dir,
+      graft.operators.KMeans.train(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", k = KmK, iters = KmIters))
+
+  /** Per-round k-means training audit: cluster sizes + exact integer
+    * inertia for each Lloyd round — training itself, oracle-checked. */
+  def kmeansRounds(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.roundStats(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding", kmModel(s, dir))
+
+  /** Cluster-balanced curation sample: 10 vectors per final cluster. */
+  def kmeansSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.balancedSample(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding", kmModel(s, dir), perCell = KmPerCell)
+
   /** IVFADC approximate top-5 (Jégou 2011's deployed system): the corpus
     * encoded ONCE to (cell, 8 PQ codes) — the at-rest index a 100 TB
     * deployment stores partitioned by cell — and each query ADC-scores
@@ -469,6 +494,8 @@ object PipelineQueries {
         k = 5, model, nProbe = 4)
     }),
     "dd_semantic" -> (semanticDedup _),
+    "ss_kmeans" -> (kmeansRounds _),
+    "ss_kmeans_sample" -> (kmeansSample _),
     "ss_pq_topk" -> (pqTopKQuery _),
     "ss_ivfpq_topk" -> (ivfPqTopKQuery _),
     "dd_embed_cosine" -> (embedCosinePairs _),
@@ -861,11 +888,54 @@ object PipelineQueries {
       if (pqModels.size == 1)
         withSd + ("ss_pq_topk" -> pqOracle(pqModels.values.head, k = 5))
       else withSd
-    if (ivfModels.size == 1 && pqModels.size == 1)
-      withPq + ("ss_ivfpq_topk" -> ivfPqOracle(ivfModels.values.head,
-        pqModels.values.head, nProbe = 4, k = 5))
-    else withPq
+    val withIvfPq =
+      if (ivfModels.size == 1 && pqModels.size == 1)
+        withPq + ("ss_ivfpq_topk" -> ivfPqOracle(ivfModels.values.head,
+          pqModels.values.head, nProbe = 4, k = 5))
+      else withPq
+    if (kmModels.size == 1) {
+      val m = kmModels.values.head
+      withIvfPq ++ Map(
+        "ss_kmeans" -> kmRoundsOracle(m),
+        "ss_kmeans_sample" -> kmSampleOracle(m, KmPerCell))
+    } else withIvfPq
   }
+
+  // --- k-means oracles (integer-grid replay; see KMeans.scala) ---------
+
+  private val kmQCte: String =
+    "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(" +
+      "CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings)"
+
+  /** `list_sort([{d², cell} …])[1]` — the same (d, c) struct argmin the
+    * Spark side's array_min-over-structs computes, with the round's
+    * centroids inlined as BIGINT list literals. */
+  private def kmBestExpr(cents: Array[Array[Long]], dim: Int): String = {
+    val structs = cents.zipWithIndex.map { case (cc, i) =>
+      val lst = cc.mkString("[", ",", "]")
+      s"struct_pack(d := list_sum(list_transform(generate_series(1, $dim), " +
+        s"i -> (q[i] - ($lst)[i]) * (q[i] - ($lst)[i]))), c := $i)"
+    }
+    s"list_sort([${structs.mkString(", ")}])[1]"
+  }
+
+  private def kmRoundsOracle(m: graft.operators.KMeans.KMeansModel): String = {
+    val rounds = (1 to m.iters).map { r =>
+      s"""SELECT CAST($r AS INT) AS round, best.c AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_points, CAST(SUM(best.d) AS BIGINT) AS inertia
+         |FROM (SELECT ${kmBestExpr(m.roundCentroids(r - 1), m.dim)} AS best FROM q)
+         |GROUP BY best.c""".stripMargin
+    }
+    s"WITH $kmQCte\n${rounds.mkString("\nUNION ALL ")}"
+  }
+
+  private def kmSampleOracle(m: graft.operators.KMeans.KMeansModel,
+      perCell: Int): String =
+    s"""WITH $kmQCte,
+       |a AS (SELECT vec_id, (${kmBestExpr(m.finalCentroids, m.dim)}).c AS cell FROM q),
+       |r AS (SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+       |    ORDER BY md5('ks:' || CAST(vec_id AS VARCHAR)), vec_id) AS rank FROM a)
+       |SELECT cell, vec_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= $perCell""".stripMargin
 
   /** The JL projection in SQL: the same pico-grid plane literals, each
     * dot replayed in VecDotFixedPoint's portable form — per-element

@@ -327,7 +327,33 @@ object TextQueries {
   private val DsirTopK = 100
   private val DsirSeed = 17L
 
+  // --- BPE tokenizer training (SURVEY §2 row 33l) ---------------------
+  // Trained once per corpus dir (the offline-training shape, like
+  // PipelineQueries.ivfModels); the three queries share the model and the
+  // oracle re-derives every training round from the parquet post-hoc.
+  private val BpeNumMerges = 32
+  private val BpeTopTokens = 50
+  private val bpeModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Bpe.BpeModel]
+  private def bpeModel(s: SparkSession, dir: String): graft.operators.Bpe.BpeModel =
+    bpeModels.getOrElseUpdate(dir,
+      graft.operators.Bpe.train(Tables(s, dir, "documents"), "text", BpeNumMerges))
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.mergeTable(s, bpeModel(s, dir))
+
+  def bpeTokenFreq(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.tokenFrequencies(
+      Tables(s, dir, "documents"), "text", bpeModel(s, dir), BpeTopTokens)
+
+  def bpeDocLen(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.docTokenCounts(
+      Tables(s, dir, "documents"), "doc_id", "text", bpeModel(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bpe_merges" -> (bpeMerges _),
+    "tx_bpe_tokens" -> (bpeTokenFreq _),
+    "tx_bpe_doclen" -> (bpeDocLen _),
     "tx_tfidf" -> (tfidf _),
     "tx_bm25" -> (bm25 _),
     "tx_feature_hash" -> (featureHash _),
@@ -640,7 +666,86 @@ object TextQueries {
        |FROM ranked WHERE rank <= $DsirTopK""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  // --- BPE oracles (generated post-training, the ivfOracle pattern) ---
+
+  /** The shared word-table + double-delimiter-encoding CTEs (see
+    * Bpe.scala's object doc for why `replace` on this encoding IS the BPE
+    * merge pass in both engines). */
+  private val bpeBaseCtes: String =
+    """w AS (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w
+      |    FROM documents) GROUP BY 1),
+      |e AS MATERIALIZED (
+      |  SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') || '>||' AS enc, cnt
+      |  FROM w)""".stripMargin
+
+  /** Nested literal-replace chain applying `merges` to SQL expression
+    * `inner` — identical semantics to Bpe.applyMerges's Column fold. */
+  private def bpeChainSql(inner: String, merges: Seq[graft.operators.Bpe.Merge]): String =
+    merges.foldLeft(inner)((s, m) =>
+      s"replace($s, '|${m.lhs}||${m.rhs}|', '|${m.merged}|')")
+
+  /** tx_bpe_merges oracle: one CTE per training round k, each re-deriving
+    * the round's argmax pair from the corpus with merges 1..k-1 applied —
+    * the oracle VERIFIES training round by round, it does not merely
+    * replay the learned table. */
+  private def bpeMergesOracle(model: graft.operators.Bpe.BpeModel): String = {
+    val rounds = model.merges.map { m =>
+      val k = m.rank
+      val chain = bpeChainSql("enc", model.merges.take(k - 1))
+      s"""r$k AS (
+         |  SELECT CAST($k AS INT) AS rank,
+         |    string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs,
+         |    replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT pair, SUM(cnt) AS c FROM (
+         |      SELECT cnt, unnest(list_transform(generate_series(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1])) AS pair
+         |      FROM (SELECT cnt, list_filter(string_split($chain, '||'),
+         |        x -> x <> '') AS t FROM e))
+         |    GROUP BY pair ORDER BY c DESC, pair LIMIT 1))""".stripMargin
+    }
+    val union = model.merges.map(m => s"SELECT * FROM r${m.rank}").mkString("\nUNION ALL ")
+    s"WITH $bpeBaseCtes,\n${rounds.mkString(",\n")}\n$union"
+  }
+
+  private def bpeTokensOracle(model: graft.operators.Bpe.BpeModel): String = {
+    val chain = bpeChainSql("enc", model.merges)
+    s"""WITH $bpeBaseCtes,
+       |tok AS (SELECT cnt, unnest(list_filter(string_split($chain, '||'),
+       |    x -> x <> '')) AS token FROM e)
+       |SELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occ FROM tok
+       |GROUP BY token ORDER BY n_occ DESC, token LIMIT $BpeTopTokens""".stripMargin
+  }
+
+  private def bpeDocLenOracle(model: graft.operators.Bpe.BpeModel): String = {
+    val chain = bpeChainSql(
+      "'||' || regexp_replace(w, '(.)', '\\1||', 'g') || '>||'", model.merges)
+    s"""WITH per AS (
+       |  SELECT doc_id, SUM(len(list_filter(string_split($chain, '||'),
+       |    x -> x <> ''))) AS n
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w
+       |        FROM documents)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
+  /** Static oracles plus — once a BPE model has been trained for exactly
+    * one corpus this session (the Verify shape) — the three BPE replays.
+    * Several corpora would make the right model ambiguous, so the keys
+    * are withheld (driver falls back to rows-only) rather than risk
+    * replaying the wrong merges. */
+  def oracles: Map[String, String] =
+    if (bpeModels.size == 1) {
+      val m = bpeModels.values.head
+      staticOracles ++ Map(
+        "tx_bpe_merges" -> bpeMergesOracle(m),
+        "tx_bpe_tokens" -> bpeTokensOracle(m),
+        "tx_bpe_doclen" -> bpeDocLenOracle(m))
+    } else staticOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "tx_dsir" -> dsirOracle,
     "tx_weighted_sample" ->
       """WITH keyed AS (

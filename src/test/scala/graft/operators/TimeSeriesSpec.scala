@@ -25,6 +25,37 @@ class TimeSeriesSpec extends SparkTestBase {
       ("B", 50L, 1L, Some(9.0), 9.0, false)))
   }
 
+  test("scd2History: hand-computed intervals, ties, null states, n_events") {
+    // user 1: a a b b a  → versions (a,2)(b,2)(a,1); last is current.
+    // user 2: ties at t=10 break on the id column (id 1 'x' before id 2 'y');
+    //         null attr then opens a third interval (null-safe transition).
+    val rows = Seq(
+      (1L, 10L, 1L, Some("a")), (1L, 20L, 2L, Some("a")),
+      (1L, 30L, 3L, Some("b")), (1L, 40L, 4L, Some("b")),
+      (1L, 50L, 5L, Some("a")),
+      (2L, 10L, 1L, Some("x")), (2L, 10L, 2L, Some("y")),
+      (2L, 20L, 3L, None)
+    ).toDF("uid", "t", "id", "attr")
+    val out = TimeSeries.scd2History(rows, "uid", "t", "id", "attr")
+      .orderBy("uid", "version")
+      .as[(Long, Int, Option[String], Long, Option[Long], Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 1, Some("a"), 10L, Some(30L), 2L, false),
+      (1L, 2, Some("b"), 30L, Some(50L), 2L, false),
+      (1L, 3, Some("a"), 50L, None, 1L, true),
+      (2L, 1, Some("x"), 10L, Some(10L), 1L, false),
+      (2L, 2, Some("y"), 10L, Some(20L), 1L, false),
+      (2L, 3, None, 20L, None, 1L, true)))
+  }
+
+  test("scd2History: single exchange — windows and filter ride one hash partitioning") {
+    val rows = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b")).toDF("uid", "t", "id", "attr")
+    val plan = TimeSeries.scd2History(rows, "uid", "t", "id", "attr")
+      .queryExecution.executedPlan.toString
+    assert("(?i)exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("gapFillLocf: empty input yields empty grid; zero step rejected") {
     val empty = Seq.empty[(String, Long, Double)].toDF("k", "t", "v")
     assert(TimeSeries.gapFillLocf(empty, "k", "t", "v", 10L).count() == 0)
