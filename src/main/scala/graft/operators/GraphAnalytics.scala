@@ -134,6 +134,28 @@ object GraphAnalytics {
     }
   }
 
+  /** Rolling eager-checkpoint pin for round loops: `next(df)` checkpoints
+    * eagerly and frees the PREVIOUS generation's blocks — the successor's
+    * eager materialization has just consumed them, so from that moment
+    * they are dead weight in the storage pool. Without this, an
+    * every-third-round checkpoint cadence accumulates ⌈rounds/3⌉
+    * generations of deserialized V-rows for the query's LIFETIME —
+    * multiple GB at sf10, precisely the storage-pool margin that decides
+    * whether 32 concurrent sort-merge tasks in the shuffle-fallback path
+    * can still get execution memory (the g_pagerank_weighted sf10 task
+    * OOM, r12). Plan-invariant: unpersisting a consumed generation
+    * changes no semantics, only block-manager residency. */
+  private[graft] final class GenerationPin {
+    private var last: DataFrame = _
+    def next(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      if (last != null)
+        org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(last)
+      last = cp
+      cp
+    }
+  }
+
   /** [[coreness]] switches from dense to frontier rounds once the
     * changed set falls below V / this factor: above it the candidate
     * neighborhoods cover ~everything and the frontier joins are pure
@@ -443,6 +465,7 @@ object GraphAnalytics {
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
     var ranks = verts.withColumn("rank", lit(1.0))
+    val gen = new GenerationPin
     (1 to numIter).foreach { i =>
       val contribs = ed.join(ranks, ed("src") === ranks("vid"))
         .select(col("dst").as("vid"), (col("rank") / col("deg")).as("c"))
@@ -450,7 +473,7 @@ object GraphAnalytics {
       ranks = verts.join(contribs, Seq("vid"), "left")
         .select(col("vid"),
           (lit(resetProb) + lit(1 - resetProb) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint(true)
+      if (i % 3 == 0) ranks = gen.next(ranks)
     }
     ranks
   }
@@ -853,16 +876,22 @@ object GraphAnalytics {
 
     var auth = verts.select(col("vid"), lit(Micro).as("a"))
     var hub: DataFrame = null
+    // rolling generation frees: round i's raw tables are dead the moment
+    // round i+1's are materialized (normalized() is a lazy projection the
+    // successor's eager checkpoint has already consumed); only the final
+    // generation survives for the output join
+    val hGen = new GenerationPin
+    val aGen = new GenerationPin
     (1 to numIter).foreach { i =>
-      val hRaw = eBySrc.join(side(auth), eBySrc("dst") === auth("vid"))
-        .select(col("src").as("hvid"), col("a"))
-        .groupBy(col("hvid").as("vid")).agg(sum(col("a")).as("h_raw"))
-        .localCheckpoint(true)
+      val hRaw = hGen.next(
+        eBySrc.join(side(auth), eBySrc("dst") === auth("vid"))
+          .select(col("src").as("hvid"), col("a"))
+          .groupBy(col("hvid").as("vid")).agg(sum(col("a")).as("h_raw")))
       hub = normalized(hRaw, "h_raw", "h")
-      val aRaw = eByDst.join(side(hub), eByDst("src") === hub("vid"))
-        .select(col("dst").as("avid"), col("h"))
-        .groupBy(col("avid").as("vid")).agg(sum(col("h")).as("a_raw"))
-        .localCheckpoint(true)
+      val aRaw = aGen.next(
+        eByDst.join(side(hub), eByDst("src") === hub("vid"))
+          .select(col("dst").as("avid"), col("h"))
+          .groupBy(col("avid").as("vid")).agg(sum(col("h")).as("a_raw")))
       auth = normalized(aRaw, "a_raw", "a")
     }
     // every raw score table is eagerly checkpointed, so the caches can
@@ -972,8 +1001,9 @@ object GraphAnalytics {
     var inSums = edPinned
       .select(col("dst").as("vid"), expr(s"${Micro}L * w div wsum").as("c"))
       .groupBy("vid").agg(sum(col("c")).as("in_sum"))
+    val gen = new GenerationPin
     (2 to numIter).foreach { i =>
-      val r = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
+      val r = ranksOf(if (i % 3 == 0) gen.next(inSums) else inSums)
       inSums = edPinned.join(maybeBroadcast(r), edPinned("src") === r("vid"), "left")
         .select(col("dst").as("vid"),
           expr(s"coalesce(rank_micro, ${resetMicro}L) * w div wsum").as("c"))
@@ -981,7 +1011,7 @@ object GraphAnalytics {
     }
     // materialize before releasing the pinned edge cache — the final
     // projection below must not silently recompute the whole loop
-    inSums = inSums.localCheckpoint(true)
+    inSums = gen.next(inSums)
     e.unpersist(blocking = false)
     verts.join(maybeBroadcast(ranksOf(inSums)), Seq("vid"), "left")
       .select(col("vid"),
@@ -1212,8 +1242,9 @@ object GraphAnalytics {
     var inSums = ed
       .select(col("dst").as("vid"), expr(s"${Micro}L div deg").as("c"))
       .groupBy("vid").agg(sum(col("c")).as("in_sum"))
+    val gen = new GenerationPin
     (2 to numIter).foreach { i =>
-      val rBase = ranksOf(if (i % 3 == 0) inSums.localCheckpoint(true) else inSums)
+      val rBase = ranksOf(if (i % 3 == 0) gen.next(inSums) else inSums)
       val r = if (useBroadcast) broadcast(rBase) else rBase
       inSums = ed.join(r, ed("src") === r("vid"), "left")
         .select(col("dst").as("vid"),
@@ -1223,7 +1254,7 @@ object GraphAnalytics {
     // materialize before releasing the pinned edge cache — the final
     // projection below must not silently recompute the whole loop
     if (useBroadcast) {
-      inSums = inSums.localCheckpoint(true)
+      inSums = gen.next(inSums)
       ed.unpersist(blocking = false)
     }
     // micro-units ≤ ~1e11 are exact in double; /1e6 is one correctly-
@@ -1318,14 +1349,15 @@ object GraphAnalytics {
             expr(s"CAST(coalesce(CAST(in_sum AS DECIMAL(38,0)), 0) * ${dampMicro}" +
               s" div ${Micro} AS BIGINT)"))
             .as("rank_micro"))
-    var ranks = s.withColumn("rank_micro", lit(Micro)).localCheckpoint(true)
+    val gen = new GenerationPin
+    var ranks = gen.next(s.withColumn("rank_micro", lit(Micro)))
     (1 until numIter).foreach { i =>
       val r = if (useBroadcast) broadcast(ranks) else ranks
       val inSums = ed.join(r, ed("src") === r("vid"))
         .select(col("dst").as("vid"), expr("rank_micro div deg").as("c"))
         .groupBy("vid").agg(sum(col("c")).as("in_sum"))
       ranks = ranksOf(inSums)
-      if (i % 3 == 0 || i == numIter - 1) ranks = ranks.localCheckpoint(true)
+      if (i % 3 == 0 || i == numIter - 1) ranks = gen.next(ranks)
     }
     if (useBroadcast) ed.unpersist(blocking = false)
     ranks.select(col("vid"), (col("rank_micro").cast("double") / 1000000.0).as("ppr"))

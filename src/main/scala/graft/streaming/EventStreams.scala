@@ -13,6 +13,14 @@ final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
 final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
     n_events: Long, sum_value: Double)
 
+/** A change-stream row for streaming SCD2 (key, event time µs, unique
+  * tie-break id, tracked attribute). */
+final case class Scd2Ev(key: Long, t_us: Long, tie: Long, attr: Option[String])
+final case class Scd2State(version: Int, attr: Option[String], validFrom: Long,
+    n: Long)
+final case class Scd2Out(key: Long, version: Int, attr: Option[String],
+    valid_from: Long, valid_to: Option[Long], n_events: Long, is_current: Boolean)
+
 /** Structured Streaming operators over the events feed (SURVEY §2.11):
   * unbounded ingestion with watermarked windowed aggregation and
   * stateful gap-sessionization — the streaming twins of EventQueries'
@@ -86,6 +94,48 @@ object EventStreams {
                 cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
               case None =>
                 cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Streaming SCD2 (the incremental twin of TimeSeries.scd2History,
+    * SURVEY §2.11 #45l): one open interval of state per key; an arriving
+    * event whose attr differs (null-safe, like the batch form) CLOSES the
+    * open interval — emitted immediately with valid_to = the new
+    * interval's valid_from — and opens the next version. Equal attrs just
+    * extend the open interval's event count. Emitted rows are exactly the
+    * batch operator's `is_current = false` rows, in arrival order
+    * (spec-pinned); the open intervals live in state, one row per key —
+    * V-sized state, never log-sized, which is what makes an unbounded
+    * dimension history maintainable.
+    *
+    * Ordering contract: events must arrive per-key (t, tie)-monotone
+    * ACROSS batches (within a batch they are sorted here) — the same
+    * in-order-feed contract the sessionizer documents; an out-of-order
+    * arrival would need a reorder buffer bounded by a watermark, which
+    * this operator deliberately omits to keep state V-sized. */
+  def scd2Stream(events: Dataset[Scd2Ev]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[Scd2Ev], state: GroupState[Scd2State]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.tie))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if s.attr == e.attr =>
+                cur = Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                closed += Scd2Out(key, s.version, s.attr, s.validFrom,
+                  Some(e.t_us), s.n, is_current = false)
+                cur = Some(Scd2State(s.version + 1, e.attr, e.t_us, 1))
+              case None =>
+                cur = Some(Scd2State(1, e.attr, e.t_us, 1))
             }
           }
           cur.foreach(state.update)

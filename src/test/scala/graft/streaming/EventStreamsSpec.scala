@@ -63,6 +63,33 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming SCD2: closed intervals across batches ≡ the batch operator's") {
+    val ms = MemoryStream[Scd2Ev](spark)
+    val q = EventStreams.scd2Stream(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("scd2_out").start()
+    val log = Seq(
+      Scd2Ev(1L, 10L, 1L, Some("a")), Scd2Ev(1L, 20L, 2L, Some("a")),
+      Scd2Ev(1L, 30L, 3L, Some("b")),
+      Scd2Ev(1L, 40L, 4L, Some("b")), Scd2Ev(1L, 50L, 5L, Some("a")),
+      Scd2Ev(2L, 10L, 1L, Some("x")), Scd2Ev(2L, 10L, 2L, Some("y")),
+      Scd2Ev(2L, 20L, 3L, None))
+    try {
+      // feed per-key in-order across three batches (the ordering contract)
+      ms.addData(log.take(3): _*); q.processAllAvailable()
+      ms.addData(log.slice(3, 6): _*); q.processAllAvailable()
+      ms.addData(log.drop(6): _*); q.processAllAvailable()
+      val streamed = spark.table("scd2_out").as[Scd2Out].collect()
+        .map(o => (o.key, o.version, o.attr, o.valid_from, o.valid_to, o.n_events))
+        .toSet
+      val batch = graft.operators.TimeSeries.scd2History(
+          log.toDF("uid", "t", "id", "attr"), "uid", "t", "id", "attr")
+        .where(!col("is_current"))
+        .as[(Long, Int, Option[String], Long, Option[Long], Long, Boolean)]
+        .collect().map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
+      assert(streamed == batch && streamed.size == 4)
+    } finally q.stop()
+  }
+
   test("native session windows agree with the explicit-state sessionizer on counts") {
     val dir = stageEventsDir()
     val q = EventStreams.sessionWindows(EventStreams.readEvents(spark, dir))
