@@ -65,6 +65,55 @@ object PipelineQueries {
   private val kmModels =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.KMeans.KMeansModel]
 
+  /** PCA models keyed by corpus dir (Pca.train — one zero-shuffle exact
+    * moment pass + driver Jacobi; the model is a pure function of corpus
+    * content, so the oracle can embed its components as literals). */
+  private val pcaModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pca.PcaModel]
+
+  private val PcaK = 4
+
+  private def pcaModel(s: SparkSession, dir: String): graft.operators.Pca.PcaModel =
+    pcaModels.getOrElseUpdate(dir,
+      graft.operators.Pca.train(Tables(s, dir, "embeddings"), "embedding", k = PcaK))
+
+  /** Mean-centered projection of the whole corpus onto the top-4
+    * principal axes — exact pico-grid BIGINTs (see Pca.scala scaladoc). */
+  def pcaProject(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.project(Tables(s, dir, "embeddings"), "vec_id",
+      "embedding", pcaModel(s, dir))
+
+  /** Per-component projected sum of squares — the distributed
+    * diagonalization audit; DECIMAL rendered as STRING for cross-engine
+    * hashing (a 10²⁴-magnitude integer survives no float64 round trip). */
+  def pcaVariance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.componentVariance(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding", pcaModel(s, dir))
+      .select(col("component").cast("long").as("component"), col("n"),
+        col("ss_pico2").cast("string").as("ss_pico2"))
+
+  /** Hybrid retrieval: BM25 over the query docs' own terms ⊕ dense cosine
+    * over their embeddings (doc_id ≡ vec_id in this corpus), fused by
+    * reciprocal rank. Top-10 fused per query; absent-in-list ranks → 0. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val emb = Tables(s, dir, "embeddings")
+    val sparse = graft.operators.HybridRetrieval.bm25PerQuery(
+      docs, "doc_id", "text", docs.where(col("doc_id") < 10), "doc_id", "text",
+      topN = 20).select("query_id", "doc_id", "rank")
+    val dense = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.HybridRetrieval
+      .rrfFuse(Seq("sparse" -> sparse, "dense" -> dense), "query_id", "doc_id", "rank")
+      .where(col("fused_rank") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        col("rrf_dec").cast("double").as("rrf"),
+        coalesce(col("sparse_rank"), lit(0L)).as("sparse_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        col("fused_rank"))
+  }
+
   private val KmK = 8
   private val KmIters = 4
   private val KmPerCell = 10
@@ -496,6 +545,9 @@ object PipelineQueries {
     "dd_semantic" -> (semanticDedup _),
     "ss_kmeans" -> (kmeansRounds _),
     "ss_kmeans_sample" -> (kmeansSample _),
+    "ss_pca_project" -> (pcaProject _),
+    "ss_pca_var" -> (pcaVariance _),
+    "ss_hybrid_rrf" -> (hybridRrf _),
     "ss_pq_topk" -> (pqTopKQuery _),
     "ss_ivfpq_topk" -> (ivfPqTopKQuery _),
     "dd_embed_cosine" -> (embedCosinePairs _),
@@ -893,12 +945,61 @@ object PipelineQueries {
         withPq + ("ss_ivfpq_topk" -> ivfPqOracle(ivfModels.values.head,
           pqModels.values.head, nProbe = 4, k = 5))
       else withPq
-    if (kmModels.size == 1) {
+    val withKm = if (kmModels.size == 1) {
       val m = kmModels.values.head
       withIvfPq ++ Map(
         "ss_kmeans" -> kmRoundsOracle(m),
         "ss_kmeans_sample" -> kmSampleOracle(m, KmPerCell))
     } else withIvfPq
+    if (pcaModels.size == 1) {
+      val m = pcaModels.values.head
+      withKm ++ Map(
+        "ss_pca_project" -> pcaProjectOracle(m),
+        "ss_pca_var" -> pcaVarOracle(m))
+    } else withKm
+  }
+
+  // --- PCA oracles (pico-grid fixed-point replay; see Pca.scala) -------
+
+  /** One `floor(v[i]·wᵢ + 0.5)` BIGINT per element per component —
+    * VecDotFixedPoint's portable form with the TRAINED component weights
+    * (pre-scaled ×10¹² driver-side, like the JL/PQ oracles) as literals,
+    * minus the model's exact meanDotPico integer. */
+  private def pcaPcExprs(m: graft.operators.Pca.PcaModel): Seq[String] =
+    (0 until m.k).map { j =>
+      val w = m.picoWeights(j)
+      val terms = w.zipWithIndex.map { case (wi, i) =>
+        s"CAST(floor(v[${i + 1}] * $wi + 0.5) AS BIGINT)"
+      }.mkString(" + ")
+      s"($terms) - (${m.meanDotPico(j)})"
+    }
+
+  private def pcaProjectOracle(m: graft.operators.Pca.PcaModel): String = {
+    val cols = pcaPcExprs(m).zipWithIndex
+      .map { case (e, j) => s"$e AS pc$j" }.mkString(",\n    ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id,
+       |    $cols
+       |FROM c""".stripMargin
+  }
+
+  private def pcaVarOracle(m: graft.operators.Pca.PcaModel): String = {
+    val pcs = pcaPcExprs(m).zipWithIndex
+      .map { case (e, j) => s"$e AS pc$j" }.mkString(",\n    ")
+    val sums = (0 until m.k)
+      .map(j => s"SUM(CAST(pc$j AS HUGEINT) * CAST(pc$j AS HUGEINT)) AS ss$j")
+      .mkString(",\n    ")
+    val rows = (0 until m.k).map { j =>
+      s"SELECT CAST($j AS BIGINT) AS component, n, CAST(ss$j AS VARCHAR) AS ss_pico2 FROM s"
+    }.mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT vec_id,
+       |    $pcs
+       |  FROM c),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $sums
+       |  FROM p)
+       |$rows""".stripMargin
   }
 
   // --- k-means oracles (integer-grid replay; see KMeans.scala) ---------
@@ -978,7 +1079,67 @@ object PipelineQueries {
       |  CAST(MAX(val) AS BIGINT) AS lum_max
       |FROM px GROUP BY id, frame_index, n_frames""".stripMargin
 
+  /** Hybrid BM25 ⊕ dense RRF: the sparse leg replays the tx_bm25 recipe
+    * with the query-term JOIN in place of the literal bag; the dense leg
+    * is the ss_cosine_topk CTE at k = 20; fusion sums 9dp-DECIMAL
+    * reciprocal ranks (order-independent, like every decimal score sum
+    * in this file). */
+  private val hybridRrfOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id < 10),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |       WHERE term IN (SELECT DISTINCT term FROM qterms)
+       |       GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    CAST(round((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2))
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / (total_dl / n_docs))), 6)
+       |      AS DECIMAL(18,6)) AS score_t
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |sq AS (
+       |  SELECT q.query_id, s.doc_id, SUM(s.score_t) AS bm25_dec
+       |  FROM scored s JOIN qterms q USING (term) GROUP BY q.query_id, s.doc_id),
+       |sparse AS (
+       |  SELECT * FROM (SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY bm25_dec DESC, doc_id) AS rank
+       |    FROM sq) WHERE rank <= 20),
+       |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |  FROM embeddings WHERE vec_id < 10),
+       |cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+       |dpairs AS (
+       |  SELECT query_id, doc_id,
+       |    CASE WHEN sqrt(list_dot_product(q_vec,q_vec)) * sqrt(list_dot_product(c_vec,c_vec)) = 0 THEN 0.0
+       |      ELSE list_dot_product(q_vec, c_vec)
+       |        / (sqrt(list_dot_product(q_vec,q_vec)) * sqrt(list_dot_product(c_vec,c_vec))) END AS cs
+       |  FROM cv, qv WHERE doc_id <> query_id),
+       |dense AS (
+       |  SELECT * FROM (SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rank
+       |    FROM dpairs) WHERE rank <= 20),
+       |u AS (
+       |  SELECT query_id, doc_id, 'sparse' AS src, rank FROM sparse
+       |  UNION ALL SELECT query_id, doc_id, 'dense', rank FROM dense),
+       |f AS (
+       |  SELECT query_id, doc_id,
+       |    SUM(CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9))) AS rrf_dec,
+       |    COALESCE(MAX(CASE WHEN src = 'sparse' THEN rank END), 0) AS sparse_rank,
+       |    COALESCE(MAX(CASE WHEN src = 'dense' THEN rank END), 0) AS dense_rank
+       |  FROM u GROUP BY query_id, doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_dec DESC, doc_id) AS fused_rank FROM f)
+       |SELECT query_id, doc_id, CAST(rrf_dec AS DOUBLE) AS rrf,
+       |  CAST(sparse_rank AS BIGINT) AS sparse_rank,
+       |  CAST(dense_rank AS BIGINT) AS dense_rank,
+       |  CAST(fused_rank AS BIGINT) AS fused_rank
+       |FROM r WHERE fused_rank <= 10""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
+    "ss_hybrid_rrf" -> hybridRrfOracle,
     "mm_gif_frames" -> gifFramesOracle,
     "ss_rp_reduce" -> rpReduceOracle,
     "dd_minhash_lsh" -> minhashOracle,
