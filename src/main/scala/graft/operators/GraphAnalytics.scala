@@ -903,6 +903,94 @@ object GraphAnalytics {
         (coalesce(col("a"), lit(0L)).cast("double") / 1000000.0).as("authority"))
   }
 
+  /** KATZ centrality (Katz 1953) in the family's bit-reproducible
+    * fixed-point integer arithmetic: x_i(v) = β + α·Σ_{u→v} x_{i−1}(u),
+    * truncated after `numIter` rounds — the attenuated count of ALL
+    * in-walks, where PageRank's out-degree normalization is deliberately
+    * absent (a link from a prolific hub counts fully; the
+    * link-prediction/influence form of centrality). β is one micro-unit
+    * (10⁶) and α the exact rational 1/`atten`, applied as integral
+    * division of the in-sum (`div` ≡ DuckDB `//` on the non-negative
+    * values here), so every intermediate is an integer and the fixed
+    * rounds replay as chained CTEs in the oracle. Convergence contract:
+    * the series is meaningful for α < 1/λ_max (the usual Katz
+    * requirement); within it, per-vertex scores are bounded by
+    * β/(1−αλ_max)·O(1) micro-units and the E-row in-sums run in plain
+    * BIGINT ([[hitsDF]]'s mass-accounting argument — overflow needs a
+    * hub absorbing > 9.2·10¹² micro-units, i.e. a graph far past the
+    * contract's growth bound).
+    *
+    * Plan shape per round (the [[pageRankQuantizedDF]] recipe, single
+    * direction): ZERO exchanges under the broadcast guard — the edge
+    * list persists once hash-partitioned by `dst` (level
+    * memory-budgeted via [[pinLevel]]), the V-row score table is a
+    * guarded broadcast, so each round is one map-side-combined
+    * aggregation in place. The vertex set is derived exchange-free from
+    * the src-set + a cache-riding dst dedup + a broadcast anti-join
+    * (the r12 verts recipe); scores stay SPARSE — a vertex with no
+    * in-edges has x ≡ β exactly, so a coalesce default replaces any
+    * per-round fill join. Past the guard: unpinned shuffle joins whose
+    * map-side partial combine defends the wire. Rolling
+    * [[GenerationPin]] checkpoints keep loop residency O(1)
+    * generations. */
+  def katzCentralityDF(edges: DataFrame, numIter: Int = 6, atten: Long = 4L,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(atten >= 2, s"attenuation divisor must be >= 2, got $atten")
+    val Micro = 1000000L
+    val (e, eRows) = pinTwoPhase(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    // src set gates the staged cache (|src set| ≤ V — a sound
+    // precondition for the score-broadcast guard, the hitsDF recipe)
+    val srcSet = e.select(col("src").as("vid")).dropDuplicates("vid")
+      .localCheckpoint(true)
+    val srcFits = srcSet.count() <= maxBroadcastVerticesDyn
+    val edStaged = if (!srcFits) e else e.repartition(col("dst"))
+      .persist(pinLevel(edges.sparkSession, eRows))
+    val verts = (if (srcFits)
+        srcSet.unionAll(
+          edStaged.select(col("dst").as("vid")).dropDuplicates("vid")
+            .join(broadcast(srcSet.select(col("vid").as("__sv"))),
+              col("vid") === col("__sv"), "left_anti"))
+      else srcSet.unionAll(e.select(col("dst").as("vid"))).distinct())
+      .localCheckpoint(true)
+    val useBroadcast = verts.count() <= maxBroadcastVerticesDyn
+    // narrow band (src set fits, full vertex set does not): score joins
+    // will not broadcast and a sort-merge join against the hash(dst) pin
+    // would re-exchange E rows per round — drop the staged cache
+    val ed = if (srcFits && !useBroadcast) {
+      edStaged.unpersist(blocking = false)
+      e
+    } else edStaged
+
+    def scoresOf(inSums: DataFrame): DataFrame =
+      inSums.select(col("vid"),
+        (lit(Micro) + expr(s"in_sum div $atten")).as("katz_micro"))
+    // round 1 from the all-β start needs no join: in_sum = β·indeg
+    var inSums = ed.groupBy(col("dst").as("vid"))
+      .agg((count(lit(1)) * Micro).as("in_sum"))
+    val gen = new GenerationPin
+    (2 to numIter).foreach { i =>
+      val xBase = scoresOf(if (i % 3 == 0) gen.next(inSums) else inSums)
+      val x = if (useBroadcast) broadcast(xBase) else xBase
+      inSums = ed.join(x, ed("src") === x("vid"), "left")
+        .select(col("dst").as("vid"),
+          coalesce(col("katz_micro"), lit(Micro)).as("c"))
+        .groupBy("vid").agg(sum(col("c")).as("in_sum"))
+    }
+    // materialize before releasing the pinned edge cache — the final
+    // projection must not silently recompute the whole loop
+    if (srcFits && useBroadcast) {
+      inSums = gen.next(inSums)
+      ed.unpersist(blocking = false)
+    }
+    val finalScores = scoresOf(inSums)
+    verts.join(if (useBroadcast) broadcast(finalScores) else finalScores,
+        Seq("vid"), "left")
+      .select(col("vid"),
+        (coalesce(col("katz_micro"), lit(Micro)).cast("double") / 1000000.0)
+          .as("katz"))
+  }
+
   /** WEIGHTED PageRank in the same bit-reproducible fixed-point integer
     * arithmetic as [[pageRankQuantizedDF]]: vertex u distributes its rank
     * proportionally to integral edge weights — the contribution along

@@ -30,6 +30,23 @@ object AnalyticsQueries {
   private val PrRounds = 10
   private val PrReset = 0.15
 
+  /** Katz centrality (6 rounds, α = 1/4, β = 1): attenuated in-walk
+    * counts WITHOUT PageRank's out-degree normalization — the
+    * link-prediction/influence form. Same fixed-point micro-unit
+    * integer algebra as [[pagerank]] (BIGINT scores, integral
+    * attenuation division), so the fixed rounds replay as chained CTEs
+    * in the oracle. */
+  def katz(s: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    GraphAnalytics.decode(
+      GraphAnalytics.katzCentralityDF(edges, numIter = KatzRounds, atten = KatzAtten),
+      "vid", labels)
+      .select(col("label"), col("node_id"), col("katz"))
+  }
+
+  private val KatzRounds = 6
+  private val KatzAtten = 4L
+
   /** Deterministic HUB fixture for the iterative loops' skew story
     * (every TPC-H-derived bench graph has benign degrees, so the
     * per-round joins' behavior under power-law hubs was previously
@@ -1249,7 +1266,8 @@ object AnalyticsQueries {
     "g_skew_cc" -> (skewCc _),
     "g_modularity" -> (modularityCommunities _),
     "g_modularity_score" -> (modularityScore _),
-    "g_betweenness" -> (betweenness _))
+    "g_betweenness" -> (betweenness _),
+    "g_katz" -> (katz _))
 
   // Global vertex ids in SQL: labelIndex << 44 + key, labels sorted:
   // Customer=0 Nation=1 Order=2 Part=3 Region=4 Supplier=5 (2^44 = 17592186044416).
@@ -1458,6 +1476,35 @@ object AnalyticsQueries {
                 |  FROM verts v LEFT JOIN c$i c ON c.vid = v.vid)""".stripMargin
     }
     sb ++= "\n" + finalSelect
+    sb.toString
+  }
+
+  /** Katz oracle: replay the fixed-point rounds — x_i(v) = 10⁶ +
+    * Σ_{u→v} x_{i−1}(u) // atten. All arithmetic is BIGINT (DuckDB's
+    * `//` floors ≡ Spark's `div` truncation on these non-negative
+    * values; SUM(BIGINT) runs in HUGEINT, same exact integers); the
+    * only floating-point op is the final /1e6 of an
+    * exactly-representable integer. */
+  private def katzOracleSql(rounds: Int, atten: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (\n$UnifiedEdgesSql\n),\n"
+    sb ++= """verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+             |x0 AS (SELECT vid, CAST(1000000 AS BIGINT) AS x FROM verts)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+                |c$i AS (SELECT e.dst AS vid, CAST(SUM(r.x) AS BIGINT) AS in_sum
+                |  FROM e JOIN x${i - 1} r ON e.src = r.vid GROUP BY e.dst),
+                |x$i AS (SELECT v.vid,
+                |  CAST(1000000 + COALESCE(c.in_sum, 0) // $atten AS BIGINT) AS x
+                |  FROM verts v LEFT JOIN c$i c ON c.vid = v.vid)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CASE vid // 17592186044416
+              |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+              |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+              |  vid % 17592186044416 AS node_id,
+              |  CAST(x AS DOUBLE) / 1000000.0 AS katz
+              |FROM x$rounds""".stripMargin
     sb.toString
   }
 
@@ -1977,6 +2024,7 @@ object AnalyticsQueries {
     "g_random_walks" -> walkOracleSql(WalkCount, WalkSteps),
     "g_sssp" -> ssspOracleSql(SsspRounds),
     "g_pagerank" -> pagerankOracleSql(PrRounds, PrReset),
+    "g_katz" -> katzOracleSql(KatzRounds, KatzAtten),
     "g_skew_pagerank" -> pagerankOracleSqlOver(SkewEdgesSql, SkewPrRounds, PrReset,
       s"""SELECT vid AS node_id, CAST(rank_micro AS DOUBLE) / 1000000.0 AS pagerank
          |FROM r$SkewPrRounds""".stripMargin),

@@ -283,6 +283,32 @@ object PipelineQueries {
     Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** kNN classification over the embedding corpus — the
+    * label-propagation form of a trained quality/topic classifier: each
+    * held-out vector takes the majority `label` of its 5 nearest
+    * labeled neighbors (vote ties → smaller label; the top-k boundary
+    * itself ties on neighbor_id, both exact). Composes the proven
+    * cosine top-k with one vote aggregation — candidates cross the wire
+    * as (query, neighbor) ids, labels attach by an id join, and at
+    * corpus scale the top-k leg swaps to the IVF index unchanged. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "embeddings")
+    val test = e.where(col("vec_id") < 10)
+    val train = e.where(col("vec_id") >= 10)
+    val topk = Similarity.bruteForceTopK(train, test, "vec_id", "embedding", k = 5)
+    val votes = topk
+      .join(train.select(col("vec_id").as("neighbor_id"), col("label")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(test.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+  }
+
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     Similarity.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -531,6 +557,7 @@ object PipelineQueries {
     "ss_rp_reduce" -> (rpReduce _),
     "dd_cluster" -> (cluster _),
     "ss_cosine_topk" -> (cosineTopK _),
+    "ss_knn_classify" -> (knnClassify _),
     "ss_lsh_topk" -> (lshTopK _),
     "ss_ivf_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
@@ -1253,6 +1280,30 @@ object PipelineQueries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
         |LEFT JOIN reach r ON r.src = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+    "ss_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c_vec, label
+        |  FROM embeddings WHERE vec_id >= 10),
+        |pairs AS (
+        |  SELECT query_id, neighbor_id, label,
+        |    CASE WHEN sqrt(list_dot_product(q_vec,q_vec)) * sqrt(list_dot_product(c_vec,c_vec)) = 0 THEN 0.0
+        |      ELSE list_dot_product(q_vec, c_vec)
+        |        / (sqrt(list_dot_product(q_vec,q_vec)) * sqrt(list_dot_product(c_vec,c_vec))) END AS cosine_sim
+        |  FROM c, q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        |  FROM pairs),
+        |votes AS (SELECT query_id, label, COUNT(*) AS votes FROM ranked
+        |  WHERE rank <= 5 GROUP BY 1, 2),
+        |best AS (SELECT query_id, label AS pred_label, votes FROM (
+        |    SELECT query_id, label, votes,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT b.query_id, t.label AS true_label, b.pred_label, b.votes
+        |FROM best b JOIN (SELECT vec_id, label FROM embeddings WHERE vec_id < 10) t
+        |  ON t.vec_id = b.query_id""".stripMargin,
     "ss_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
         |  FROM embeddings WHERE vec_id < 10),

@@ -350,7 +350,40 @@ object TextQueries {
     graft.operators.Bpe.docTokenCounts(
       Tables(s, dir, "documents"), "doc_id", "text", bpeModel(s, dir))
 
+  // --- Naive Bayes classifier (SURVEY §2 row 34j) ---------------------
+  // Trained on the derandomized md5 train split (204/256 buckets),
+  // applied to the complement — the language classifier a curation
+  // pipeline trains on labeled data and runs over everything. Both the
+  // model stats and the full train→predict→confusion round trip are
+  // exact (quantized-log decimals), so the oracle re-derives the
+  // trained model AND every prediction in SQL.
+  private val NbTrainBuckets = 204
+
+  private def nbSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables(s, dir, "documents").withColumn("split",
+      TA.splitAssign(col("doc_id"), Seq("train" -> NbTrainBuckets, "test" -> (256 - NbTrainBuckets))))
+    (d.where(col("split") === "train"), d.where(col("split") === "test"))
+  }
+
+  def nbModel(s: SparkSession, dir: String): DataFrame = {
+    val (train, _) = nbSplit(s, dir)
+    // decimals surface as doubles: one exact cast of the 6dp-quantized
+    // value on both engines (DuckDB returns decimals as float64 anyway)
+    graft.operators.TextClassifier.nbClassStats(train, "text", "lang")
+      .withColumn("prior", col("prior").cast("double"))
+      .withColumn("dflt_logp", col("dflt_logp").cast("double"))
+  }
+
+  def nbConfusion(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = nbSplit(s, dir)
+    graft.operators.TextClassifier.nbPredict(train, test, "doc_id", "text", "lang")
+      .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_nb_model" -> (nbModel _),
+    "tx_nb_confusion" -> (nbConfusion _),
     "tx_bpe_merges" -> (bpeMerges _),
     "tx_bpe_tokens" -> (bpeTokenFreq _),
     "tx_bpe_doclen" -> (bpeDocLen _),
@@ -386,6 +419,60 @@ object TextQueries {
 
   /** Split buckets in SQL: first md5 hex pair → 0-255 via a generated
     * lookup (DuckDB has no base-16 conv). */
+  /** Shared NB-oracle prefix: md5 train/test split, train token counts,
+    * vocabulary, and the per-class constants (prior, unseen-token
+    * default) — ln quantized to 6dp DECIMAL exactly as the engine does. */
+  private val nbBaseCte: String = {
+    val hexvals = (0 until 256).map(i => f"('$i%02x', $i)").mkString(", ")
+    s"""hexmap(hx, val) AS (VALUES $hexvals),
+       |assigned AS (
+       |  SELECT d.*, CASE WHEN m.val < $NbTrainBuckets THEN 'train' ELSE 'test' END AS split
+       |  FROM documents d
+       |  JOIN hexmap m ON m.hx = substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)),
+       |rawtok AS (SELECT doc_id, lang,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM assigned WHERE split = 'train'),
+       |cnt AS (SELECT lang AS cls, tok, COUNT(*) AS c FROM rawtok
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |tot AS (SELECT cls, SUM(c) AS t FROM cnt GROUP BY 1),
+       |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM cnt),
+       |docs AS (SELECT lang AS cls, COUNT(*) AS nd FROM assigned
+       |  WHERE split = 'train' GROUP BY 1),
+       |ndt AS (SELECT SUM(nd) AS ndt FROM docs),
+       |classes AS (SELECT cls, nd, COALESCE(t, 0) AS t, v,
+       |    CAST(round(ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior,
+       |    CAST(round(ln(1.0 / CAST(COALESCE(t, 0) + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS dflt
+       |  FROM docs LEFT JOIN tot USING (cls) CROSS JOIN vocab CROSS JOIN ndt)""".stripMargin
+  }
+
+  private val nbModelOracle: String =
+    s"""WITH $nbBaseCte
+       |SELECT cls AS label, CAST(nd AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS n_tokens,
+       |  CAST(v AS BIGINT) AS vocab, prior, dflt AS dflt_logp
+       |FROM classes""".stripMargin
+
+  private val nbConfusionOracle: String =
+    s"""WITH $nbBaseCte,
+       |logp AS (SELECT cls, tok,
+       |    CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM cnt JOIN tot USING (cls) CROSS JOIN vocab),
+       |tstok AS (SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |    FROM assigned WHERE split = 'test') WHERE tok <> ''),
+       |contrib AS (SELECT s.doc_id, c.cls, SUM(COALESCE(l.lp, c.dflt)) AS sc
+       |  FROM tstok s CROSS JOIN classes c
+       |  LEFT JOIN logp l ON l.cls = c.cls AND l.tok = s.tok
+       |  GROUP BY 1, 2),
+       |scores AS (SELECT a.doc_id, a.lang, c.cls, c.prior + COALESCE(ct.sc, 0) AS score
+       |  FROM assigned a CROSS JOIN classes c
+       |  LEFT JOIN contrib ct ON ct.doc_id = a.doc_id AND ct.cls = c.cls
+       |  WHERE a.split = 'test'),
+       |pred AS (SELECT doc_id, lang, cls AS pred FROM (
+       |    SELECT doc_id, lang, cls,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+       |    FROM scores) WHERE rn = 1)
+       |SELECT lang, pred, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2""".stripMargin
+
   private val splitOracle: String = {
     val hexvals = (0 until 256).map(i => f"('$i%02x', $i)").mkString(", ")
     s"""WITH hexmap(hx, val) AS (VALUES $hexvals),
@@ -805,6 +892,8 @@ object TextQueries {
          |SELECT doc_id, CAST(bm25_dec AS DOUBLE) AS bm25,
          |       CAST(n_matched AS BIGINT) AS n_matched
          |FROM ranked WHERE rn <= 50""".stripMargin,
+    "tx_nb_model" -> nbModelOracle,
+    "tx_nb_confusion" -> nbConfusionOracle,
     "tx_chunk" -> chunkOracle,
     "tx_unigram_logprob" -> unigramLogprobOracle,
     "tx_bigram_logprob" -> bigramLogprobOracle,

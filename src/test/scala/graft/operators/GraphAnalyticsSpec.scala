@@ -378,6 +378,26 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(authMass <= n + 1e-9 && authMass > n - n * 1e-6 - 1e-3, s"auth mass $authMass")
   }
 
+  test("Katz centrality: hand-computed two rounds, sparse defaults exact") {
+    // 1->3, 2->3, 3->4; atten=4, beta=1e6.
+    // Round 1: in(3)=2e6 -> x=1e6+500000; in(4)=1e6 -> x=1e6+250000.
+    // Round 2: in(3)=x1(1)+x1(2)=2e6 -> 1.5e6 again;
+    //          in(4)=x1(3)=1.5e6 -> 1e6+375000. 1,2 stay exactly beta.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.katzCentralityDF(edges, numIter = 2, atten = 4L)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.5, 4L -> 1.375))
+  }
+
+  test("Katz centrality: cycle symmetry and geometric accumulation") {
+    // 3-cycle, atten=2: x_i = 1e6 + x_{i-1}/2 for every vertex ->
+    // after 5 rounds x = 1e6 * (1 + 1/2 + ... + 1/32 truncated) = 1.96875.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = GraphAnalytics.katzCentralityDF(edges, numIter = 5, atten = 2L)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.96875, 2L -> 1.96875, 3L -> 1.96875))
+  }
+
   test("link features: hand-computed wedge graph, anchored and unanchored") {
     // edges (1,2),(2,3),(1,3),(3,4): deg 1=2, 2=2, 3=3, 4=1
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("item_a", "item_b")
