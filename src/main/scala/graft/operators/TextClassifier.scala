@@ -48,25 +48,29 @@ object TextClassifier {
     * unseen token contributes dflt_logp = round(ln(1/(n_tokens+V)),6)
     * to that class's score. */
   def nbClassStats(train: DataFrame, textCol: String, labelCol: String): DataFrame = {
-    val (cnt, vocab, docs) = trainCounts(train, textCol, labelCol)
-    classStatsDF(cnt, vocab, docs)
+    val (cnt, docs) = trainCounts(train, textCol, labelCol)
+    classStatsDF(cnt, vocabSize(cnt), docs)
   }
 
-  /** (class, token) counts + vocab size + per-class doc counts. `cnt` is
-    * checkpointed — it feeds the vocab count, the totals, and the
-    * per-token log-likelihoods. */
-  private def trainCounts(train: DataFrame, textCol: String, labelCol: String)
-      : (DataFrame, Long, DataFrame) = {
+  /** The model's sufficient statistics — (class, token) counts and
+    * per-class doc counts. Pure counts merge by ADDITION, which is what
+    * makes the streaming twin ([[graft.streaming.StreamingNb]]) exact.
+    * `cnt` is checkpointed — it feeds the vocab count, the totals, and
+    * the per-token log-likelihoods. */
+  private[graft] def trainCounts(train: DataFrame, textCol: String, labelCol: String)
+      : (DataFrame, DataFrame) = {
     val cnt = toks(train, Seq(col(labelCol).cast("string").as("__cls")), textCol)
       .groupBy("__cls", "tok").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val vocab = cnt.select("tok").distinct().count()
     val docs = train.groupBy(col(labelCol).cast("string").as("__cls"))
       .agg(count(lit(1)).as("nd"))
-    (cnt, vocab, docs)
+    (cnt, docs)
   }
 
-  private def classStatsDF(cnt: DataFrame, vocab: Long, docs: DataFrame): DataFrame = {
+  private[graft] def vocabSize(cnt: DataFrame): Long =
+    cnt.select("tok").distinct().count()
+
+  private[graft] def classStatsDF(cnt: DataFrame, vocab: Long, docs: DataFrame): DataFrame = {
     val tot = cnt.groupBy("__cls").agg(sum(col("c")).as("t"))
     // a class whose every train doc is empty has docs but no tokens —
     // left join keeps it (t = 0; smoothing still defines its model)
@@ -85,8 +89,14 @@ object TextClassifier {
     * label). Test docs with zero tokens score exactly the priors. */
   def nbPredict(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
-    val spark = train.sparkSession
-    val (cnt, vocab, docs) = trainCounts(train, textCol, labelCol)
+    val (cnt, docs) = trainCounts(train, textCol, labelCol)
+    nbPredictFromCounts(cnt, docs, vocabSize(cnt), test, idCol, textCol)
+  }
+
+  /** [[nbPredict]] from pre-aggregated sufficient statistics — the entry
+    * point the streaming twin folds its per-batch count blocks into. */
+  private[graft] def nbPredictFromCounts(cnt: DataFrame, docs: DataFrame,
+      vocab: Long, test: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stats = classStatsDF(cnt, vocab, docs)
       .select("label", "prior", "dflt_logp", "n_tokens")
       .collect()
