@@ -218,6 +218,54 @@ object PropertyGraphIO {
     }
   }
 
+  /** On-disk generations of a node table, ascending: (generation,
+    * isCurrent). Generation 0 is the flat layout [[save]] writes (part
+    * files directly under the table root); gen-N directories are the
+    * upsert generations still inside [[vacuum]]'s retention window —
+    * together they ARE the time-travel index, no extra manifest needed
+    * (the Delta-style transaction log collapses to the `_current`
+    * pointer + directory listing because generations here are whole
+    * table snapshots, not deltas). */
+  def nodeGenerations(root: String, label: String): Seq[(Long, Boolean)] = {
+    import java.nio.file.{Files, Paths}
+    val tableRoot = Paths.get(root, "nodes", label)
+    require(Files.isDirectory(tableRoot), s"no node table at $tableRoot")
+    val ptr = tableRoot.resolve(CurrentPtr)
+    val current: Long =
+      if (Files.exists(ptr)) Files.readString(ptr).trim.stripPrefix("gen-").toLong
+      else 0L
+    val stream = Files.list(tableRoot)
+    val gens = try {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var hasFlat = false
+      stream.forEach { child =>
+        val name = child.getFileName.toString
+        if (name.startsWith("gen-") && Files.isDirectory(child))
+          b += name.stripPrefix("gen-").toLong
+        else if (name.endsWith(".parquet")) hasFlat = true
+      }
+      (if (hasFlat) Seq(0L) else Nil) ++ b.sorted
+    } finally stream.close()
+    gens.map(g => (g, g == current))
+  }
+
+  /** Time-travel read: the node table AS OF `generation` — 0 = the
+    * original [[save]] snapshot, N = the state after the Nth upsert.
+    * Every generation is a complete snapshot, so the read is one plain
+    * parquet scan (footer stats, pruning and bucketing all intact);
+    * fails loudly if the generation was [[vacuum]]ed away. */
+  def loadNodesAt(spark: SparkSession, root: String, label: String,
+      generation: Long): org.apache.spark.sql.DataFrame = {
+    val known = nodeGenerations(root, label).map(_._1).toSet
+    require(known(generation),
+      s"generation $generation of $label is not on disk (have ${known.toSeq.sorted
+        .mkString(", ")}) — vacuumed or never written")
+    // the flat snapshot's part files live beside the gen-N dirs, so the
+    // generation-0 read globs only its own files
+    if (generation == 0L) spark.read.parquet(s"$root/nodes/$label/*.parquet")
+    else spark.read.parquet(s"$root/nodes/$label/gen-$generation")
+  }
+
   /** The declared identifier property of a label, from the manifest alone
     * (no table reads) — what streaming upsert sinks key their merges on. */
   def identifierOf(root: String, label: String): String =

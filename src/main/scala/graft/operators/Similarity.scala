@@ -422,7 +422,15 @@ object Similarity {
       explode(nearestCells(model.centroids, col(vecCol), nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    q.join(c, Seq("cell"))
+    // EXPLICIT broadcast of the probe side — |queries|·nProbe rows, tiny
+    // by the operator's contract (the bruteForceTopK trade: a probe set,
+    // not a second corpus). Without the hint the planner's choice decays
+    // with CORPUS size: past the auto-broadcast threshold it re-exchanges
+    // the whole corpus keyed on `cell` — nCells distinct values, i.e. a
+    // 16-key skew shuffle at 100 TB (caught by the sf10 probe: 0 → 55 MB
+    // corpus exchange at 10× data, wall 9 → 32 s). With the hint the
+    // join preserves the index's own partitioning at any corpus scale.
+    broadcast(q).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
         when(col("q_norm") * col("c_norm") === 0.0, lit(0.0))
@@ -477,7 +485,9 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    q.join(c, Seq("cell"))
+    // same probe-side broadcast as ivfTopKAssigned (see its scaladoc):
+    // q is ≤ |queries|·nProbe rows after the window cut
+    broadcast(q).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
         when(col("q_norm") * col("c_norm") === 0.0, lit(0.0))

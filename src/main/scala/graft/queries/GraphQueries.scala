@@ -371,6 +371,49 @@ object GraphQueries {
     } finally graft.tools.Fs.deleteRecursively(root)
   }
 
+  /** Time travel over the copy-on-write layout: save the Nation table,
+    * upsert twice (each upsert writes a NEW whole-snapshot generation and
+    * flips `_current`), then read ALL generations still inside the vacuum
+    * retention window — generation 0 (the original save), 1 and 2 — as
+    * one unioned history frame. The oracle replays each snapshot's merge
+    * semantics from `nation` directly, so the on-disk generation chain is
+    * hash-checked end to end, not just counted. */
+  def graphTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{GraphSchema, LabelSchema, PropertyGraph, PropertyGraphIO}
+    val root = java.nio.file.Files.createTempDirectory("graft_timetravel").toString
+    try {
+      val nation = graft.Tables(s, dir, "nation")
+      val g = PropertyGraph(
+        nodes = Map("Nation" -> nation),
+        rels = Map.empty,
+        schema = GraphSchema(
+          labels = Seq(LabelSchema("Nation", "n_nationkey", Nil)), rels = Nil))
+      PropertyGraphIO.save(g, root, bucketsPerTable = 2)
+      val b1 = nation.where(col("n_nationkey") < 5)
+        .withColumn("n_name", lit("V1"))
+        .unionByName(nation.where(col("n_nationkey") === 10)
+          .withColumn("n_nationkey", lit(990))
+          .withColumn("n_name", lit("NEWLAND"))
+          .withColumn("n_regionkey", lit(0)))
+      PropertyGraphIO.upsertNodes(s, root, "Nation", b1, bucketsPerTable = 2)
+      val b2 = nation.where(col("n_nationkey") < 3)
+        .withColumn("n_name", lit("V2"))
+        .unionByName(nation.where(col("n_nationkey") === 10)
+          .withColumn("n_nationkey", lit(991))
+          .withColumn("n_name", lit("NEWLAND2"))
+          .withColumn("n_regionkey", lit(1)))
+      PropertyGraphIO.upsertNodes(s, root, "Nation", b2, bucketsPerTable = 2)
+      PropertyGraphIO.nodeGenerations(root, "Nation")
+        .map { case (gen, _) =>
+          PropertyGraphIO.loadNodesAt(s, root, "Nation", gen)
+            .select(lit(gen).as("generation"), col("n_nationkey"),
+              col("n_name"), col("n_regionkey"))
+        }
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+    } finally graft.tools.Fs.deleteRecursively(root)
+  }
+
   /** Schema-evolution diff between two exports, driver-checked: the
     * "before" schema is the real graph's schema with Supplier (label +
     * its two patterns) and Customer.c_mktsegment removed — the shape of
@@ -615,6 +658,7 @@ object GraphQueries {
     "g_model_versions" -> (modelVersions _),
     "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
     "g_graph_upsert" -> (graphUpsert _),
+    "g_graph_time_travel" -> (graphTimeTravel _),
     "g_model_diff" -> (modelDiff _),
     "g_pattern_match" -> (patternMatch _),
     "g_model_mappings" -> (modelMappings _),
@@ -807,6 +851,18 @@ object GraphQueries {
         |  n_regionkey
         |FROM nation
         |UNION ALL SELECT 990, 'NEWLAND', 0""".stripMargin,
+    "g_graph_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS generation, n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT 1, n_nationkey,
+        |  CASE WHEN n_nationkey < 5 THEN 'V1' ELSE n_name END, n_regionkey FROM nation
+        |UNION ALL SELECT 1, 990, 'NEWLAND', 0
+        |UNION ALL
+        |SELECT 2, n_nationkey,
+        |  CASE WHEN n_nationkey < 3 THEN 'V2'
+        |       WHEN n_nationkey < 5 THEN 'V1' ELSE n_name END, n_regionkey FROM nation
+        |UNION ALL SELECT 2, 990, 'NEWLAND', 0
+        |UNION ALL SELECT 2, 991, 'NEWLAND2', 1""".stripMargin,
     "g_graph_io_roundtrip" ->
       """SELECT 'node' AS kind, 'Region' AS name, COUNT(*) AS n_rows FROM region WHERE r_regionkey IS NOT NULL
         |UNION ALL SELECT 'node', 'Nation', COUNT(*) FROM nation WHERE n_nationkey IS NOT NULL

@@ -107,4 +107,40 @@ class PropertyGraphIOSpec extends SparkTestBase {
     assert(gens() == Set("gen-2"))
     assert(PropertyGraphIO.load(spark, root).nodes("Nation").count() == n0 + 1)
   }
+
+  test("time travel: every retained generation reads as its own snapshot") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val g0 = TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft-pgio-tt").toString
+    PropertyGraphIO.save(g0, root, bucketsPerTable = 2)
+    val nation = g0.nodes("Nation")
+    val n0 = nation.count()
+    val b1 = nation.where(col("n_nationkey") < 2).withColumn("n_name", lit("G1"))
+    PropertyGraphIO.upsertNodes(spark, root, "Nation", b1, bucketsPerTable = 2)
+    val b2 = nation.where(col("n_nationkey") === 3)
+      .withColumn("n_nationkey", lit(990L)).withColumn("n_name", lit("NEW"))
+    PropertyGraphIO.upsertNodes(spark, root, "Nation", b2, bucketsPerTable = 2)
+
+    assert(PropertyGraphIO.nodeGenerations(root, "Nation") ==
+      Seq((0L, false), (1L, false), (2L, true)))
+    // gen 0: the original save — no G1, no 990
+    val at0 = PropertyGraphIO.loadNodesAt(spark, root, "Nation", 0L)
+    assert(at0.count() == n0 && at0.where(col("n_name") === "G1").count() == 0)
+    // gen 1: G1 applied, 990 absent
+    val at1 = PropertyGraphIO.loadNodesAt(spark, root, "Nation", 1L)
+    assert(at1.where(col("n_name") === "G1").count() == 2)
+    assert(at1.where(col("n_nationkey") === 990L).count() == 0)
+    // gen 2 = current
+    val at2 = PropertyGraphIO.loadNodesAt(spark, root, "Nation", 2L)
+    assert(at2.where(col("n_nationkey") === 990L).count() == 1)
+    assert(at2.count() == n0 + 1)
+
+    // vacuum shrinks the time-travel window; reads past it fail loudly
+    PropertyGraphIO.vacuum(root)
+    assert(PropertyGraphIO.nodeGenerations(root, "Nation") ==
+      Seq((0L, false), (2L, true)))
+    intercept[IllegalArgumentException](
+      PropertyGraphIO.loadNodesAt(spark, root, "Nation", 1L))
+    assert(PropertyGraphIO.loadNodesAt(spark, root, "Nation", 2L).count() == n0 + 1)
+  }
 }
