@@ -266,6 +266,32 @@ object PropertyGraphIO {
     else spark.read.parquet(s"$root/nodes/$label/gen-$generation")
   }
 
+  /** Change-data-capture diff between two retained generations (the
+    * Delta CHANGE DATA FEED read, derived rather than logged): one
+    * full-outer join of the two snapshots on the label's identifier,
+    * classifying each key as insert (absent before), delete (absent
+    * after) or update (any column differs — null-safe struct compare).
+    * Because generations are whole snapshots written with the same
+    * bucket layout, the join co-partitions at any scale and unchanged
+    * rows never leave the executor. Returns (op, <identifier>, __before,
+    * __after) with the full row as a struct on each side. */
+  def cdcNodes(spark: SparkSession, root: String, label: String,
+      fromGen: Long, toGen: Long): org.apache.spark.sql.DataFrame = {
+    val id = identifierOf(root, label)
+    val a = loadNodesAt(spark, root, label, fromGen)
+    val cols = a.columns.toSeq
+    val b = loadNodesAt(spark, root, label, toGen).select(cols.map(col): _*)
+    val sa = a.select(col(id).as("__k"), struct(cols.map(col): _*).as("__before"))
+    val sb = b.select(col(id).as("__k"), struct(cols.map(col): _*).as("__after"))
+    sa.join(sb, Seq("__k"), "full_outer")
+      .withColumn("op",
+        when(col("__before").isNull, lit("insert"))
+          .when(col("__after").isNull, lit("delete"))
+          .when(!(col("__before") <=> col("__after")), lit("update")))
+      .where(col("op").isNotNull)
+      .select(col("op"), col("__k").as(id), col("__before"), col("__after"))
+  }
+
   /** The declared identifier property of a label, from the manifest alone
     * (no table reads) — what streaming upsert sinks key their merges on. */
   def identifierOf(root: String, label: String): String =

@@ -93,4 +93,43 @@ object TimeSeries {
         - col("__rn")).as("n_events"),
       lead(col(tUsCol), 1).over(w).isNull.as("is_current"))
   }
+
+  /** Trailing-window z-score anomaly flags — the online data-quality
+    * monitor every ingestion pipeline runs (a value is anomalous when it
+    * deviates > `threshold`σ from its key's own trailing `window`
+    * observations; the window excludes the current row, so an outlier
+    * never masks itself). Cross-engine determinism: values quantize to
+    * 6dp DECIMAL once, the window SUMS (Σv, Σv²) are exact decimals, and
+    * mean/variance/z run as the identical double expression in both
+    * engines (multiplication, not pow — libm pow(x,2) can differ from
+    * x·x by an ulp); z is 6dp-rounded for output. Rows with fewer than
+    * `minObs` trailing observations (or zero variance) get null z/flag —
+    * a cold key is unknown, not normal.
+    *
+    * Scale shape: ONE hash(key) exchange into per-key sorted windows —
+    * rows-frame running aggregates are O(1) per row; nothing collected,
+    * nothing quadratic. */
+  def rollingZscore(df: DataFrame, keyCol: String, tCol: String,
+      idCol: String, valueCol: String, window: Int = 24, minObs: Int = 8,
+      threshold: Double = 3.0): DataFrame = {
+    require(window >= minObs && minObs >= 2, s"need window >= minObs >= 2")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol), col(idCol))
+      .rowsBetween(-window, -1)
+    df.where(col(keyCol).isNotNull && col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol), col(keyCol), col(tCol),
+        round(col(valueCol), 6).cast("decimal(18,6)").as("__vq"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("__m",
+        sum(col("__vq")).over(w).cast("double") / col("n_window").cast("double"))
+      .withColumn("__var",
+        sum(col("__vq") * col("__vq")).over(w).cast("double") /
+          col("n_window").cast("double") - col("__m") * col("__m"))
+      .withColumn("zscore",
+        when(col("n_window") >= minObs && col("__var") > 0.0,
+          round((col("__vq").cast("double") - col("__m")) / sqrt(col("__var")), 6)))
+      .withColumn("is_anomaly",
+        when(col("zscore").isNotNull, abs(col("zscore")) > threshold))
+      .select(col(idCol), col(keyCol), col("n_window"), col("zscore"),
+        col("is_anomaly"))
+  }
 }

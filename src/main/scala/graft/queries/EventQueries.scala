@@ -209,6 +209,17 @@ object EventQueries {
         col("obs_value"), col("filled_value"), col("is_gap"))
   }
 
+  /** Trailing-window z-score anomaly flags per user (TimeSeries
+    * .rollingZscore): the online data-quality monitor — exact decimal
+    * window sums, identical double mean/variance/z expression in both
+    * engines, null z for cold keys. */
+  def rollingZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("user_id") < 200)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"),
+        col("value"))
+    graft.operators.TimeSeries.rollingZscore(ev, "user_id", "t_us", "event_id", "value")
+  }
+
   /** Time-based RANGE frame windows — the frame kind ROWS cannot
     * emulate on irregular events: per user, the trailing-24h event
     * count and exact-decimal mean value AT EACH event. The frame is a
@@ -242,6 +253,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_scd2" -> (scd2 _),
     "ev_rolling_24h" -> (rolling24h _),
+    "ev_rolling_zscore" -> (rollingZscore _),
     "ev_gapfill" -> (gapFill _),
     "ev_funnel" -> (funnel _),
     "ev_between_rewrite" -> (betweenRewrite _),
@@ -282,6 +294,29 @@ object EventQueries {
         |      FROM events WHERE user_id < 50)
         |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
         |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ev_rolling_zscore" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS vq
+        |  FROM events WHERE user_id < 200 AND value IS NOT NULL),
+        |w AS (SELECT event_id, user_id, vq,
+        |    COUNT(*) OVER win AS n_window,
+        |    SUM(vq) OVER win AS s1,
+        |    SUM(vq * vq) OVER win AS s2
+        |  FROM v WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT event_id, user_id, vq, n_window,
+        |    CAST(s1 AS DOUBLE) / CAST(n_window AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n_window AS DOUBLE) AS m2
+        |  FROM w WHERE n_window > 0
+        |  UNION ALL SELECT event_id, user_id, vq, n_window, NULL, NULL
+        |  FROM w WHERE n_window = 0),
+        |z AS (SELECT event_id, user_id, CAST(n_window AS BIGINT) AS n_window,
+        |    CASE WHEN n_window >= 8 AND m2 - mu * mu > 0
+        |      THEN round((CAST(vq AS DOUBLE) - mu) / sqrt(m2 - mu * mu), 6) END AS zscore
+        |  FROM m)
+        |SELECT event_id, user_id, n_window, zscore,
+        |  CASE WHEN zscore IS NOT NULL THEN abs(zscore) > 3.0 END AS is_anomaly
+        |FROM z""".stripMargin,
     "ev_gapfill" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us, value
         |  FROM events WHERE user_id < 50),

@@ -378,31 +378,41 @@ object GraphQueries {
     * one unioned history frame. The oracle replays each snapshot's merge
     * semantics from `nation` directly, so the on-disk generation chain is
     * hash-checked end to end, not just counted. */
-  def graphTimeTravel(s: SparkSession, dir: String): DataFrame = {
+  /** Shared fixture for the time-travel/CDC queries: save the Nation
+    * table, then two upserts — gen-1 rewrites keys <5 to V1 and inserts
+    * 990, gen-2 rewrites keys <3 to V2 and inserts 991. Caller deletes
+    * the returned scratch root. */
+  private def threeGenerationRoot(s: SparkSession, dir: String): String = {
     import graft.model.{GraphSchema, LabelSchema, PropertyGraph, PropertyGraphIO}
     val root = java.nio.file.Files.createTempDirectory("graft_timetravel").toString
+    val nation = graft.Tables(s, dir, "nation")
+    val g = PropertyGraph(
+      nodes = Map("Nation" -> nation),
+      rels = Map.empty,
+      schema = GraphSchema(
+        labels = Seq(LabelSchema("Nation", "n_nationkey", Nil)), rels = Nil))
+    PropertyGraphIO.save(g, root, bucketsPerTable = 2)
+    val b1 = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_name", lit("V1"))
+      .unionByName(nation.where(col("n_nationkey") === 10)
+        .withColumn("n_nationkey", lit(990))
+        .withColumn("n_name", lit("NEWLAND"))
+        .withColumn("n_regionkey", lit(0)))
+    PropertyGraphIO.upsertNodes(s, root, "Nation", b1, bucketsPerTable = 2)
+    val b2 = nation.where(col("n_nationkey") < 3)
+      .withColumn("n_name", lit("V2"))
+      .unionByName(nation.where(col("n_nationkey") === 10)
+        .withColumn("n_nationkey", lit(991))
+        .withColumn("n_name", lit("NEWLAND2"))
+        .withColumn("n_regionkey", lit(1)))
+    PropertyGraphIO.upsertNodes(s, root, "Nation", b2, bucketsPerTable = 2)
+    root
+  }
+
+  def graphTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.PropertyGraphIO
+    val root = threeGenerationRoot(s, dir)
     try {
-      val nation = graft.Tables(s, dir, "nation")
-      val g = PropertyGraph(
-        nodes = Map("Nation" -> nation),
-        rels = Map.empty,
-        schema = GraphSchema(
-          labels = Seq(LabelSchema("Nation", "n_nationkey", Nil)), rels = Nil))
-      PropertyGraphIO.save(g, root, bucketsPerTable = 2)
-      val b1 = nation.where(col("n_nationkey") < 5)
-        .withColumn("n_name", lit("V1"))
-        .unionByName(nation.where(col("n_nationkey") === 10)
-          .withColumn("n_nationkey", lit(990))
-          .withColumn("n_name", lit("NEWLAND"))
-          .withColumn("n_regionkey", lit(0)))
-      PropertyGraphIO.upsertNodes(s, root, "Nation", b1, bucketsPerTable = 2)
-      val b2 = nation.where(col("n_nationkey") < 3)
-        .withColumn("n_name", lit("V2"))
-        .unionByName(nation.where(col("n_nationkey") === 10)
-          .withColumn("n_nationkey", lit(991))
-          .withColumn("n_name", lit("NEWLAND2"))
-          .withColumn("n_regionkey", lit(1)))
-      PropertyGraphIO.upsertNodes(s, root, "Nation", b2, bucketsPerTable = 2)
       PropertyGraphIO.nodeGenerations(root, "Nation")
         .map { case (gen, _) =>
           PropertyGraphIO.loadNodesAt(s, root, "Nation", gen)
@@ -410,6 +420,23 @@ object GraphQueries {
               col("n_name"), col("n_regionkey"))
         }
         .reduce(_ unionByName _)
+        .localCheckpoint(true)
+    } finally graft.tools.Fs.deleteRecursively(root)
+  }
+
+  /** Change-data-capture read over the generation chain (48d): what
+    * changed between the original save (gen 0) and the current snapshot
+    * (gen 2) — inserts 990/991 and the V1/V2 rewrites of keys <5, no
+    * deletes (upsert never removes). The oracle re-derives every change
+    * row from `nation` and the two batch definitions. */
+  def graphCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.PropertyGraphIO
+    val root = threeGenerationRoot(s, dir)
+    try {
+      PropertyGraphIO.cdcNodes(s, root, "Nation", fromGen = 0L, toGen = 2L)
+        .select(col("op"), col("n_nationkey"),
+          col("__before.n_name").as("name_before"),
+          col("__after.n_name").as("name_after"))
         .localCheckpoint(true)
     } finally graft.tools.Fs.deleteRecursively(root)
   }
@@ -659,6 +686,7 @@ object GraphQueries {
     "g_graph_io_roundtrip" -> (graphIoRoundtrip _),
     "g_graph_upsert" -> (graphUpsert _),
     "g_graph_time_travel" -> (graphTimeTravel _),
+    "g_graph_cdc" -> (graphCdc _),
     "g_model_diff" -> (modelDiff _),
     "g_pattern_match" -> (patternMatch _),
     "g_model_mappings" -> (modelMappings _),
@@ -851,6 +879,12 @@ object GraphQueries {
         |  n_regionkey
         |FROM nation
         |UNION ALL SELECT 990, 'NEWLAND', 0""".stripMargin,
+    "g_graph_cdc" ->
+      """SELECT 'update' AS op, n_nationkey, n_name AS name_before,
+        |  CASE WHEN n_nationkey < 3 THEN 'V2' ELSE 'V1' END AS name_after
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL SELECT 'insert', 990, CAST(NULL AS VARCHAR), 'NEWLAND'
+        |UNION ALL SELECT 'insert', 991, CAST(NULL AS VARCHAR), 'NEWLAND2'""".stripMargin,
     "g_graph_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS generation, n_nationkey, n_name, n_regionkey FROM nation
         |UNION ALL

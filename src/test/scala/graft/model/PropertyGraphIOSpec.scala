@@ -143,4 +143,27 @@ class PropertyGraphIOSpec extends SparkTestBase {
       PropertyGraphIO.loadNodesAt(spark, root, "Nation", 1L))
     assert(PropertyGraphIO.loadNodesAt(spark, root, "Nation", 2L).count() == n0 + 1)
   }
+
+  test("CDC diff classifies inserts, updates and (reversed) deletes; unchanged rows absent") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val g0 = TpchGraph.load(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft-pgio-cdc").toString
+    PropertyGraphIO.save(g0, root, bucketsPerTable = 2)
+    val nation = g0.nodes("Nation")
+    val b1 = nation.where(col("n_nationkey") < 2).withColumn("n_name", lit("G1"))
+      .unionByName(nation.where(col("n_nationkey") === 3)
+        .withColumn("n_nationkey", lit(990L)).withColumn("n_name", lit("NEW")))
+    PropertyGraphIO.upsertNodes(spark, root, "Nation", b1, bucketsPerTable = 2)
+
+    val fwd = PropertyGraphIO.cdcNodes(spark, root, "Nation", 0L, 1L)
+      .select(col("op"), col("n_nationkey"), col("__after.n_name").as("after"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fwd == Set(("update", 0L), ("update", 1L), ("insert", 990L)))
+    // reversed direction: the insert becomes a delete
+    val rev = PropertyGraphIO.cdcNodes(spark, root, "Nation", 1L, 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rev == Set(("update", 0L), ("update", 1L), ("delete", 990L)))
+    // identical generations diff to nothing
+    assert(PropertyGraphIO.cdcNodes(spark, root, "Nation", 1L, 1L).count() == 0)
+  }
 }

@@ -63,4 +63,33 @@ class TimeSeriesSpec extends SparkTestBase {
       TimeSeries.gapFillLocf(empty, "k", "t", "v", 0L)
     }
   }
+
+  test("rolling z-score: hand-computed spike, cold-key nulls, no self-masking") {
+    import spark.implicits._
+    // key 1: nine 10.0s then a 20.0 spike. At the spike the trailing
+    // window holds the nine 10s -> var = 0 -> null z (zero-variance
+    // guard); with values 10,12 alternating the spike z is computable.
+    val flat = (1 to 9).map(i => (1L, i.toLong, i.toLong, 10.0)) :+
+      ((1L, 10L, 10L, 20.0))
+    val gotFlat = TimeSeries.rollingZscore(
+      flat.toDF("k", "t", "id", "v"), "k", "t", "id", "v", window = 24, minObs = 8)
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(gotFlat(10L)._4.isEmpty, "zero-variance window must yield null z")
+    // first rows are cold (n_window < minObs) -> null z and flag
+    assert(gotFlat(3L)._3 == 2L && gotFlat(3L)._4.isEmpty && gotFlat(3L)._5.isEmpty)
+
+    // alternating 9,11 for 10 rows then a 30 spike: mu=10, var=1,
+    // z=(30-10)/1=20 -> anomalous; a following 10 is z=... within range
+    val alt = (1 to 10).map(i =>
+      (2L, i.toLong, i.toLong, if (i % 2 == 0) 11.0 else 9.0)) ++
+      Seq((2L, 11L, 11L, 30.0), (2L, 12L, 12L, 10.0))
+    val gotAlt = TimeSeries.rollingZscore(
+      alt.toDF("k", "t", "id", "v"), "k", "t", "id", "v", window = 24, minObs = 8)
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(gotAlt(11L)._4.contains(20.0) && gotAlt(11L)._5.contains(true))
+    // the spike sits in row 12's window but does not flag the normal 10
+    assert(gotAlt(12L)._5.contains(false))
+  }
 }
