@@ -110,6 +110,31 @@ object StreamEquiv {
     results += "ppr" -> s"""{"match":$pprMatch,"rows":$pprRows,"rps":${f"$pprRps%.1f"},"secs":${f"$pprSecs%.2f"}}"""
     println(s"[equiv] ppr match=$pprMatch rows=$pprRows rps=$pprRps")
 
+    // ---- StreamingNb over the full labeled documents corpus: fold the
+    // per-batch count blocks, then compare BOTH the trained class stats
+    // and the predictions over a held-out probe against the one-shot
+    // batch classifier on the identical input
+    val labeled = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().toSeq
+    val nbBatches = labeled.grouped(math.max(1, labeled.size / 10)).toSeq
+    val (nbRps, nbRows, nbSecs) = drive[(Long, String, String)](nbBatches, ms =>
+      graft.streaming.StreamingNb.countsStream(
+        ms.toDF().toDF("doc_id", "text", "lang"), "text", "lang",
+        s"$root/nb/counts", s"$root/nb/ckpt"))
+    val wholeNb = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val probe = wholeNb.where(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
+    val nbStatsMatch = sameRows(
+      graft.streaming.StreamingNb.currentClassStats(spark, s"$root/nb/counts"),
+      graft.operators.TextClassifier.nbClassStats(wholeNb, "text", "lang"))
+    val nbPredMatch = sameRows(
+      graft.streaming.StreamingNb.predict(spark, s"$root/nb/counts", probe, "doc_id", "text"),
+      graft.operators.TextClassifier.nbPredict(wholeNb, probe, "doc_id", "text", "lang"))
+    val nbMatch = nbStatsMatch && nbPredMatch
+    results += "nb" -> s"""{"match":$nbMatch,"rows":$nbRows,"rps":${f"$nbRps%.1f"},"secs":${f"$nbSecs%.2f"}}"""
+    println(s"[equiv] nb statsMatch=$nbStatsMatch predMatch=$nbPredMatch rows=$nbRows rps=$nbRps")
+
     // ---- rows/s-only families (BASELINE §6 gap): er, linkfeatures, skyline
     val customers = graft.Tables(spark, dir, "customer")
       .select(col("c_custkey").cast("long"), col("c_name"))
