@@ -56,17 +56,21 @@ object Betweenness {
       seed: Long = 11L, srcCol: String = "src", dstCol: String = "dst",
       broadcastState: Boolean = true): DataFrame = {
     require(nPivots >= 1 && horizon >= 1, "need nPivots >= 1, horizon >= 1")
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
+    val eRows = e0.count()
     // one staging exchange keyed by the message key v (the landmark
     // recipe): every forward σ-sum and reverse δ-sum then rides the
-    // pinned layout
-    val (eSrc, undParts) = GraphAnalytics.volumeStage(e0, 2 * e0.count())
+    // pinned layout. Level memory-budgeted ([[GraphAnalytics.pinLevel]]):
+    // at 10×-past-design volume a deserialized 2E-row pin is exactly the
+    // storage squeeze that OOM'd the sf10 probe — past the ceiling it
+    // holds serialized disk blocks instead (the r12 delta-3 recipe).
+    val (eSrc, undParts) = GraphAnalytics.volumeStage(e0, 2 * eRows)
     val und = GraphAnalytics.repartitionSized(
         eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
         undParts, col("v")).distinct()
-      .persist(MEMORY_AND_DISK)
+      .persist(GraphAnalytics.pinLevel(spark, 2 * eRows))
     val verts = und.select(col("u").as("vid")).distinct().localCheckpoint(true)
     val useBroadcast = broadcastState &&
       verts.count() * nPivots <= GraphAnalytics.maxBroadcastVerticesDyn
@@ -76,13 +80,27 @@ object Betweenness {
       .orderBy(col("p").asc, col("vid").asc).limit(nPivots)
       .select(col("vid").as("pivot")).localCheckpoint(true)
 
-    // ---- forward: levels(ℓ) = (vid, pivot, sigma) first reached at hop ℓ
+    // ---- forward: levels(ℓ) = (vid, pivot, sigma) first reached at hop ℓ.
+    // Levels and the running reached set are V·k-row state: every
+    // checkpoint is memory-budgeted (pinTwoPhase demotes past the heap
+    // ceiling), and reached generations roll — round i's set is dead the
+    // moment round i+1's materializes (the GenerationPin discipline; at
+    // sf10 the un-freed ⌈rounds⌉ deserialized generations were the OOM).
     val levels = ArrayBuffer[DataFrame]()
+    val levelRows = ArrayBuffer[Long]()
     levels += pivots
       .select(col("pivot").as("vid"), col("pivot"),
         lit(1L).cast("decimal(38,0)").as("sigma"))
       .localCheckpoint(true)
+    levelRows += nPivots.toLong
     var reached = levels.head.select(col("vid"), col("pivot")).localCheckpoint(true)
+    var reachedRows = nPivots.toLong
+    def rollReached(next: DataFrame): DataFrame = {
+      val cp = next.localCheckpoint(true,
+        GraphAnalytics.pinLevel(spark, reachedRows))
+      org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(reached)
+      cp
+    }
     var ell = 0
     var exhausted = false
     while (ell < horizon && !exhausted) {
@@ -90,15 +108,20 @@ object Betweenness {
       val msgs = und.join(side(levels.last), und("u") === levels.last("vid"))
         .select(und("v").as("vid"), col("pivot"), col("sigma"))
         .groupBy(col("vid"), col("pivot")).agg(sum(col("sigma")).as("sigma"))
-      val lvl = msgs.join(side(reached), Seq("vid", "pivot"), "left_anti")
-        .localCheckpoint(true)
-      if (lvl.isEmpty) { exhausted = true; ell -= 1 }
-      else {
+      val (lvl, lvlRows) = GraphAnalytics.pinTwoPhase(
+        msgs.join(side(reached), Seq("vid", "pivot"), "left_anti"))
+      if (lvlRows == 0) {
+        org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(lvl)
+        exhausted = true; ell -= 1
+      } else {
         levels += lvl
-        reached = reached.unionAll(lvl.select(col("vid"), col("pivot")))
-          .localCheckpoint(true)
+        levelRows += lvlRows
+        reachedRows += lvlRows
+        reached = rollReached(reached.unionAll(lvl.select(col("vid"), col("pivot"))))
       }
     }
+    // the reached set's job ends with the forward pass
+    org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(reached)
 
     // ---- reverse: δμ per (vid, pivot), deepest level first
     val Micro = 1000000L
@@ -127,7 +150,9 @@ object Betweenness {
           levels(l - 1)("pivot") === col("__cp"), "left")
         .select(levels(l - 1)("vid"), levels(l - 1)("pivot"),
           coalesce(col("delta"), lit(0L).cast("decimal(38,0)")).as("delta"))
-        .localCheckpoint(true)
+        // delta frames all feed the final union, so none can roll — but
+        // their pin levels are budgeted like the levels they mirror
+        .localCheckpoint(true, GraphAnalytics.pinLevel(spark, levelRows(l - 1)))
       // level-0 deltas belong to the pivots themselves — Brandes
       // excludes the source from its own dependency sum
       if (l > 1) deltas += delta
@@ -142,7 +167,11 @@ object Betweenness {
           (coalesce(col("bcm"), lit(0L).cast("decimal(38,0)"))
             .cast("double") / Micro.toDouble).as("betweenness")))
       .localCheckpoint(true)
+    // `out` is eagerly materialized — every intermediate block is now
+    // dead weight; free them or V·k·levels of state outlives the query
     und.unpersist(blocking = false)
+    (levels ++ deltas).foreach(
+      org.apache.spark.sql.graft.DatasetBridge.unpersistCheckpoint(_))
     out
   }
 }

@@ -953,7 +953,15 @@ object GraphAnalytics {
               col("vid") === col("__sv"), "left_anti"))
       else srcSet.unionAll(e.select(col("dst").as("vid"))).distinct())
       .localCheckpoint(true)
-    val useBroadcast = verts.count() <= maxBroadcastVerticesDyn
+    // guard width-scaled to 3 (the weighted-pagerank lesson, re-learned
+    // by the sf10 probe: at 18.6M vertices on a 17 GB heap the score
+    // broadcast BUILD died — quantized pagerank's identical margin
+    // survives, but the loop-exit overlap of the final output broadcast
+    // with the last round's not-yet-cleaned one leaves katz between the
+    // one-family and two-family budgets, so it takes the conservative
+    // ceiling and degrades to the always-correct shuffle fallback)
+    val useBroadcast =
+      verts.count() <= maxBroadcastRows(maxBroadcastVerticesDyn, 3)
     // narrow band (src set fits, full vertex set does not): score joins
     // will not broadcast and a sort-merge join against the hash(dst) pin
     // would re-exchange E rows per round — drop the staged cache
