@@ -52,14 +52,19 @@ object Betweenness {
     * hops, in micro-units divided out to double at the very end (one
     * correctly-rounded IEEE op per row — hash-checkable). Vertices
     * mediating no counted pair score exactly 0.0. */
+  /** @param stagingRowsHint cheap upper bound on the DIRECTED edge rows
+    * (the [[GraphAnalytics.linkFeatures]] pattern): spares the staging
+    * gate an exact count of an expensive non-scan edge lineage, which
+    * would otherwise execute that lineage twice. */
   def pivotBetweenness(edges: DataFrame, nPivots: Int, horizon: Int,
       seed: Long = 11L, srcCol: String = "src", dstCol: String = "dst",
-      broadcastState: Boolean = true): DataFrame = {
+      broadcastState: Boolean = true,
+      stagingRowsHint: Option[Long] = None): DataFrame = {
     require(nPivots >= 1 && horizon >= 1, "need nPivots >= 1, horizon >= 1")
     val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    val eRows = e0.count()
+    val eRows = stagingRowsHint.getOrElse(e0.count())
     // one staging exchange keyed by the message key v (the landmark
     // recipe): every forward σ-sum and reverse δ-sum then rides the
     // pinned layout. Level memory-budgeted ([[GraphAnalytics.pinLevel]]):

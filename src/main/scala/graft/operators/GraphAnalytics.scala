@@ -134,6 +134,43 @@ object GraphAnalytics {
     }
   }
 
+  /** Heap-budgeted persist for a PARTITIONING-ADVERTISING cache whose row
+    * volume is known (or cheaply upper-bounded) before materialization —
+    * the persist twin of [[pinLevel]]. A localCheckpoint would forget
+    * outputPartitioning, so round loops whose per-round stages ride a
+    * staged hash layout pin through here instead of [[pinTwoPhase]]. An
+    * UPPER BOUND hint is safe in both directions: under the ceiling the
+    * level is the default; past it the blocks go serialized DISK_ONLY —
+    * the residency class that cannot starve execution memory (the r11/
+    * r12 sf10 OOM family). This helper (plus its two-phase twin below)
+    * is the ONLY place in src/main allowed to name a raw deserialized
+    * persist level — tools/gate.sh greps the class away. */
+  private[graft] def persistPinned(df: DataFrame, rowsHint: Long): DataFrame =
+    df.persist(pinLevel(df.sparkSession, rowsHint))
+
+  /** Two-phase variant of [[persistPinned]] for collapsed/filtered caches
+    * whose row count is unknowable pre-materialization: persist at the
+    * default level, count FROM MEMORY, and past [[pinRowCeiling]] demote
+    * the same cache entry to serialized DISK_ONLY (one extra scan, paid
+    * exactly when the deserialized copy would squeeze the storage pool —
+    * the weighted-PageRank staging recipe, extracted). Unlike
+    * [[pinTwoPhase]] the lineage survives, so the cache keeps advertising
+    * its partitioning. Returns the pinned frame and its exact count. */
+  private[graft] def persistPinnedTwoPhase(df: DataFrame): (DataFrame, Long) = {
+    val p = df.persist(DefaultPinLevel)
+    val rows = p.count()
+    if (rows > pinRowCeiling(df.sparkSession)) {
+      p.unpersist(blocking = false)
+      p.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+    (p, rows)
+  }
+
+  /** The default deserialized pin level, named ONCE so the gate.sh grep
+    * for raw `persist(…MEMORY_AND_DISK)` call sites stays zero-hit. */
+  private[graft] val DefaultPinLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   /** Rolling eager-checkpoint pin for round loops: `next(df)` checkpoints
     * eagerly and frees the PREVIOUS generation's blocks — the successor's
     * eager materialization has just consumed them, so from that moment
@@ -300,6 +337,15 @@ object GraphAnalytics {
     }
     (parts.reduce(_.unionAll(_)), labels)
   }
+
+  /** Cheap upper bound on [[unifiedEdges]]' row count — Σ per-pattern rel
+    * rows, each a column-free parquet scan count, no union/encode lineage
+    * executed. Feeds `stagingRowsHint` params so staging gates don't run
+    * the unified lineage once for the count and again for the staging
+    * exchange. EXACT for the unified graph (every pattern row becomes
+    * exactly one edge row), an upper bound for filtered projections. */
+  def unifiedEdgeRowsBound(g: PropertyGraph): Long =
+    g.rels.values.map(_.count()).sum
 
   /** Decode global vertex ids back to (label, node_id). */
   def decode(df: DataFrame, idCol: String, labels: Seq[String]): DataFrame = {
@@ -533,12 +579,12 @@ object GraphAnalytics {
     // config cap the per-round stages riding hash(u) launch a handful of
     // right-sized tasks instead of conf-many tiny ones; once the cap
     // binds this IS the bare baseline shape, with no pinned checkpoint.
-    val (eSrc, undParts) = volumeStage(e, 2 * e.count())
-    val und = repartitionSized(
+    val undRowsBound = 2 * e.count()
+    val (eSrc, undParts) = volumeStage(e, undRowsBound)
+    val und = persistPinned(repartitionSized(
         eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
         undParts, col("u"))
-      .dropDuplicates("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .dropDuplicates("u", "v"), undRowsBound)
     // vertex table triples as round-0 labels, the final-shape anchor, and
     // the broadcast-feasibility guard (see MaxBroadcastVertices); its
     // distinct rides the adjacency's hash(u) partitioning — no exchange.
@@ -614,26 +660,130 @@ object GraphAnalytics {
     * shuffle V-sized rows per round against the still-pinned adjacency
     * and map-side partial combine defends the (u, community) wire
     * against hot vertices. */
+  /** @param stagingRowsHint cheap upper bound on the doubled staging
+    * volume (the [[linkFeatures]] pattern): spares the gate an exact
+    * count of an expensive non-scan edge lineage, which would otherwise
+    * execute that lineage twice (once for the count, once staging). */
   def modularityCommunitiesDF(edges: DataFrame, numIter: Int = 4,
       srcCol: String = "src", dstCol: String = "dst",
-      broadcastState: Boolean = true): DataFrame = {
+      broadcastState: Boolean = true,
+      stagingRowsHint: Option[Long] = None): DataFrame = {
     require(numIter >= 1, "numIter must be >= 1")
+    val (und, twoM) = modularityStage(edges, srcCol, dstCol, stagingRowsHint)
+    val out = modularityMoveRounds(und, twoM, numIter, broadcastState)
+      .select(col("vid"), col("community"))
+    und.unpersist(blocking = false)
+    out
+  }
+
+  /** FULL multi-level Louvain (Blondel et al. 2008 §2): run the local
+    * moves, then CONTRACT — map both endpoints of the doubled adjacency
+    * through the level's labels and sum unit weights into a
+    * community-count-sized weighted graph (self rows carry a
+    * super-vertex's internal edge ends) — and repeat the moves on the
+    * contracted graph. Contraction is what bounds per-round exchange
+    * volume as communities coarsen: after level 1 the state rides a
+    * graph whose size tracks the COMMUNITY count, not E (the sf10
+    * g_modularity 21× byte ratio was exactly the absence of this).
+    * 2m is level-invariant (contraction preserves total edge weight),
+    * labels compose back through each level, and every operation is an
+    * integer sum/argmax — so all levels replay as chained CTEs in the
+    * DuckDB oracle, contraction included. `levels = 1` is bit-identical
+    * to [[modularityCommunitiesDF]]. */
+  def modularityCommunitiesMultiLevelDF(edges: DataFrame, numIter: Int = 4,
+      levels: Int = 2, srcCol: String = "src", dstCol: String = "dst",
+      broadcastState: Boolean = true,
+      stagingRowsHint: Option[Long] = None): DataFrame = {
+    require(numIter >= 1 && levels >= 1, "numIter and levels must be >= 1")
+    val (und1, twoM) = modularityStage(edges, srcCol, dstCol, stagingRowsHint)
+    var labels = modularityMoveRounds(und1, twoM, numIter, broadcastState)
+      .select(col("vid"), col("community")).localCheckpoint(true)
+    var und = und1
+    (2 to levels).foreach { _ =>
+      // Contract through the level's labels. The label table is
+      // vertex-count-sized at level 1 and community-count-sized after —
+      // broadcast under the usual guard so the E-row side never moves;
+      // past the guard the shuffle join stands (correct, linear).
+      val lbl = labels
+      val vCount = lbl.count() // cheap: checkpointed above
+      def mb(df: DataFrame): DataFrame =
+        if (vCount <= maxBroadcastVerticesDyn) broadcast(df) else df
+      val cundBase = und
+        .join(mb(lbl.select(col("vid").as("__u"), col("community").as("cu"))),
+          col("u") === col("__u"))
+        .join(mb(lbl.select(col("vid").as("__v"), col("community").as("cv"))),
+          col("v") === col("__v"))
+        .groupBy(col("cu").as("u"), col("cv").as("v"))
+        .agg(sum(col("w")).as("w"))
+      // community-count²-bounded in theory, community-edge-sized in
+      // practice; row count unknowable pre-materialization → two-phase
+      val (cund, _) = persistPinnedTwoPhase(cundBase)
+      if (und ne und1) und.unpersist(blocking = false)
+      und = cund
+      val nextLabels = modularityMoveRounds(cund, twoM, numIter, broadcastState,
+          hashParity = true)
+        .select(col("vid").as("__c"), col("community").as("__nc"))
+      // compose: original vid → this level's community of its previous
+      // community. nextLabels is contracted-vertex-sized — broadcast
+      // under the same guard (it is ≤ the label table just guarded).
+      labels = labels.join(mb(nextLabels), col("community") === col("__c"))
+        .select(col("vid"), col("__nc").as("community"))
+        .localCheckpoint(true)
+    }
+    if (und ne und1) und.unpersist(blocking = false)
+    und1.unpersist(blocking = false)
+    labels
+  }
+
+  /** Shared staging for the modularity family: the pinned symmetric
+    * doubled DISTINCT adjacency with a unit weight column, plus
+    * 2m = Σ k_u = |und| (counted from the pinned blocks; replays as
+    * COUNT(*) over the oracle's und CTE). Heap-budgeted pin
+    * ([[persistPinned]]) keyed by the staging bound. */
+  private def modularityStage(edges: DataFrame, srcCol: String,
+      dstCol: String, stagingRowsHint: Option[Long]): (DataFrame, Long) = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    val (eSrc, undParts) = volumeStage(e, 2 * e.count())
-    val und = repartitionSized(
+    val undRowsBound = stagingRowsHint.getOrElse(2 * e.count())
+    val (eSrc, undParts) = volumeStage(e, undRowsBound)
+    val und = persistPinned(repartitionSized(
         eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
         undParts, col("u"))
       .dropDuplicates("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 2m = Σ k_u = |und| (the doubled distinct list counts each edge
-    // end once); counted from the pinned blocks, and the same count
-    // replays as COUNT(*) over the oracle's und CTE.
-    val twoM = und.count()
-    // loop-invariant degrees ride hash(u) — no exchange; state rows are
-    // (vid, community, k) so the per-round argmax can re-emit k without
-    // a second degree join.
-    val deg = und.groupBy(col("u").as("vid")).agg(count(lit(1)).as("k"))
+      .withColumn("w", lit(1L)), undRowsBound)
+    (und, und.count())
+  }
+
+  /** The weighted synchronous local-move core shared by both modularity
+    * operators. `und` is a pinned doubled adjacency (u, v, w:long); at
+    * level 1 w ≡ 1 and the sums degenerate to the pre-refactor counts
+    * (bit-identical output, oracle-pinned). Self rows (u = v, present
+    * only on contracted graphs) contribute to k and vol ONLY: an
+    * internal edge stays internal under any move of u, shifting every
+    * candidate's gain by the same constant — so it is excluded from
+    * w(u→C) by the `u <> v` filter. Returns (vid, community, k) with
+    * the final round eagerly checkpointed. */
+  private def modularityMoveRounds(und: DataFrame, twoM: Long,
+      numIter: Int, broadcastState: Boolean,
+      hashParity: Boolean = false): DataFrame = {
+    // Update-class function for the alternating schedule. Level 1 splits
+    // on vid parity (cheap, oracle-replays as `% 2`). CONTRACTED levels
+    // hash first: super-vertex ids are level-1 COMMUNITY labels, and the
+    // stay-on-tie + smallest-id move rule skews winners toward one
+    // parity (measured on the triangle-ring fixture: all 10 labels
+    // even) — raw parity then degenerates to "everyone moves at once"
+    // and simultaneous chain-merges destroy Q. The 60-bit md5 splits
+    // any id population ~evenly and replays in SQL (the betweenness
+    // pivot recipe). Self-corrections across rounds handle the residual
+    // same-class collisions the schedule cannot exclude.
+    def parityOf(c: Column): Column =
+      if (hashParity)
+        pmod(Dedup.md5Long(concat(lit("lmod:"), c.cast("string"))), lit(2))
+      else pmod(c, lit(2))
+    // loop-invariant weighted degrees ride hash(u) — no exchange; state
+    // rows are (vid, community, k) so the per-round argmax can re-emit k
+    // without a second degree join. Self rows count into k here.
+    val deg = und.groupBy(col("u").as("vid")).agg(sum(col("w")).as("k"))
       .localCheckpoint(true)
     val useBroadcast = broadcastState &&
       deg.count() <= maxBroadcastRows(maxBroadcastVerticesDyn, 3)
@@ -646,17 +796,18 @@ object GraphAnalytics {
       val volBase = state.groupBy(col("community"))
         .agg(sum(col("k").cast("decimal(38,0)")).as("vol"))
       val vol = if (useBroadcast) broadcast(volBase) else volBase
-      // w(u→C): edges from the round's ACTIVE parity class into each
-      // neighboring community; grouping keys ⊇ {u} so the aggregation
-      // rides hash(u) in the broadcast path. The union row (u, cur, 0)
-      // keeps the current community a candidate even when no neighbor
-      // shares it.
+      // w(u→C): edge weight from the round's ACTIVE parity class into
+      // each neighboring community; grouping keys ⊇ {u} so the
+      // aggregation rides hash(u) in the broadcast path. The union row
+      // (u, cur, 0) keeps the current community a candidate even when
+      // no neighbor shares it.
       val par = i % 2
-      val wuc = und.where(pmod(col("u"), lit(2)) === lit(par))
+      val wuc = und.where(col("u") =!= col("v") &&
+          parityOf(col("u")) === lit(par))
         .join(st.select(col("vid").as("__v"), col("community")),
           col("v") === col("__v"))
-        .select(col("u"), col("community"), lit(1L).as("wn"))
-        .unionAll(state.where(pmod(col("vid"), lit(2)) === lit(par))
+        .select(col("u"), col("community"), col("w").as("wn"))
+        .unionAll(state.where(parityOf(col("vid")) === lit(par))
           .select(col("vid").as("u"), col("community"), lit(0L).as("wn")))
         .groupBy(col("u"), col("community")).agg(sum(col("wn")).as("w"))
       // argmax (gain, prefer-current-on-tie, then smallest community);
@@ -676,11 +827,10 @@ object GraphAnalytics {
           (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
         .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
       val next = moved.unionAll(
-        state.where(pmod(col("vid"), lit(2)) =!= lit(par)))
+        state.where(parityOf(col("vid")) =!= lit(par)))
       state = if (i % 2 == 0 || i == numIter) next.localCheckpoint(true) else next
     }
-    und.unpersist(blocking = false)
-    state.select(col("vid"), col("community"))
+    state
   }
 
   /** Global modularity Q of a (vid, community) assignment over `edges` —
@@ -697,9 +847,13 @@ object GraphAnalytics {
       vidCol: String = "vid", communityCol: String = "community"): DataFrame = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
-    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .dropDuplicates("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two-phase pin (heap-budgeted): the doubled distinct list's row
+    // count is unknowable before the dedup materializes, and nothing
+    // downstream needs its partitioning — the ends join is a guarded
+    // label broadcast and the per-community agg re-keys on cu anyway
+    val (und, _) = persistPinnedTwoPhase(
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .dropDuplicates("u", "v"))
     val lblBase = labels.select(col(vidCol).as("vid"), col(communityCol).as("c"))
       .localCheckpoint(true)
     val lbl = if (lblBase.count() <= maxBroadcastVerticesDyn) broadcast(lblBase)
@@ -1024,31 +1178,22 @@ object GraphAnalytics {
     // which previously re-exchanged its partials each round because the
     // staging checkpoint dropped the partitioning (persist keeps it —
     // the pageRankQuantizedDF recipe).
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w"))
-      .repartition(col("dst"))
-      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TWO-PHASE pinned staging ([[persistPinnedTwoPhase]] — this site is
+    // where the recipe was born, r12): the multi-edge-collapsed row
+    // count is unknowable pre-materialization, so pin default, count
+    // from memory, demote past the heap ceiling (the sf10 g_pagerank
+    // finding). A localCheckpoint cannot replace the persist — the
+    // cache must keep advertising hash(dst) for the per-round in-sums.
+    val (e, eRows) = persistPinnedTwoPhase(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+        .repartition(col("dst"))
+        .groupBy("src", "dst").agg(sum(col("w")).as("w")))
     // checkpointed: ed below is a LAZY join over the edge cache, so an
     // unpinned wsum would re-run its aggregation exchange inside every
     // checkpoint execution of the round loop (exchange reuse does not
     // span executions — measured +180 MB at sf1)
     val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum")).localCheckpoint(true)
-    // TWO-PHASE persist demote (the pinTwoPhase recipe adapted for a
-    // partitioning-advertising cache, which a localCheckpoint cannot
-    // replace): wsum's materialization above filled the cache, so the
-    // count reads memory; past [[pinRowCeiling]] re-persist DISK_ONLY —
-    // the next action re-runs the staging exchange ONCE to write
-    // serialized disk blocks, a bounded cost paid exactly when the
-    // deserialized copy would otherwise squeeze the storage pool into
-    // per-round recompute (the sf10 g_pagerank finding). The collapsed
-    // row count is unknowable pre-materialization, hence demote rather
-    // than a priori level choice.
-    val eRows = e.count()
-    if (eRows > pinRowCeiling(edges.sparkSession)) {
-      e.unpersist(blocking = false)
-      e.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    }
     // vertex set via wsum's keys (the distinct sources, already
     // checkpointed) plus a dst-distinct anti-joined against them — the
     // pageRankQuantizedDF r12 recipe's half-win: e here is hash(src,dst)
@@ -1172,12 +1317,12 @@ object GraphAnalytics {
     // partitions the whole wedge enumeration streams through; at scale
     // the bare baseline shape ships, with no pinned checkpoint.
     val e = coEdges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val (eSrc, undParts) = volumeStage(e, stagingRowsHint.getOrElse(2 * e.count()))
-    val und = repartitionSized(
+    val undRowsBound = stagingRowsHint.getOrElse(2 * e.count())
+    val (eSrc, undParts) = volumeStage(e, undRowsBound)
+    val und = persistPinned(repartitionSized(
         eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
         undParts, col("u"))
-      .dropDuplicates("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .dropDuplicates("u", "v"), undRowsBound)
     // degree agg rides hash(u); checkpointed so its three broadcast
     // consumers and the guard count read V cached rows instead of
     // re-aggregating the adjacency. Its row count IS the vertex count.
@@ -1571,21 +1716,19 @@ object GraphAnalytics {
     // bytes, and min-collapse degenerates to dedup, so stage bare
     // (u, v) pairs and attach the constant on the partitioned stream
     val eProj = if (unitWeight) e0.select(col("u"), col("v")) else e0
-    val (eBase, eParts) = t("eCheckpoint")(
-      volumeStage(eProj, (if (undirected) 2L else 1L) * eProj.count()))
+    val eRowsBound = (if (undirected) 2L else 1L) * eProj.count()
+    val (eBase, eParts) = t("eCheckpoint")(volumeStage(eProj, eRowsBound))
     val eRaw =
       if (!undirected) eBase
       else if (unitWeight) eBase.unionAll(eBase.select(col("v").as("u"), col("u").as("v")))
       else eBase.unionAll(eBase.select(col("v").as("u"), col("u").as("v"), col("w")))
     val e = t("eStage")(
       if (unitWeight)
-        repartitionSized(eRaw, eParts, col("v"))
+        persistPinned(repartitionSized(eRaw, eParts, col("v"))
           .dropDuplicates("u", "v")
-          .withColumn("w", lit(1L))
-          .persist(MEMORY_AND_DISK)
-      else repartitionSized(eRaw, eParts, col("v"))
-        .groupBy("u", "v").agg(min(col("w")).as("w"))
-        .persist(MEMORY_AND_DISK))
+          .withColumn("w", lit(1L)), eRowsBound)
+      else persistPinned(repartitionSized(eRaw, eParts, col("v"))
+        .groupBy("u", "v").agg(min(col("w")).as("w")), eRowsBound))
     val src = sources.select(col(sources.columns.head).as("vid")).distinct()
     // DENSE-INIT state: every vertex that can ever hold a distance is a
     // row from round 0 (dist NULL = unreached, `fresh` marking the
@@ -2060,11 +2203,11 @@ object GraphAnalytics {
     // relation then ADVERTISES per-partition ordering, so the frontier
     // rounds' per-u window below (candidate discovery fused into one
     // scan) runs sort-free — one staging sort buys zero per-round sorts
-    val und = e0cp.unionAll(e0cp.select(col("v").as("u"), col("u").as("v")))
-      .repartition(undParts, col("u"))
-      .dropDuplicates("u", "v")
-      .sortWithinPartitions("u")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = persistPinned(
+      e0cp.unionAll(e0cp.select(col("v").as("u"), col("u").as("v")))
+        .repartition(undParts, col("u"))
+        .dropDuplicates("u", "v")
+        .sortWithinPartitions("u"), 2 * eRows)
     var c = und.groupBy("u").agg(count(lit(1)).cast("long").as("cv"))
       .localCheckpoint(true)
     val nVerts = c.count()
@@ -2250,13 +2393,19 @@ object GraphAnalytics {
         // adjacency feeds the exchange-free h-index groupBy and a
         // checkpoint's LogicalRDD would forget the hash(u) partitioning.
         val chv = changed.select(col("u").as("__ch"))
-        val candEdges = und
+        // heap-budgeted pin: candidate volume ≈ Σdeg over the moved
+        // set's neighborhood ≈ moved · avgdeg², capped by the full
+        // adjacency — in frontier mode (moved < V/128) this stays small
+        // and memory-resident; a pathological frontier demotes to disk
+        val avgDeg = math.max(1L, 2 * eRows / math.max(1L, nVerts))
+        val candRowsBound =
+          math.min(2 * eRows, math.max(1L, lastMoved) * avgDeg * avgDeg)
+        val candEdges = persistPinned(und
           .join(maybeBroadcast(chv), col("v") === col("__ch"), "left")
           .select(col("u"), col("v"), col("__ch").isNotNull.as("__hit"))
           .withColumn("__any", max(col("__hit")).over(
             org.apache.spark.sql.expressions.Window.partitionBy("u")))
-          .where(col("__any")).select(col("u"), col("v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .where(col("__any")).select(col("u"), col("v")), candRowsBound)
         roundCache = candEdges
         // (a REJECTED variant is worth recording: semi-filtering the
         // V-row value table to the candidates' neighborhood before

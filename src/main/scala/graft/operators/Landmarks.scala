@@ -48,7 +48,6 @@ object Landmarks {
   def landmarkDistances(edges: DataFrame, nLandmarks: Int, rounds: Int,
       seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(nLandmarks >= 1 && rounds >= 0, "need nLandmarks >= 1, rounds >= 0")
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
     // one shuffle stages the edge list: repartition by the message key v
@@ -57,11 +56,11 @@ object Landmarks {
     // result is already pinned for the rounds (the sssp staging shape,
     // volume-GATED the same way via GraphAnalytics.volumeStage: sized
     // below the config cap, bare and unpinned once the cap binds)
-    val (eSrc, undParts) = GraphAnalytics.volumeStage(e0, 2 * e0.count())
-    val und = GraphAnalytics.repartitionSized(
+    val undRowsBound = 2 * e0.count()
+    val (eSrc, undParts) = GraphAnalytics.volumeStage(e0, undRowsBound)
+    val und = GraphAnalytics.persistPinned(GraphAnalytics.repartitionSized(
         eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
-        undParts, col("v")).distinct()
-      .persist(MEMORY_AND_DISK)
+        undParts, col("v")).distinct(), undRowsBound)
     val verts = und.select(col("u").as("vid")).distinct().localCheckpoint(true)
     val useBroadcast =
       verts.count() * nLandmarks <= GraphAnalytics.maxBroadcastVerticesDyn

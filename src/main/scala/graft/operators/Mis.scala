@@ -139,14 +139,17 @@ object Mis {
     val eRows = e0.count()
     val parts = GraphAnalytics.volumeParts(edges.sparkSession, 2 * eRows)
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pin(df: DataFrame, rowsBound: Long): DataFrame = {
+      // heap-budgeted ([[GraphAnalytics.persistPinned]]): past the pin
+      // ceiling the blocks go serialized DISK_ONLY instead of squeezing
+      // the storage pool (the r12 sf10 residency class)
+      val p = GraphAnalytics.persistPinned(df, rowsBound)
       persisted += p
       p
     }
     val und = pin(e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .repartition(parts, col("u"))
-      .dropDuplicates("u", "v"))
+      .dropDuplicates("u", "v"), 2 * eRows)
     // both directions of every still-active-active edge; shrinks in place
     var aEdges = und
     var active = und.select(col("u")).distinct()
@@ -173,8 +176,10 @@ object Mis {
         .unionAll(aEdges.join(bc(sel.select(col("u"))), "u").select(col("v").as("u")))
         .distinct().localCheckpoint(true)
       active = active.join(bc(closed), Seq("u"), "left_anti").localCheckpoint(true)
+      // the active subgraph only shrinks — the previous bound stands
       aEdges = pin(aEdges.join(bc(closed), Seq("u"), "left_anti")
-        .join(bc(closed.select(col("u").as("v"))), Seq("v"), "left_anti"))
+        .join(bc(closed.select(col("u").as("v"))), Seq("v"), "left_anti"),
+        2 * eRows)
       selected = if (selected == null) sel else selected.unionAll(sel)
     }
     val leftover = active.agg(count(lit(1)).as("n")).where(col("n") > 0)

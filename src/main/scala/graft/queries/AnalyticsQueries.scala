@@ -141,9 +141,28 @@ object AnalyticsQueries {
     * integer → the oracle replays the rounds as chained CTEs (HUGEINT =
     * the operator's DECIMAL(38,0)). */
   def modularityCommunities(s: SparkSession, dir: String): DataFrame = {
-    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val g = TpchGraph.load(s, dir)
+    val (edges, labels) = GraphAnalytics.unifiedEdges(g)
     GraphAnalytics.decode(
-      GraphAnalytics.modularityCommunitiesDF(edges, numIter = ModRounds),
+      GraphAnalytics.modularityCommunitiesDF(edges, numIter = ModRounds,
+        stagingRowsHint = Some(2 * GraphAnalytics.unifiedEdgeRowsBound(g))),
+      "vid", labels)
+      .select(col("label"), col("node_id"), col("community"))
+  }
+
+  /** FULL multi-level Louvain over the unified graph (g_modularity with
+    * the contraction phase): ModRounds local-move rounds, CONTRACT the
+    * communities to a weighted super-graph, ModRounds more rounds on
+    * that. Contraction is the term that bounds per-round exchange volume
+    * at scale (the sf10 21x byte ratio fix); the whole trajectory —
+    * contraction included — replays as chained CTEs in the oracle. */
+  def modularityCommunitiesL2(s: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph.load(s, dir)
+    val (edges, labels) = GraphAnalytics.unifiedEdges(g)
+    GraphAnalytics.decode(
+      GraphAnalytics.modularityCommunitiesMultiLevelDF(edges,
+        numIter = ModRounds, levels = 2,
+        stagingRowsHint = Some(2 * GraphAnalytics.unifiedEdgeRowsBound(g))),
       "vid", labels)
       .select(col("label"), col("node_id"), col("community"))
   }
@@ -175,10 +194,15 @@ object AnalyticsQueries {
     * horizon, δ in micro-units with exact integral division — the whole
     * forward-σ/reverse-δ computation replays as chained CTEs. */
   def betweenness(s: SparkSession, dir: String): DataFrame = {
-    val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
+    val g = TpchGraph.load(s, dir)
+    val (edges, labels) = GraphAnalytics.unifiedEdges(g)
+    // staging bound from per-pattern scan counts — the unified join/union
+    // lineage must not execute once for the gate count and again staging
     GraphAnalytics.decode(
       Betweenness.pivotBetweenness(edges, nPivots = BcPivots,
-        horizon = BcHorizon, seed = BcSeed), "vid", labels)
+        horizon = BcHorizon, seed = BcSeed,
+        stagingRowsHint = Some(GraphAnalytics.unifiedEdgeRowsBound(g))),
+      "vid", labels)
       .select(col("label"), col("node_id"), col("betweenness"))
   }
 
@@ -477,8 +501,9 @@ object AnalyticsQueries {
     // scalar aggregate. (At the non-broadcast fallback both shapes pay
     // comparable sort-merge exchanges; canonical still halves the rows.)
     def stage(proj: DataFrame): DataFrame =
-      proj.dropDuplicates("u", "v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two-phase heap-budgeted pin: the canonical row count is
+      // unknowable before the dedup materializes
+      GraphAnalytics.persistPinnedTwoPhase(proj.dropDuplicates("u", "v"))._1
     val co = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
       distinctPairs = false)
     val coCanon = stage(co.select(col("item_a").as("u"), col("item_b").as("v")))
@@ -1265,6 +1290,7 @@ object AnalyticsQueries {
     "g_skew_pagerank" -> (skewPagerank _),
     "g_skew_cc" -> (skewCc _),
     "g_modularity" -> (modularityCommunities _),
+    "g_modularity_l2" -> (modularityCommunitiesL2 _),
     "g_modularity_score" -> (modularityScore _),
     "g_betweenness" -> (betweenness _),
     "g_katz" -> (katz _))
@@ -1415,6 +1441,70 @@ object AnalyticsQueries {
        |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
        |  vid % 17592186044416 AS node_id, community
        |FROM s$rounds""".stripMargin
+
+  /** Weighted (contracted-level) modularity rounds over a `cund` CTE
+    * already in scope (u, v, w — self rows carry a super-vertex's
+    * internal edge ends): the [[modularityRoundCtes]] algebra with
+    * SUM(w) in place of the unit counts, self rows excluded from w(u->C)
+    * (`u <> v`), and m2 carried over from level 1 (contraction preserves
+    * total edge weight). State CTEs are t0..tN. */
+  private def modularityWeightedRoundCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """t0 AS (SELECT u AS vid, u AS community, SUM(w) AS k FROM cund GROUP BY 1, 2)"""
+    (1 to rounds).foreach { i =>
+      val par = i % 2
+      sb ++= s""",
+                |tv$i AS (SELECT community, SUM(k) AS vol FROM t${i - 1} GROUP BY 1),
+                |ta$i AS (SELECT u, community, SUM(wn) AS w FROM (
+                |  SELECT cund.u AS u, t.community AS community, cund.w AS wn
+                |  FROM cund JOIN t${i - 1} t ON cund.v = t.vid
+                |  WHERE cund.u <> cund.v AND ${hp("cund.u")} = $par
+                |  UNION ALL SELECT vid AS u, community, 0 AS wn FROM t${i - 1}
+                |  WHERE ${hp("vid")} = $par) GROUP BY 1, 2),
+                |tg$i AS (SELECT a.u AS u, a.community AS community, t.k AS k,
+                |    m2.m2 * a.w - CAST(t.k AS HUGEINT) *
+                |      (v.vol - CASE WHEN a.community = t.community THEN t.k ELSE 0 END) AS gain,
+                |    CASE WHEN a.community = t.community THEN 1 ELSE 0 END AS is_cur
+                |  FROM ta$i a JOIN t${i - 1} t ON a.u = t.vid
+                |  JOIN tv$i v ON v.community = a.community CROSS JOIN m2),
+                |t$i AS (SELECT vid, community, k FROM (
+                |    SELECT u AS vid, community, k,
+                |      row_number() OVER (PARTITION BY u
+                |        ORDER BY gain DESC, is_cur DESC, community ASC) AS rn
+                |    FROM tg$i) WHERE rn = 1
+                |  UNION ALL SELECT vid, community, k FROM t${i - 1} WHERE ${hp("vid")} <> $par)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** The contracted-level update-class hash: the operator's
+    * Dedup.md5Long("lmod:" || id) % 2 — 60-bit md5 prefix, replayed the
+    * betweenness-pivot way. A SQL macro-ish string function: callers
+    * interpolate `$hp(expr)`. */
+  private def hp(expr: String): String =
+    s"(('0x' || substring(md5('lmod:' || CAST($expr AS VARCHAR)), 1, 15))::BIGINT % 2)"
+
+  /** Multi-level oracle: level-1 rounds (s CTEs), contraction to the
+    * weighted community graph (COUNT(*) over the doubled list = the
+    * operator's SUM of unit weights; self rows included), level-2
+    * weighted rounds (t CTEs), then label composition. */
+  private def modularityL2OracleSql(rounds: Int): String =
+    s"""WITH e AS (
+       |$UnifiedEdgesSql
+       |), und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+       |  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+       |  UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+       |${modularityRoundCtes(rounds)},
+       |cund AS MATERIALIZED (SELECT la.community AS u, lb.community AS v,
+       |    COUNT(*) AS w
+       |  FROM und JOIN s$rounds la ON und.u = la.vid
+       |  JOIN s$rounds lb ON und.v = lb.vid GROUP BY 1, 2),
+       |${modularityWeightedRoundCtes(rounds)}
+       |SELECT CASE s.vid // 17592186044416
+       |    WHEN 0 THEN 'Customer' WHEN 1 THEN 'Nation' WHEN 2 THEN 'Order'
+       |    WHEN 3 THEN 'Part' WHEN 4 THEN 'Region' WHEN 5 THEN 'Supplier' END AS label,
+       |  s.vid % 17592186044416 AS node_id, t.community AS community
+       |FROM s$rounds s JOIN t$rounds t ON s.community = t.vid""".stripMargin
 
   /** Score oracle: the same rounds over the co-occurrence graph, then
     * Q = (2m·Σin − Σvol²)/(2m)² with exact HUGEINT sums and the final
@@ -2037,6 +2127,7 @@ object AnalyticsQueries {
     "g_connected_components" -> ccOracleSql(16),
     "g_label_propagation" -> lpaOracleSql(LpaRounds),
     "g_modularity" -> modularityOracleSql(ModRounds),
+    "g_modularity_l2" -> modularityL2OracleSql(ModRounds),
     "g_modularity_score" -> modularityScoreOracleSql(ModScoreRounds),
     "g_betweenness" -> betweennessOracleSql(BcPivots, BcHorizon, BcSeed),
     "g_bfs_distances" -> bfsOracleSql(BfsHops),

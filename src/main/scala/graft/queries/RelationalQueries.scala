@@ -527,12 +527,14 @@ object RelationalQueries {
     // volume-sized below the cap, bare AQE-coalescible repartition past
     // it (GraphAnalytics.volumePartsOpt; the count is a column-free
     // row-count scan) — the coOccurrenceEdges recipe
-    val sized = graft.operators.GraphAnalytics.repartitionSized(basketSrc,
-        graft.operators.GraphAnalytics.volumePartsOpt(s, basketSrc.count()), col("oid"))
+    val basketRows = basketSrc.count()
+    val sized = graft.operators.GraphAnalytics.persistPinned(
+      graft.operators.GraphAnalytics.repartitionSized(basketSrc,
+        graft.operators.GraphAnalytics.volumePartsOpt(s, basketRows), col("oid"))
       .dropDuplicates("oid", "item")
       .withColumn("bs", count(lit(1)).over(Window.partitionBy("oid")))
-      .where(col("bs") <= AssocMaxBasket).select(col("oid"), col("item"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .where(col("bs") <= AssocMaxBasket).select(col("oid"), col("item")),
+      basketRows)
     val nBaskets = sized.agg(count_distinct(col("oid")).as("n_baskets"))
     // item-count-sized; checkpointed so its two broadcast projections
     // read the cache, broadcast under the vertex guard (it outgrows

@@ -67,6 +67,92 @@ class ModularitySpec extends SparkTestBase {
     assert(comm.values.toSet.size == 1, s"star should be one community: $comm")
   }
 
+  /** Ring of `n` triangles — the classic resolution-limit fixture
+    * (Fortunato & Barthélemy 2007): level 1 finds each triangle; for
+    * n > 2m/(k²) the CONTRACTED level merges adjacent triangles (gain
+    * 2m·w − k² = 8n − 64 > 0 at n > 8), which one-level moves can
+    * never do. Bridges close the ring at the triangle "3" vertices. */
+  private def triangleRing(n: Int) = {
+    val tris = (0 until n).flatMap { t =>
+      val b = 3L * t
+      Seq((b + 1, b + 2), (b + 2, b + 3), (b + 1, b + 3))
+    }
+    val bridges = (0 until n).map { t =>
+      (3L * t + 3, 3L * ((t + 1) % n) + 1)
+    }
+    (tris ++ bridges).toDF("src", "dst")
+  }
+
+  test("multi-level with levels = 1 is bit-identical to the single-level operator") {
+    for (fixture <- Seq(twoTriangles(), (2L to 5L).map(l => (1L, l)).toDF("src", "dst"))) {
+      val one = GraphAnalytics.modularityCommunitiesDF(fixture, numIter = 4)
+        .as[(Long, Long)].collect().toSet
+      val ml = GraphAnalytics.modularityCommunitiesMultiLevelDF(fixture,
+        numIter = 4, levels = 1).as[(Long, Long)].collect().toSet
+      assert(one == ml)
+    }
+  }
+
+  test("level-2 contraction merges the triangle ring and Q strictly improves") {
+    val e = triangleRing(10)
+    val l1 = GraphAnalytics.modularityCommunitiesDF(e, numIter = 4)
+    val l2 = GraphAnalytics.modularityCommunitiesMultiLevelDF(e, numIter = 4, levels = 2)
+    val c1 = l1.as[(Long, Long)].collect().toMap
+    val c2 = l2.as[(Long, Long)].collect().toMap
+    // level 1 resolves exactly the 10 triangles
+    assert(c1.values.toSet.size == 10, s"level 1 should find the triangles: $c1")
+    // contraction merges some of them — impossible for one-level moves
+    assert(c2.values.toSet.size < 10, s"level 2 merged nothing: $c2")
+    // label composition preserves level-1 grouping: triangles stay intact
+    (0 until 10).foreach { t =>
+      val ids = Set(3L * t + 1, 3L * t + 2, 3L * t + 3)
+      assert(ids.map(c2).size == 1, s"triangle $t split at level 2: $c2")
+    }
+    val q1 = GraphAnalytics.modularityScore(e, l1).collect().head.getDouble(1)
+    val q2 = GraphAnalytics.modularityScore(e, l2).collect().head.getDouble(1)
+    assert(q2 > q1, s"contraction should improve Q: q1=$q1 q2=$q2")
+  }
+
+  test("Q is non-decreasing across levels on the small fixtures") {
+    val star = (2L to 5L).map(l => (1L, l)).toDF("src", "dst")
+    for (e <- Seq(twoTriangles(), star)) {
+      val q1 = GraphAnalytics.modularityScore(e,
+        GraphAnalytics.modularityCommunitiesDF(e, numIter = 4))
+        .collect().head.getDouble(1)
+      val q2 = GraphAnalytics.modularityScore(e,
+        GraphAnalytics.modularityCommunitiesMultiLevelDF(e, numIter = 4, levels = 2))
+        .collect().head.getDouble(1)
+      assert(q2 >= q1, s"Q decreased across levels: q1=$q1 q2=$q2")
+    }
+  }
+
+  test("multi-level broadcast and shuffle plans agree") {
+    val e = triangleRing(10)
+    val bc = GraphAnalytics.modularityCommunitiesMultiLevelDF(e, numIter = 3, levels = 2)
+      .as[(Long, Long)].collect().toSet
+    val sh = GraphAnalytics.modularityCommunitiesMultiLevelDF(e, numIter = 3, levels = 2,
+      broadcastState = false).as[(Long, Long)].collect().toSet
+    assert(bc == sh)
+  }
+
+  test("staging hint: a hinted non-scan input lineage executes exactly once") {
+    // an input whose every execution bumps an accumulator — with the
+    // hint the staging checkpoint is its ONLY action; without, the gate
+    // count adds a second full pass (the r12 coOccurrenceEdges class)
+    val acc = spark.sparkContext.longAccumulator("lineageRuns")
+    def edges() = spark.range(1).coalesce(1).mapPartitions { it =>
+      acc.add(1); it.flatMap(_ => Iterator((1L, 2L), (2L, 3L), (1L, 3L)))
+    }.toDF("src", "dst")
+    acc.reset()
+    GraphAnalytics.modularityCommunitiesDF(edges(), numIter = 2,
+      stagingRowsHint = Some(6L)).collect()
+    assert(acc.value == 1L, s"hinted modularity ran the lineage ${acc.value}x")
+    acc.reset()
+    Betweenness.pivotBetweenness(edges(), nPivots = 1, horizon = 2,
+      stagingRowsHint = Some(3L)).collect()
+    assert(acc.value == 1L, s"hinted betweenness ran the lineage ${acc.value}x")
+  }
+
   test("modularity communities: self-loops and duplicate edges are ignored") {
     val e = twoTriangles()
       .unionAll(Seq((1L, 1L), (2L, 1L), (1L, 2L)).toDF("src", "dst"))

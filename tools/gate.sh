@@ -12,13 +12,25 @@ SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/graft_gate_out}
 cd "$(dirname "$0")/.."
 
-echo "[gate] 1/3 verify dump @ $SF"
+echo "[gate] 0/4 pin-discipline grep (no raw deserialized persist call sites)"
+# Raw persist(MEMORY_AND_DISK) pins are the residency class that OOM'd
+# betweenness/pagerank at sf10 (r11/r12): every cache in src/main must
+# route through GraphAnalytics.persistPinned / persistPinnedTwoPhase /
+# pinLevel / pinTwoPhase, which demote to serialized DISK_ONLY past the
+# heap ceiling. The only allowed literal is the DefaultPinLevel val
+# inside the helpers themselves (an assignment, not a persist call).
+if grep -rn "persist(org\.apache\.spark\.storage\.StorageLevel\.MEMORY_AND_DISK)\|persist(MEMORY_AND_DISK)" src/main/scala; then
+  echo "[gate] FAIL: raw MEMORY_AND_DISK persist call site (use persistPinned)"
+  exit 1
+fi
+
+echo "[gate] 1/4 verify dump @ $SF"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} sbt -batch "runMain graft.Verify $SF $OUT"
 
-echo "[gate] 2/3 oracle compare"
+echo "[gate] 2/4 oracle compare"
 python3 tools/check_oracle.py "$SF" "$OUT"
 
-echo "[gate] 3/3 plan audit (fails on CARTESIAN/BNLJ/INTERPRETED)"
+echo "[gate] 3/4 plan audit (fails on CARTESIAN/BNLJ/INTERPRETED)"
 sbt -batch "runMain graft.tools.PlanAudit /root/testdata/sf0.001" | tee /tmp/graft_gate_audit.log | grep -E "flagged|CARTESIAN|BNLJ|INTERPRETED|PLAN-ERROR" || true
 grep -q "flagged queries: 0" /tmp/graft_gate_audit.log
 
