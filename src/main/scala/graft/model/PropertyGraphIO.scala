@@ -226,10 +226,18 @@ object PropertyGraphIO {
     * (the Delta-style transaction log collapses to the `_current`
     * pointer + directory listing because generations here are whole
     * table snapshots, not deltas). */
-  def nodeGenerations(root: String, label: String): Seq[(Long, Boolean)] = {
-    import java.nio.file.{Files, Paths}
-    val tableRoot = Paths.get(root, "nodes", label)
-    require(Files.isDirectory(tableRoot), s"no node table at $tableRoot")
+  def nodeGenerations(root: String, label: String): Seq[(Long, Boolean)] =
+    tableGenerations(java.nio.file.Paths.get(root, "nodes", label), "node table")
+
+  /** Relationship-table twin of [[nodeGenerations]] — upsertRels writes
+    * the same gen-N snapshot chain under `rels/<patternKey>`. */
+  def relGenerations(root: String, patternKey: String): Seq[(Long, Boolean)] =
+    tableGenerations(java.nio.file.Paths.get(root, "rels", patternKey), "rel table")
+
+  private def tableGenerations(tableRoot: java.nio.file.Path,
+      what: String): Seq[(Long, Boolean)] = {
+    import java.nio.file.Files
+    require(Files.isDirectory(tableRoot), s"no $what at $tableRoot")
     val ptr = tableRoot.resolve(CurrentPtr)
     val current: Long =
       if (Files.exists(ptr)) Files.readString(ptr).trim.stripPrefix("gen-").toLong
@@ -266,6 +274,18 @@ object PropertyGraphIO {
     else spark.read.parquet(s"$root/nodes/$label/gen-$generation")
   }
 
+  /** Time-travel read of a relationship table AS OF `generation` — the
+    * [[loadNodesAt]] twin over the upsertRels snapshot chain. */
+  def loadRelsAt(spark: SparkSession, root: String, patternKey: String,
+      generation: Long): org.apache.spark.sql.DataFrame = {
+    val known = relGenerations(root, patternKey).map(_._1).toSet
+    require(known(generation),
+      s"generation $generation of $patternKey is not on disk (have ${known.toSeq.sorted
+        .mkString(", ")}) — vacuumed or never written")
+    if (generation == 0L) spark.read.parquet(s"$root/rels/$patternKey/*.parquet")
+    else spark.read.parquet(s"$root/rels/$patternKey/gen-$generation")
+  }
+
   /** Change-data-capture diff between two retained generations (the
     * Delta CHANGE DATA FEED read, derived rather than logged): one
     * full-outer join of the two snapshots on the label's identifier,
@@ -290,6 +310,35 @@ object PropertyGraphIO {
           .when(!(col("__before") <=> col("__after")), lit("update")))
       .where(col("op").isNotNull)
       .select(col("op"), col("__k").as(id), col("__before"), col("__after"))
+  }
+
+  /** Relationship CDC between two retained generations — the
+    * [[cdcNodes]] twin keyed on the ENDPOINT PAIR (the table's first two
+    * columns, upsertRels' merge key): insert = pair absent before,
+    * delete = absent after, update = any property column differs.
+    * Endpoint rewrites are therefore an insert+delete pair, exactly as
+    * the merge semantics treat them. Same co-partitioned full-outer
+    * snapshot join as the node form — unchanged pairs never leave the
+    * executor. Returns (op, <src>, <dst>, __before, __after). */
+  def cdcRels(spark: SparkSession, root: String, patternKey: String,
+      fromGen: Long, toGen: Long): org.apache.spark.sql.DataFrame = {
+    val a = loadRelsAt(spark, root, patternKey, fromGen)
+    val cols = a.columns.toSeq
+    val keyCols = cols.take(2)
+    val b = loadRelsAt(spark, root, patternKey, toGen).select(cols.map(col): _*)
+    val sa = a.select(struct(keyCols.map(col): _*).as("__k"),
+      struct(cols.map(col): _*).as("__before"))
+    val sb = b.select(struct(keyCols.map(col): _*).as("__k"),
+      struct(cols.map(col): _*).as("__after"))
+    sa.join(sb, Seq("__k"), "full_outer")
+      .withColumn("op",
+        when(col("__before").isNull, lit("insert"))
+          .when(col("__after").isNull, lit("delete"))
+          .when(!(col("__before") <=> col("__after")), lit("update")))
+      .where(col("op").isNotNull)
+      .select(Seq(col("op")) ++
+        keyCols.map(k => col(s"__k.$k").as(k)) ++
+        Seq(col("__before"), col("__after")): _*)
   }
 
   /** The declared identifier property of a label, from the manifest alone

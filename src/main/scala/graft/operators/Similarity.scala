@@ -412,6 +412,23 @@ object Similarity {
     * [[assignCells]]) — the at-rest / streaming-index path: cell
     * assignment is not recomputed, so the per-query cost is the probe
     * joins alone. */
+  /** Broadcast the exploded probe side only when |queries|·nProbe fits
+    * the WIDTH-SCALED row ceiling — a probe row carries the full
+    * dim-wide vector, so the 2-column calibration is divided by ~dim/2
+    * (the [[GraphAnalytics.maxBroadcastRows]] rule). Past the ceiling
+    * the plain join ships: the corpus re-exchanges on the nCells-keyed
+    * column (the documented decay), which is slow but finishes, unlike
+    * an 8 GiB-capped broadcast build. The count runs on the RAW query
+    * table (pre-explode) — probe sets are small or the guard is moot. */
+  private def probeSide(q: DataFrame, queries: DataFrame, model: IvfModel,
+      nProbe: Int): DataFrame = {
+    val dim = model.centroids.headOption.map(_.length).getOrElse(2)
+    val widthCols = 3 + dim / 2
+    val ceiling = GraphAnalytics.maxBroadcastRows(
+      GraphAnalytics.maxBroadcastVerticesDyn, widthCols)
+    if (queries.count() * nProbe <= ceiling) broadcast(q) else q
+  }
+
   def ivfTopKAssigned(
       assigned: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, model: IvfModel, nProbe: Int): DataFrame = {
@@ -430,7 +447,12 @@ object Similarity {
     // 16-key skew shuffle at 100 TB (caught by the sf10 probe: 0 → 55 MB
     // corpus exchange at 10× data, wall 9 → 32 s). With the hint the
     // join preserves the index's own partitioning at any corpus scale.
-    broadcast(q).join(c, Seq("cell"))
+    // GUARDED like every other broadcast site: the probe rows carry full
+    // dim-wide vectors, so an unguarded hint would sail into Spark's
+    // 8 GiB broadcast hard cap (or a driver-build OOM) on a large query
+    // set where the old plan merely degraded to a shuffle join — gate on
+    // the width-scaled row ceiling and fall back to the plain join.
+    probeSide(q, queries, model, nProbe).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
         when(col("q_norm") * col("c_norm") === 0.0, lit(0.0))
@@ -485,9 +507,9 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    // same probe-side broadcast as ivfTopKAssigned (see its scaladoc):
-    // q is ≤ |queries|·nProbe rows after the window cut
-    broadcast(q).join(c, Seq("cell"))
+    // same guarded probe-side broadcast as ivfTopKAssigned (see its
+    // scaladoc): q is ≤ |queries|·nProbe rows after the window cut
+    probeSide(q, queries, model, nProbe).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
         when(col("q_norm") * col("c_norm") === 0.0, lit(0.0))

@@ -115,18 +115,33 @@ object TimeSeries {
     require(window >= minObs && minObs >= 2, s"need window >= minObs >= 2")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol), col(idCol))
       .rowsBetween(-window, -1)
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col(tCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // SHIFT-INVARIANCE defense against catastrophic cancellation: z is
+    // unchanged by subtracting a per-key constant, but E[x²]−E[x]² in
+    // doubles is NOT — for |mean| >> stddev (values near 1e9, small
+    // spread) the subtraction wipes the significant bits and the
+    // statistic silently nulls or lies. Center every value on the KEY'S
+    // FIRST quantized observation (a running first() over the same sort
+    // — one window pass, exact decimal subtraction), so the double
+    // arithmetic sees magnitudes of the per-key SPREAD, not the offset.
+    // Contract: the spread must fit DECIMAL(18,6) (12 integer digits) —
+    // a per-key RANGE bound instead of the old absolute-magnitude one.
+    // The oracle mirrors the same shift, so cross-engine equality holds.
     df.where(col(keyCol).isNotNull && col(tCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol), col(keyCol), col(tCol),
         round(col(valueCol), 6).cast("decimal(18,6)").as("__vq"))
+      .withColumn("__vs",
+        (col("__vq") - first(col("__vq")).over(wc)).cast("decimal(18,6)"))
       .withColumn("n_window", count(lit(1)).over(w))
       .withColumn("__m",
-        sum(col("__vq")).over(w).cast("double") / col("n_window").cast("double"))
+        sum(col("__vs")).over(w).cast("double") / col("n_window").cast("double"))
       .withColumn("__var",
-        sum(col("__vq") * col("__vq")).over(w).cast("double") /
+        sum(col("__vs") * col("__vs")).over(w).cast("double") /
           col("n_window").cast("double") - col("__m") * col("__m"))
       .withColumn("zscore",
         when(col("n_window") >= minObs && col("__var") > 0.0,
-          round((col("__vq").cast("double") - col("__m")) / sqrt(col("__var")), 6)))
+          round((col("__vs").cast("double") - col("__m")) / sqrt(col("__var")), 6)))
       .withColumn("is_anomaly",
         when(col("zscore").isNotNull, abs(col("zscore")) > threshold))
       .select(col(idCol), col(keyCol), col("n_window"), col("zscore"),

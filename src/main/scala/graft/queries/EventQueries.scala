@@ -298,21 +298,27 @@ object EventQueries {
       """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
         |    CAST(round(value, 6) AS DECIMAL(18,6)) AS vq
         |  FROM events WHERE user_id < 200 AND value IS NOT NULL),
-        |w AS (SELECT event_id, user_id, vq,
+        |sft AS (SELECT event_id, user_id, t_us,
+        |    CAST(vq - first(vq) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(18,6)) AS vs
+        |  FROM v),
+        |w AS (SELECT event_id, user_id, vs,
         |    COUNT(*) OVER win AS n_window,
-        |    SUM(vq) OVER win AS s1,
-        |    SUM(vq * vq) OVER win AS s2
-        |  FROM v WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |    SUM(vs) OVER win AS s1,
+        |    SUM(vs * vs) OVER win AS s2
+        |  FROM sft WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-        |m AS (SELECT event_id, user_id, vq, n_window,
+        |m AS (SELECT event_id, user_id, vs, n_window,
         |    CAST(s1 AS DOUBLE) / CAST(n_window AS DOUBLE) AS mu,
         |    CAST(s2 AS DOUBLE) / CAST(n_window AS DOUBLE) AS m2
         |  FROM w WHERE n_window > 0
-        |  UNION ALL SELECT event_id, user_id, vq, n_window, NULL, NULL
+        |  UNION ALL SELECT event_id, user_id, vs, n_window, NULL, NULL
         |  FROM w WHERE n_window = 0),
         |z AS (SELECT event_id, user_id, CAST(n_window AS BIGINT) AS n_window,
         |    CASE WHEN n_window >= 8 AND m2 - mu * mu > 0
-        |      THEN round((CAST(vq AS DOUBLE) - mu) / sqrt(m2 - mu * mu), 6) END AS zscore
+        |      THEN round((CAST(vs AS DOUBLE) - mu) / sqrt(m2 - mu * mu), 6) END AS zscore
         |  FROM m)
         |SELECT event_id, user_id, n_window, zscore,
         |  CASE WHEN zscore IS NOT NULL THEN abs(zscore) > 3.0 END AS is_anomaly

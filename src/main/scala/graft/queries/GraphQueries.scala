@@ -441,6 +441,64 @@ object GraphQueries {
     } finally graft.tools.Fs.deleteRecursively(root)
   }
 
+  /** Rel-table generation fixture for the CDC twin: Nation—IN_REGION→
+    * Region with a `since` property (key·10), then two upserts keyed on
+    * the endpoint pair — gen-1 rewrites since of pairs with key < 5 to
+    * −1 and inserts (990, 0, 990); gen-2 rewrites pairs with key < 3 to
+    * −2 and inserts (991, 1, 991). */
+  private def threeGenerationRelRoot(s: SparkSession, dir: String): String = {
+    import graft.model.{GraphSchema, LabelSchema, PropertyGraph, PropertyGraphIO,
+      RelPattern, RelSchema}
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcrels").toString
+    val nation = graft.Tables(s, dir, "nation")
+    val region = graft.Tables(s, dir, "region")
+    // rel tables follow the RelSchema column convention
+    // <SrcLabel>_<srcIdProp> for their endpoint pair
+    val rel = nation.select(col("n_nationkey").as("Nation_n_nationkey"),
+      col("n_regionkey").as("Region_r_regionkey"),
+      (col("n_nationkey").cast("long") * 10L).as("since"))
+    val pattern = RelPattern("Nation", "IN_REGION", "Region")
+    val g = PropertyGraph(
+      nodes = Map("Nation" -> nation, "Region" -> region),
+      rels = Map(pattern -> rel),
+      schema = GraphSchema(
+        labels = Seq(LabelSchema("Nation", "n_nationkey", Nil),
+          LabelSchema("Region", "r_regionkey", Nil)),
+        rels = Seq(RelSchema(pattern, "n_nationkey", "n_regionkey", Nil))))
+    PropertyGraphIO.save(g, root, bucketsPerTable = 2)
+    val b1 = rel.where(col("Nation_n_nationkey") < 5).withColumn("since", lit(-1L))
+      .unionByName(rel.where(col("Nation_n_nationkey") === 10)
+        .withColumn("Nation_n_nationkey", lit(990))
+        .withColumn("Region_r_regionkey", lit(0))
+        .withColumn("since", lit(990L)))
+    PropertyGraphIO.upsertRels(s, root, pattern.key, b1, bucketsPerTable = 2)
+    val b2 = rel.where(col("Nation_n_nationkey") < 3).withColumn("since", lit(-2L))
+      .unionByName(rel.where(col("Nation_n_nationkey") === 10)
+        .withColumn("Nation_n_nationkey", lit(991))
+        .withColumn("Region_r_regionkey", lit(1))
+        .withColumn("since", lit(991L)))
+    PropertyGraphIO.upsertRels(s, root, pattern.key, b2, bucketsPerTable = 2)
+    root
+  }
+
+  /** Relationship CDC over the generation chain (48d twin): what changed
+    * between the saved rel table (gen 0) and the current snapshot
+    * (gen 2), keyed on the endpoint pair — property updates for keys <5,
+    * pair inserts 990/991, no deletes. */
+  def graphCdcRels(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.PropertyGraphIO
+    val root = threeGenerationRelRoot(s, dir)
+    try {
+      PropertyGraphIO.cdcRels(s, root, "Nation_IN_REGION_Region",
+          fromGen = 0L, toGen = 2L)
+        .select(col("op"), col("Nation_n_nationkey").as("n_nationkey"),
+          col("Region_r_regionkey").as("n_regionkey"),
+          col("__before.since").as("since_before"),
+          col("__after.since").as("since_after"))
+        .localCheckpoint(true)
+    } finally graft.tools.Fs.deleteRecursively(root)
+  }
+
   /** Schema-evolution diff between two exports, driver-checked: the
     * "before" schema is the real graph's schema with Supplier (label +
     * its two patterns) and Customer.c_mktsegment removed — the shape of
@@ -687,6 +745,7 @@ object GraphQueries {
     "g_graph_upsert" -> (graphUpsert _),
     "g_graph_time_travel" -> (graphTimeTravel _),
     "g_graph_cdc" -> (graphCdc _),
+    "g_graph_cdc_rels" -> (graphCdcRels _),
     "g_model_diff" -> (modelDiff _),
     "g_pattern_match" -> (patternMatch _),
     "g_model_mappings" -> (modelMappings _),
@@ -885,6 +944,13 @@ object GraphQueries {
         |FROM nation WHERE n_nationkey < 5
         |UNION ALL SELECT 'insert', 990, CAST(NULL AS VARCHAR), 'NEWLAND'
         |UNION ALL SELECT 'insert', 991, CAST(NULL AS VARCHAR), 'NEWLAND2'""".stripMargin,
+    "g_graph_cdc_rels" ->
+      """SELECT 'update' AS op, n_nationkey, n_regionkey,
+        |  CAST(n_nationkey AS BIGINT) * 10 AS since_before,
+        |  CAST(CASE WHEN n_nationkey < 3 THEN -2 ELSE -1 END AS BIGINT) AS since_after
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL SELECT 'insert', 990, 0, CAST(NULL AS BIGINT), 990
+        |UNION ALL SELECT 'insert', 991, 1, CAST(NULL AS BIGINT), 991""".stripMargin,
     "g_graph_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS generation, n_nationkey, n_name, n_regionkey FROM nation
         |UNION ALL

@@ -68,9 +68,11 @@ object StreamingCc {
     spark.read.parquet(dirs.maxBy(_._1)._2)
   }
 
-  /** The accumulated raw edge log (src, dst) — the offline audit path. */
+  /** The accumulated raw edge log (src, dst) — the offline audit path.
+    * Compaction-aware: [[StreamingDedup.compactLog]] may have folded old
+    * generations into a checkpoint. */
   def readEdges(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/edges").map(_._2)
+    val dirs = StreamingDedup.listLogDirs(spark, s"$stateDir/edges").map(_._2)
     require(dirs.nonEmpty, s"no edge batches under $stateDir/edges")
     spark.read.parquet(dirs: _*)
   }

@@ -39,6 +39,91 @@ object StreamingDedup {
     }
   }
 
+  /** The authoritative read set of a COMPACTED batch LOG (a dir whose
+    * state is the UNION of its generations — edge logs, count logs): the
+    * newest `compact_<id>` checkpoint, if any, plus every `batch_<id>`
+    * dir with a LARGER id. [[compactLog]] publishes the checkpoint with
+    * one atomic rename, so this listing is crash-consistent at every
+    * instant: superseded batch dirs are ignored whether or not their
+    * deletion finished, and a replayed batch id ≤ the checkpoint
+    * re-creates a dir this listing skips (its content is already folded
+    * in — at-least-once replays re-write identical bytes). Without a
+    * checkpoint this is exactly [[listBatchDirs]]. */
+  private[streaming] def listLogDirs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Nil
+    val st = fs.listStatus(path).toSeq.filter(_.isDirectory)
+    val batches = st.collect {
+      case s if s.getPath.getName.startsWith("batch_") =>
+        (s.getPath.getName.stripPrefix("batch_").toLong, s.getPath.toString)
+    }
+    val compacts = st.collect {
+      case s if s.getPath.getName.startsWith("compact_") =>
+        (s.getPath.getName.stripPrefix("compact_").toLong, s.getPath.toString)
+    }
+    if (compacts.isEmpty) batches.sortBy(_._1)
+    else {
+      val newest = compacts.maxBy(_._1)
+      (newest +: batches.filter(_._1 > newest._1)).sortBy(_._1)
+    }
+  }
+
+  /** Bound a batch-dir LOG's on-disk generation count (the streaming
+    * twin of [[graft.model.PropertyGraphIO.vacuum]] for union-state
+    * logs): fold the current read set into `compact_<maxId>` — staged
+    * under a hidden tmp dir, published with ONE atomic rename — then
+    * delete the superseded batch dirs and older checkpoints. Readers
+    * going through [[listLogDirs]] see either the old read set or the
+    * new checkpoint at every instant; a crash mid-cleanup leaves only
+    * ignored dirs behind, and re-running compaction finishes the job.
+    * Safe to run while the stream is live: a batch landing after the
+    * listing has a larger id and stays in the read set. */
+  def compactLog(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val cur = listLogDirs(spark, dir)
+    if (cur.isEmpty) return
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxId = cur.map(_._1).max
+    if (cur.size > 1 || !cur.head._2.endsWith(s"compact_$maxId")) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp_compact_$maxId")
+      val fin = new org.apache.hadoop.fs.Path(s"$dir/compact_$maxId")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      spark.read.parquet(cur.map(_._2): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(fin)) fs.delete(fin, true)
+      require(fs.rename(tmp, fin), s"could not publish $tmp -> $fin")
+    }
+    // cleanup runs even when nothing new was folded, so a re-run after a
+    // crashed cleanup — or after a stale replay re-created an old dir —
+    // finishes the deletions (idempotent)
+    fs.listStatus(path).foreach { st =>
+      val n = st.getPath.getName
+      val superseded = st.isDirectory &&
+        ((n.startsWith("batch_") && n.stripPrefix("batch_").toLong <= maxId) ||
+          (n.startsWith("compact_") && n.stripPrefix("compact_").toLong < maxId))
+      if (superseded) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Retention vacuum for DERIVED-generation tables (rank/label/feature/
+    * skyline fronts, where each batch dir is a complete snapshot and
+    * only the newest is authoritative): keep the newest `retain + 1`
+    * batch dirs, delete the rest. `retain` defaults to 1, NOT 0 — a
+    * foreachBatch retry replays the NEWEST batch, whose body reads the
+    * newest strictly-older generation as its base; retaining one
+    * predecessor keeps that replay exact. */
+  def vacuumGenerations(spark: org.apache.spark.sql.SparkSession,
+      dir: String, retain: Int = 1): Unit = {
+    require(retain >= 0, "retain must be non-negative")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listBatchDirs(spark, dir).sortBy(-_._1).drop(retain + 1).foreach {
+      case (_, p) => fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+  }
+
   /** The per-micro-batch body, exposed so the retry-replay specs can
     * re-deliver a batch id exactly as foreachBatch's at-least-once
     * contract does (StreamingRetrySpec). */

@@ -79,9 +79,10 @@ object StreamingLinkFeatures {
     spark.read.parquet(dirs.maxBy(_._1)._2)
   }
 
-  /** The accumulated canonical edge log (u, v). */
+  /** The accumulated canonical edge log (u, v) — compaction-aware
+    * ([[StreamingDedup.compactLog]]). */
   def readEdges(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/edges").map(_._2)
+    val dirs = StreamingDedup.listLogDirs(spark, s"$stateDir/edges").map(_._2)
     require(dirs.nonEmpty, s"no edge batches under $stateDir/edges")
     spark.read.parquet(dirs: _*)
   }

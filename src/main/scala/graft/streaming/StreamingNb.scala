@@ -31,8 +31,22 @@ object StreamingNb {
       textCol: String, labelCol: String, countsDir: String): Unit = {
     if (!batch.isEmpty) {
       val (cnt, docs) = TextClassifier.trainCounts(batch, textCol, labelCol)
-      cnt.write.mode("overwrite").parquet(s"$countsDir/batch_$batchId/tok")
-      docs.write.mode("overwrite").parquet(s"$countsDir/batch_$batchId/doc")
+      // ATOMIC publish: stage BOTH tables under a hidden tmp dir, then
+      // one rename to batch_<id>. Two direct writes left a crash window
+      // where a half-batch (tok without doc) matched listBatchDirs'
+      // batch_* listing and broke every fold until the stream replayed;
+      // and a retry's in-place overwrite raced concurrent readers. The
+      // tmp prefix never matches the listing, and rename is atomic on
+      // local FS and HDFS.
+      val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+      val tmp = new org.apache.hadoop.fs.Path(s"$countsDir/.tmp_batch_$batchId")
+      val fin = new org.apache.hadoop.fs.Path(s"$countsDir/batch_$batchId")
+      val fs = tmp.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      cnt.write.mode("overwrite").parquet(s"${tmp.toString}/tok")
+      docs.write.mode("overwrite").parquet(s"${tmp.toString}/doc")
+      if (fs.exists(fin)) fs.delete(fin, true) // retry: replace the whole batch
+      require(fs.rename(tmp, fin), s"could not publish $tmp -> $fin")
     }
   }
 

@@ -51,9 +51,10 @@ object StreamingPpr {
       .start()
   }
 
-  /** The accumulated edge log (src, dst). */
+  /** The accumulated edge log (src, dst) — compaction-aware
+    * ([[StreamingDedup.compactLog]]). */
   def readEdges(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/edges").map(_._2)
+    val dirs = StreamingDedup.listLogDirs(spark, s"$stateDir/edges").map(_._2)
     require(dirs.nonEmpty, s"no edge batches under $stateDir/edges")
     spark.read.parquet(dirs: _*)
   }

@@ -92,4 +92,24 @@ class TimeSeriesSpec extends SparkTestBase {
     // the spike sits in row 12's window but does not flag the normal 10
     assert(gotAlt(12L)._5.contains(false))
   }
+
+  test("rolling z-score: offset-heavy keys (|mean| >> stddev) stay exact") {
+    import spark.implicits._
+    // the catastrophic-cancellation regression: at offset 1e9 the raw
+    // E[x²]−E[x]² double arithmetic has ulp ~128 at x² ≈ 1e18 and a true
+    // variance of 1 is unrepresentable; the per-key first-value shift
+    // keeps the double math at SPREAD magnitude, so z matches the
+    // unshifted twin exactly (z is shift-invariant)
+    val off = 1.0e9
+    val alt = (1 to 10).map(i =>
+      (2L, i.toLong, i.toLong, off + (if (i % 2 == 0) 11.0 else 9.0))) ++
+      Seq((2L, 11L, 11L, off + 30.0), (2L, 12L, 12L, off + 10.0))
+    val got = TimeSeries.rollingZscore(
+      alt.toDF("k", "t", "id", "v"), "k", "t", "id", "v", window = 24, minObs = 8)
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(11L)._4.contains(20.0) && got(11L)._5.contains(true),
+      s"offset spike lost: ${got(11L)}")
+    assert(got(12L)._5.contains(false))
+  }
 }
