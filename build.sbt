@@ -36,5 +36,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench JSON records Runtime.maxMemory as jvm_max_heap so a capped run
   // is diagnosable from the artifact alone.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // JDK-8192647 class: under parquet/codec JNI critical sections G1's
+  // GCLocker gives up after 2 retry allocations and throws a SPURIOUS
+  // OutOfMemoryError while the heap has tens of GB free — observed in
+  // the r13 sf10 probes as "Retried waiting for GCLocker too often
+  // allocating 33554434 words" immediately before OOMs in runs that were
+  // green in r12 (125 GiB machine, 17 GB heap, byte-identical plans).
+  // Raising the retry budget only changes failure behavior of those
+  // retries, never measured bytes or plan shape.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 ) ++ sys.env.get("GRAFT_DEBUG_PROPS").toSeq
   .flatMap(_.split(',').toSeq.map(p => s"-D$p"))

@@ -708,13 +708,14 @@ object GraphAnalytics {
       val vCount = lbl.count() // cheap: checkpointed above
       def mb(df: DataFrame): DataFrame =
         if (vCount <= maxBroadcastVerticesDyn) broadcast(df) else df
+      val wExpr = if (und.columns.contains("w")) sum(col("w")) else count(lit(1))
       val cundBase = und
         .join(mb(lbl.select(col("vid").as("__u"), col("community").as("cu"))),
           col("u") === col("__u"))
         .join(mb(lbl.select(col("vid").as("__v"), col("community").as("cv"))),
           col("v") === col("__v"))
         .groupBy(col("cu").as("u"), col("cv").as("v"))
-        .agg(sum(col("w")).as("w"))
+        .agg(wExpr.as("w"))
       // community-count²-bounded in theory, community-edge-sized in
       // practice; row count unknowable pre-materialization → two-phase
       val (cund, _) = persistPinnedTwoPhase(cundBase)
@@ -746,11 +747,15 @@ object GraphAnalytics {
       .where(col("u") =!= col("v"))
     val undRowsBound = stagingRowsHint.getOrElse(2 * e.count())
     val (eSrc, undParts) = volumeStage(e, undRowsBound)
+    // NO weight column at level 1: a constant w=1 rode the staging in
+    // the first refactor cut and cost 50% more bytes per row through
+    // every shuffle-fallback sort buffer — at sf10/17 GB that converted
+    // the r12-green run into UNABLE_TO_ACQUIRE_MEMORY aborts (measured,
+    // r13). The move core treats a missing w column as unit weights.
     val und = persistPinned(repartitionSized(
         eSrc.unionAll(eSrc.select(col("v").as("u"), col("u").as("v"))),
         undParts, col("u"))
-      .dropDuplicates("u", "v")
-      .withColumn("w", lit(1L)), undRowsBound)
+      .dropDuplicates("u", "v"), undRowsBound)
     (und, und.count())
   }
 
@@ -766,6 +771,10 @@ object GraphAnalytics {
   private def modularityMoveRounds(und: DataFrame, twoM: Long,
       numIter: Int, broadcastState: Boolean,
       hashParity: Boolean = false): DataFrame = {
+    // unit-weight inputs carry NO w column (see modularityStage) — the
+    // expressions below degenerate to the r12 counts, keeping the
+    // level-1 plan byte-identical on the wire
+    val weighted = und.columns.contains("w")
     // Update-class function for the alternating schedule. Level 1 splits
     // on vid parity (cheap, oracle-replays as `% 2`). CONTRACTED levels
     // hash first: super-vertex ids are level-1 COMMUNITY labels, and the
@@ -783,7 +792,8 @@ object GraphAnalytics {
     // loop-invariant weighted degrees ride hash(u) — no exchange; state
     // rows are (vid, community, k) so the per-round argmax can re-emit k
     // without a second degree join. Self rows count into k here.
-    val deg = und.groupBy(col("u").as("vid")).agg(sum(col("w")).as("k"))
+    val deg = und.groupBy(col("u").as("vid"))
+      .agg((if (weighted) sum(col("w")) else count(lit(1))).as("k"))
       .localCheckpoint(true)
     val useBroadcast = broadcastState &&
       deg.count() <= maxBroadcastRows(maxBroadcastVerticesDyn, 3)
@@ -802,11 +812,14 @@ object GraphAnalytics {
       // (u, cur, 0) keeps the current community a candidate even when
       // no neighbor shares it.
       val par = i % 2
-      val wuc = und.where(col("u") =!= col("v") &&
-          parityOf(col("u")) === lit(par))
+      val active = if (weighted)
+        und.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
+      else und.where(parityOf(col("u")) === lit(par))
+      val wuc = active
         .join(st.select(col("vid").as("__v"), col("community")),
           col("v") === col("__v"))
-        .select(col("u"), col("community"), col("w").as("wn"))
+        .select(col("u"), col("community"),
+          (if (weighted) col("w") else lit(1L)).as("wn"))
         .unionAll(state.where(parityOf(col("vid")) === lit(par))
           .select(col("vid").as("u"), col("community"), lit(0L).as("wn")))
         .groupBy(col("u"), col("community")).agg(sum(col("wn")).as("w"))

@@ -161,11 +161,20 @@ object AnalyticsQueries {
     val (edges, labels) = GraphAnalytics.unifiedEdges(g)
     GraphAnalytics.decode(
       GraphAnalytics.modularityCommunitiesMultiLevelDF(edges,
-        numIter = ModRounds, levels = 2,
+        numIter = ModL2Rounds, levels = 2,
         stagingRowsHint = Some(2 * GraphAnalytics.unifiedEdgeRowsBound(g))),
       "vid", labels)
       .select(col("label"), col("node_id"), col("community"))
   }
+
+  /** 2 rounds PER LEVEL, not 4: measured on the sf0.01 unified graph,
+    * 2+2 DOMINATES the flat 4-round single level on both axes
+    * (Q 0.1011 vs 0.0865, 2509 vs 4022 communities, 10.1 vs 13.5 s) —
+    * contraction converts two expensive E-sized rounds into two rounds
+    * on the community graph. At sf10 the level-1 rounds are the entire
+    * byte story (4 rounds = 66.3 GB), so halving them IS the scale fix
+    * the contraction buys (bench_history/r13_sf10_modfamily.jsonl). */
+  private val ModL2Rounds = 2
 
   private val ModRounds = 4
   private val ModScoreRounds = 3
@@ -2127,7 +2136,7 @@ object AnalyticsQueries {
     "g_connected_components" -> ccOracleSql(16),
     "g_label_propagation" -> lpaOracleSql(LpaRounds),
     "g_modularity" -> modularityOracleSql(ModRounds),
-    "g_modularity_l2" -> modularityL2OracleSql(ModRounds),
+    "g_modularity_l2" -> modularityL2OracleSql(ModL2Rounds),
     "g_modularity_score" -> modularityScoreOracleSql(ModScoreRounds),
     "g_betweenness" -> betweennessOracleSql(BcPivots, BcHorizon, BcSeed),
     "g_bfs_distances" -> bfsOracleSql(BfsHops),
