@@ -1358,8 +1358,14 @@ object AnalyticsQueries {
     * DECIMAL(38,0). */
   private def modularityRoundCtes(rounds: Int): String = {
     val sb = new StringBuilder
+    // state CTEs are MATERIALIZED: DuckDB inlines multiply-referenced
+    // CTEs, and each round references s{i-1} five times (volumes, both
+    // candidate branches, the gain join, the carryover) — inlined, the
+    // replay re-evaluates the whole round prefix combinatorially
+    // (measured: >70 GB of duckdb temp spill at sf1 before ENOSPC;
+    // materialized, the replay is linear in rounds)
     sb ++= """m2 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM und),
-             |s0 AS (SELECT u AS vid, u AS community, COUNT(*) AS k FROM und GROUP BY 1, 2)""".stripMargin
+             |s0 AS MATERIALIZED (SELECT u AS vid, u AS community, COUNT(*) AS k FROM und GROUP BY 1, 2)""".stripMargin
     (1 to rounds).foreach { i =>
       val par = i % 2
       sb ++= s""",
@@ -1375,7 +1381,7 @@ object AnalyticsQueries {
                 |    CASE WHEN a.community = s.community THEN 1 ELSE 0 END AS is_cur
                 |  FROM a$i a JOIN s${i - 1} s ON a.u = s.vid
                 |  JOIN v$i v ON v.community = a.community CROSS JOIN m2),
-                |s$i AS (SELECT vid, community, k FROM (
+                |s$i AS MATERIALIZED (SELECT vid, community, k FROM (
                 |    SELECT u AS vid, community, k,
                 |      row_number() OVER (PARTITION BY u
                 |        ORDER BY gain DESC, is_cur DESC, community ASC) AS rn
@@ -1459,7 +1465,7 @@ object AnalyticsQueries {
     * total edge weight). State CTEs are t0..tN. */
   private def modularityWeightedRoundCtes(rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= """t0 AS (SELECT u AS vid, u AS community, SUM(w) AS k FROM cund GROUP BY 1, 2)"""
+    sb ++= """t0 AS MATERIALIZED (SELECT u AS vid, u AS community, SUM(w) AS k FROM cund GROUP BY 1, 2)"""
     (1 to rounds).foreach { i =>
       val par = i % 2
       sb ++= s""",
@@ -1476,7 +1482,7 @@ object AnalyticsQueries {
                 |    CASE WHEN a.community = t.community THEN 1 ELSE 0 END AS is_cur
                 |  FROM ta$i a JOIN t${i - 1} t ON a.u = t.vid
                 |  JOIN tv$i v ON v.community = a.community CROSS JOIN m2),
-                |t$i AS (SELECT vid, community, k FROM (
+                |t$i AS MATERIALIZED (SELECT vid, community, k FROM (
                 |    SELECT u AS vid, community, k,
                 |      row_number() OVER (PARTITION BY u
                 |        ORDER BY gain DESC, is_cur DESC, community ASC) AS rn
