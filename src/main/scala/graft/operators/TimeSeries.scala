@@ -131,16 +131,29 @@ object TimeSeries {
     df.where(col(keyCol).isNotNull && col(tCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol), col(keyCol), col(tCol),
         round(col(valueCol), 6).cast("decimal(18,6)").as("__vq"))
-      .withColumn("__vs",
-        (col("__vq") - first(col("__vq")).over(wc)).cast("decimal(18,6)"))
+      // OVERFLOW honesty (r13 ADVICE): a spread past DECIMAL(18,6) made
+      // the plain cast THROW under ANSI (Spark 4 default — one bad key
+      // kills the whole job) and silently null under non-ANSI — where
+      // SUM skipped the row while n_window still counted it, biasing
+      // every covering window's mean/variance. try_cast makes the
+      // overflow an explicit NULL in both modes, and the per-window
+      // non-null count below nulls the zscore of any window touching
+      // one: an overflowed neighborhood is unknown, not normal. (DuckDB
+      // can't reach the divergent state — its cast ERRORS on overflow —
+      // so the oracle's mirrored guard is vacuously true and
+      // cross-engine equality holds on all data both engines complete.)
+      .withColumn("__f", first(col("__vq")).over(wc))
+      .withColumn("__vs", expr("try_cast(__vq - __f as decimal(18,6))"))
       .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("__nvs", count(col("__vs")).over(w))
       .withColumn("__m",
         sum(col("__vs")).over(w).cast("double") / col("n_window").cast("double"))
       .withColumn("__var",
         sum(col("__vs") * col("__vs")).over(w).cast("double") /
           col("n_window").cast("double") - col("__m") * col("__m"))
       .withColumn("zscore",
-        when(col("n_window") >= minObs && col("__var") > 0.0,
+        when(col("n_window") >= minObs && col("__var") > 0.0 &&
+            col("__nvs") === col("n_window"),
           round((col("__vs").cast("double") - col("__m")) / sqrt(col("__var")), 6)))
       .withColumn("is_anomaly",
         when(col("zscore").isNotNull, abs(col("zscore")) > threshold))

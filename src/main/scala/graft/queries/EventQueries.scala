@@ -306,18 +306,19 @@ object EventQueries {
         |  FROM v),
         |w AS (SELECT event_id, user_id, vs,
         |    COUNT(*) OVER win AS n_window,
+        |    COUNT(vs) OVER win AS nvs,
         |    SUM(vs) OVER win AS s1,
         |    SUM(vs * vs) OVER win AS s2
         |  FROM sft WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-        |m AS (SELECT event_id, user_id, vs, n_window,
+        |m AS (SELECT event_id, user_id, vs, n_window, nvs,
         |    CAST(s1 AS DOUBLE) / CAST(n_window AS DOUBLE) AS mu,
         |    CAST(s2 AS DOUBLE) / CAST(n_window AS DOUBLE) AS m2
         |  FROM w WHERE n_window > 0
-        |  UNION ALL SELECT event_id, user_id, vs, n_window, NULL, NULL
+        |  UNION ALL SELECT event_id, user_id, vs, n_window, nvs, NULL, NULL
         |  FROM w WHERE n_window = 0),
         |z AS (SELECT event_id, user_id, CAST(n_window AS BIGINT) AS n_window,
-        |    CASE WHEN n_window >= 8 AND m2 - mu * mu > 0
+        |    CASE WHEN n_window >= 8 AND m2 - mu * mu > 0 AND nvs = n_window
         |      THEN round((CAST(vs AS DOUBLE) - mu) / sqrt(m2 - mu * mu), 6) END AS zscore
         |  FROM m)
         |SELECT event_id, user_id, n_window, zscore,

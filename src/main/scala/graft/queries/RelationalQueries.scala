@@ -419,6 +419,41 @@ object RelationalQueries {
       .select(col("o_orderpriority"), col("approx_distinct"), col("exact_distinct"))
   }
 
+  /** Retention-path HLL fold (SURVEY §2 row 45o, r13 verdict #7): build
+    * a batch-dir LOG of per-slice HLL register tables — the streaming
+    * maintenance layout, published through BatchIo's atomic rename —
+    * then COMPACT it (StreamingDedup.compactLog: fold into
+    * compact_<maxId>, delete superseded dirs), land one post-compaction
+    * batch, and fold the authoritative read set (compact + later batch)
+    * to the global estimate. Registers max-merge, so the compacted fold
+    * must equal the one-shot sketch — the oracle replays the one-shot
+    * estimate on the full table; n_generations = 2 pins that compaction
+    * actually collapsed the four original dirs (a broken compact leaves
+    * 5 and hash-mismatches). This puts the 45o retention surface under
+    * the driver's oracle gate, not just specs. */
+  def hllCompacted(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.BatchIo._
+    val o = Tables(s, dir, "orders")
+    val log = java.nio.file.Files.createTempDirectory("graft_hll_log").toString
+    (0L to 3L).foreach { i =>
+      graft.operators.Sketches.hllRegisters(
+        o.where(pmod(col("o_orderkey"), lit(5)) === i), col("o_custkey"))
+        .publishBatch(log, i)
+    }
+    graft.streaming.StreamingDedup.compactLog(s, log)
+    // a post-compaction arrival: a larger id joins the read set as-is
+    graft.operators.Sketches.hllRegisters(
+      o.where(pmod(col("o_orderkey"), lit(5)) === 4), col("o_custkey"))
+      .publishBatch(log, 4L)
+    val nGen = graft.streaming.StreamingDedup.logGenerationCount(s, log)
+    val folded = graft.streaming.StreamingDedup.readLog(s, log)
+      .groupBy("bucket").agg(max(col("register")).cast("int").as("register"))
+    graft.operators.Sketches.hllEstimate(folded)
+      .crossJoin(o.agg(count_distinct(col("o_custkey")).as("exact_distinct")))
+      .select(lit(nGen.toLong).as("n_generations"),
+        col("approx_distinct"), col("exact_distinct"))
+  }
+
   /** Count-min frequency estimates for every distinct l_partkey (2000·sf
     * keys through 4×1024 counters — real collisions, so the one-sided
     * overestimate property is actually exercised), joined to the true
@@ -1452,6 +1487,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_zorder_keys" -> (zorderKeys _),
     "q_hll_groups" -> (hllGroups _),
+    "q_hll_compacted" -> (hllCompacted _),
     "q_set_ops" -> (setOps _),
     "q_mad_outliers" -> (madOutliers _),
     "q_grouping_sets" -> (groupingSets _),
@@ -1671,9 +1707,33 @@ object RelationalQueries {
        |  FROM orders GROUP BY 1) x USING (o_orderpriority)""".stripMargin
   }
 
+  /** One-shot global twin of the compacted-log fold: registers from ALL
+    * rows (slice union = whole table; registers max-merge), estimate via
+    * the shared recipe; n_generations pins the post-compaction layout. */
+  private val hllCompactedOracle: String = {
+    val numer = graft.operators.Sketches.hllNumer(8)
+    s"""WITH regs AS (
+       |  SELECT h % 256 AS bucket,
+       |    MAX(CASE WHEN h >> 8 = 0 THEN 53
+       |        ELSE 53 - length(ltrim(bin(h >> 8), '0')) END) AS register
+       |  FROM (SELECT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |    FROM orders)
+       |  GROUP BY 1)
+       |SELECT CAST(2 AS BIGINT) AS n_generations,
+       |  round(CASE WHEN v > 0 AND $numer / CAST(s_total AS DOUBLE) <= 640.0
+       |    THEN 256.0 * ln(256.0 / v)
+       |    ELSE $numer / CAST(s_total AS DOUBLE) END, 6) AS approx_distinct,
+       |  exact_distinct
+       |FROM (SELECT COALESCE(SUM(1::BIGINT << (60 - register)), 0)
+       |      + (256 - COUNT(*))::HUGEINT * (1::BIGINT << 60) AS s_total,
+       |    256 - COUNT(*) AS v FROM regs),
+       |  (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "g_zorder_keys" -> zorderOracle,
     "q_hll_groups" -> hllGroupsOracle,
+    "q_hll_compacted" -> hllCompactedOracle,
     "q_set_ops" ->
       """WITH a AS (SELECT c_custkey FROM customer c WHERE EXISTS (
         |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

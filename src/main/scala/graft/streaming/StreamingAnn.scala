@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import graft.operators.Similarity
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -30,8 +32,7 @@ object StreamingAnn {
       batch: DataFrame, batchId: Long, idCol: String, vecCol: String,
       model: Similarity.IvfModel, indexDir: String): Unit =
     Similarity.assignCells(batch, idCol, vecCol, model)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/batch_$batchId")
+      .publishBatch(s"$indexDir", batchId, "cell")
 
   def incrementalIvfIndex(
       vectors: DataFrame, idCol: String, vecCol: String,

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import graft.operators.DataFramePregel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,7 +38,7 @@ object StreamingCc {
       stateDir: String): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    b.write.mode("overwrite").parquet(s"$stateDir/edges/batch_$batchId")
+    b.publishBatch(s"$stateDir/edges", batchId)
     // previous generations may be missing on the FIRST batch only
     val prevDirs = StreamingDedup.listBatchDirs(spark, s"$stateDir/labels")
       .filter(_._1 < batchId)
@@ -48,7 +50,7 @@ object StreamingCc {
       case None => b
     }
     DataFramePregel.connectedComponents(input)
-      .write.mode("overwrite").parquet(s"$stateDir/labels/batch_$batchId")
+      .publishBatch(s"$stateDir/labels", batchId)
   }
 
   def incrementalCc(

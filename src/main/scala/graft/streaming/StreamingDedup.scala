@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -70,6 +72,23 @@ object StreamingDedup {
     }
   }
 
+  /** The authoritative read set of a compacted log as ONE DataFrame —
+    * the public batch-consumer twin of [[listLogDirs]] (union-state
+    * logs: the newest compact checkpoint plus every later batch dir).
+    * The driver-gate q_hll_compacted query folds registers through
+    * this, putting the retention path under the same oracle gate as
+    * every batch operator. */
+  def readLog(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val dirs = listLogDirs(spark, dir)
+    require(dirs.nonEmpty, s"no log generations under $dir")
+    spark.read.parquet(dirs.map(_._2): _*)
+  }
+
+  /** On-disk generation count of a compacted log (compact checkpoint +
+    * later batch dirs) — lets callers assert retention actually ran. */
+  def logGenerationCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = listLogDirs(spark, dir).size
+
   /** Bound a batch-dir LOG's on-disk generation count (the streaming
     * twin of [[graft.model.PropertyGraphIO.vacuum]] for union-state
     * logs): fold the current read set into `compact_<maxId>` — staged
@@ -79,7 +98,11 @@ object StreamingDedup {
     * new checkpoint at every instant; a crash mid-cleanup leaves only
     * ignored dirs behind, and re-running compaction finishes the job.
     * Safe to run while the stream is live: a batch landing after the
-    * listing has a larger id and stays in the read set. */
+    * listing has a larger id and stays in the read set, and every
+    * producer publishes its batch dirs via [[BatchIo.BatchPublish
+    * .publishBatch]]'s staged atomic rename (r13 ADVICE) — so the fold
+    * can never read a half-written retry and freeze partial rows into
+    * the checkpoint. */
   def compactLog(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val cur = listLogDirs(spark, dir)
     if (cur.isEmpty) return
@@ -155,9 +178,9 @@ object StreamingDedup {
       .where(col("id_a") > col("id_b"))
     crossBatch.unionAll(inBatch)
       .select(col("id_a"), col("id_b")).distinct()
-      .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
+      .publishBatch(s"$pairsDir", batchId)
 
-    banded.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+    banded.publishBatch(s"$indexDir", batchId)
   }
 
   def incrementalMinhashPairs(

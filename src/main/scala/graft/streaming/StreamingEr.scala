@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -69,9 +71,9 @@ object StreamingEr {
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
       .where(col("dist") >= 0)
       .distinct()
-      .write.mode("overwrite").parquet(s"$pairsDir/batch_$batchId")
+      .publishBatch(s"$pairsDir", batchId)
 
-    keyed.write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+    keyed.publishBatch(s"$indexDir", batchId)
   }
 
   def incrementalFuzzyPairs(

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import graft.operators.GraphAnalytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,7 +43,7 @@ object StreamingLinkFeatures {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.select(col(srcCol).as("u"), col(dstCol).as("v"))
-        b.write.mode("overwrite").parquet(s"$stateDir/edges/batch_$batchId")
+        b.publishBatch(s"$stateDir/edges", batchId)
         val all = readEdges(spark, stateDir).localCheckpoint(true)
         // affected anchors: everything within TWO hops of a batch
         // endpoint in the UPDATED graph (see scaladoc for why one hop
@@ -67,7 +69,7 @@ object StreamingLinkFeatures {
               .unionByName(fresh)
           case None => fresh
         }
-        merged.write.mode("overwrite").parquet(s"$stateDir/features/batch_$batchId")
+        merged.publishBatch(s"$stateDir/features", batchId)
       }
       .start()
 

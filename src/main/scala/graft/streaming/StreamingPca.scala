@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import graft.operators.Pca
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -48,7 +50,7 @@ object StreamingPca {
       spark.createDataFrame(
           java.util.Collections.singletonList(toRow(m)), blockSchema(m.dim))
         .coalesce(1)
-        .write.mode("overwrite").parquet(s"$momentsDir/batch_$batchId")
+        .publishBatch(s"$momentsDir", batchId)
     }
   }
 

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import graft.operators.GraphAnalytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,10 +45,10 @@ object StreamingPpr {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         batch.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-          .write.mode("overwrite").parquet(s"$stateDir/edges/batch_$batchId")
+          .publishBatch(s"$stateDir/edges", batchId)
         GraphAnalytics.personalizedPageRankDF(
           readEdges(spark, stateDir), src, numIter, resetProb)
-          .write.mode("overwrite").parquet(s"$stateDir/ranks/batch_$batchId")
+          .publishBatch(s"$stateDir/ranks", batchId)
       }
       .start()
   }

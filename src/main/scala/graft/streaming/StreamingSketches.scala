@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import graft.operators.Sketches
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,7 +31,7 @@ object StreamingSketches {
       batch: DataFrame, batchId: Long, valueCol: String, sketchDir: String,
       b: Int): Unit =
     Sketches.hllRegisters(batch, col(valueCol), b)
-      .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+      .publishBatch(s"$sketchDir", batchId)
 
   /** Maintain per-batch HLL register tables for `value` under
     * `sketchDir/batch_<id>`. */
@@ -65,7 +67,7 @@ object StreamingSketches {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sketches.cmsTable(batch, col(valueCol), depth, width)
-          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+          .publishBatch(s"$sketchDir", batchId)
       }
       .start()
 
@@ -86,7 +88,7 @@ object StreamingSketches {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sketches.bloomBits(batch, col(valueCol), m, h)
-          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+          .publishBatch(s"$sketchDir", batchId)
       }
       .start()
 
@@ -121,7 +123,7 @@ object StreamingSketches {
               concat(lit("qs:"), col("sample_id"))))),
           groupCol, "__nh", k, tieBreak = Seq("sample_id"))
           .drop("__nh")
-          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+          .publishBatch(s"$sketchDir", batchId)
       }
       .start()
 
@@ -145,7 +147,7 @@ object StreamingSketches {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sketches.kmvSketch(batch, col(valueCol), k)
-          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+          .publishBatch(s"$sketchDir", batchId)
       }
       .start()
 
@@ -172,7 +174,7 @@ object StreamingSketches {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sketches.mpQuantileSketch(batch, groupCol, col(idCol), col(valueCol), k)
-          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+          .publishBatch(s"$sketchDir", batchId)
       }
       .start()
 
@@ -213,7 +215,7 @@ object StreamingSketches {
           .unionAll(batch.select(col(dstCol).as("vid"), col(dstCol).as("member")))
           .unionAll(batch.select(col(srcCol).as("vid"), col(dstCol).as("member")))
         Sketches.hllRegistersGrouped(members, "vid", col("member"), b)
-          .write.mode("overwrite").parquet(s"$sketchDir/batch_$batchId")
+          .publishBatch(s"$sketchDir", batchId)
       }
       .start()
 

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.streaming.BatchIo._
+
 import graft.operators.Skyline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -38,7 +40,7 @@ object StreamingSkyline {
           else batch.unionByName(
             spark.read.parquet(olderDirs.maxBy(_._1)._2))
         Skyline.skylinePerKey(base, keyCols, criteria, buckets)
-          .write.mode("overwrite").parquet(s"$frontDir/batch_$batchId")
+          .publishBatch(s"$frontDir", batchId)
       }
       .start()
 

@@ -42,8 +42,9 @@ object PlanAudit {
     * a BNLJ on any query NOT in this set fails the audit. */
   private val DeclaredScalarCross: Set[String] = Set(
     "g_butterflies", "g_hits", "g_negative_samples", "q_dq_report",
-    "q_hll_distinct", "q_kmv_setops", "q_mp_quantiles", "q_skyline_orders",
-    "q_skyline_parts", "tx_bigram_logprob", "tx_bm25", "tx_chunk_bm25",
+    "q_hll_compacted", "q_hll_distinct", "q_kmv_setops", "q_mp_quantiles",
+    "q_skyline_orders", "q_skyline_parts",
+    "tx_bigram_logprob", "tx_bm25", "tx_chunk_bm25",
     "tx_dsir", "tx_tfidf", "tx_unigram_logprob")
 
   def main(args: Array[String]): Unit = {

@@ -153,6 +153,34 @@ class ModularitySpec extends SparkTestBase {
     assert(acc.value == 1L, s"hinted betweenness ran the lineage ${acc.value}x")
   }
 
+  test("levels = 3: each level contracts through its OWN labels (r13 ADVICE)") {
+    // 13-vertex fixture found by randomized search against a driver-side
+    // replay of the exact integer algebra (parity rounds, stay-on-tie,
+    // smallest-community tie-break, hash parity at contracted levels,
+    // contraction summing unit weights): at level 1 an anchor vertex
+    // moves out of its eponymous community, so the r13 shape — which
+    // contracted level 3 through the composed ORIGINAL-vid label table
+    // instead of level 2's own (contracted-vid → community) labels —
+    // returns a DIFFERENT partition here (it splits {4,5,7,8,10,11,12}
+    // into three). `expected` is the replay's output; levels 1 and 2
+    // agree between both shapes on this fixture, isolating the bug.
+    val e = Seq((1L, 2L), (1L, 7L), (1L, 12L), (1L, 13L), (2L, 3L), (2L, 9L),
+      (3L, 4L), (3L, 5L), (3L, 6L), (3L, 9L), (4L, 10L), (4L, 11L), (4L, 13L),
+      (5L, 11L), (7L, 8L), (7L, 10L), (7L, 11L), (8L, 11L), (8L, 12L),
+      (8L, 13L), (9L, 13L), (10L, 11L), (10L, 13L), (11L, 12L), (11L, 13L))
+      .toDF("src", "dst")
+    val expected = Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
+      6L -> 2L, 7L -> 1L, 8L -> 1L, 9L -> 2L, 10L -> 1L, 11L -> 1L,
+      12L -> 1L, 13L -> 2L)
+    val got = GraphAnalytics.modularityCommunitiesMultiLevelDF(e,
+      numIter = 2, levels = 3).as[(Long, Long)].collect().toMap
+    assert(got == expected, s"levels=3 diverged from the replay oracle: $got")
+    val sh = GraphAnalytics.modularityCommunitiesMultiLevelDF(e,
+      numIter = 2, levels = 3, broadcastState = false)
+      .as[(Long, Long)].collect().toMap
+    assert(sh == expected, s"shuffle plan diverged at levels=3: $sh")
+  }
+
   test("modularity communities: self-loops and duplicate edges are ignored") {
     val e = twoTriangles()
       .unionAll(Seq((1L, 1L), (2L, 1L), (1L, 2L)).toDF("src", "dst"))

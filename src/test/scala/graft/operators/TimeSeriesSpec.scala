@@ -112,4 +112,36 @@ class TimeSeriesSpec extends SparkTestBase {
       s"offset spike lost: ${got(11L)}")
     assert(got(12L)._5.contains(false))
   }
+
+  test("rolling z-score: a spread past DECIMAL(18,6) nulls, never biases (r13 ADVICE)") {
+    import spark.implicits._
+    // key holds +9e11 and -9e11 — each representable, their shifted
+    // difference (1.8e12, 13 integer digits) overflows DECIMAL(18,6) to
+    // NULL under the non-ANSI cast. Before the guard, SUM skipped the
+    // NULL while n_window counted the row, silently biasing every
+    // covering window's mean/variance; now any window containing an
+    // overflowed value yields null z and flag (unknown, not normal).
+    val rows = Seq((1L, 1L, 1L, 9.0e11), (1L, 2L, 2L, -9.0e11)) ++
+      (3 to 12).map(i => (1L, i.toLong, i.toLong,
+        9.0e11 + (if (i % 2 == 0) 11.0 else 9.0))) :+
+      ((1L, 13L, 13L, 9.0e11 + 30.0))
+    val got = TimeSeries.rollingZscore(
+      rows.toDF("k", "t", "id", "v"), "k", "t", "id", "v",
+      window = 24, minObs = 8)
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    // row 13's trailing window still covers the overflowed row 2 -> null
+    assert(got(13L)._3 == 12L)
+    assert(got(13L)._4.isEmpty && got(13L)._5.isEmpty,
+      s"overflowed window must yield null, got ${got(13L)}")
+    // sanity: without the overflowing row the same spike flags
+    val clean = rows.filterNot(_._2 == 2L)
+    val gotClean = TimeSeries.rollingZscore(
+      clean.toDF("k", "t", "id", "v"), "k", "t", "id", "v",
+      window = 24, minObs = 8)
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(gotClean(13L)._4.nonEmpty && gotClean(13L)._5.contains(true),
+      s"clean twin should flag: ${gotClean(13L)}")
+  }
 }

@@ -19,8 +19,13 @@ echo "[gate] 0/4 pin-discipline grep (no raw deserialized persist call sites)"
 # pinLevel / pinTwoPhase, which demote to serialized DISK_ONLY past the
 # heap ceiling. The only allowed literal is the DefaultPinLevel val
 # inside the helpers themselves (an assignment, not a persist call).
-if grep -rn "persist(org\.apache\.spark\.storage\.StorageLevel\.MEMORY_AND_DISK)\|persist(MEMORY_AND_DISK)" src/main/scala; then
-  echo "[gate] FAIL: raw MEMORY_AND_DISK persist call site (use persistPinned)"
+# r13 ADVICE: match ANY deserialized StorageLevel spelling reaching a
+# .persist( call — fully-qualified, imported `StorageLevel.MEMORY_*`, or
+# bare `MEMORY_*` — not just the two exact literals; MEMORY_ONLY and the
+# _2 replicated variants are the same residency class.
+if grep -rn "\.persist(.*MEMORY_" src/main/scala \
+    | grep -v "GraphAnalytics.scala.*DefaultPinLevel"; then
+  echo "[gate] FAIL: raw deserialized persist call site (use persistPinned)"
   exit 1
 fi
 
