@@ -51,9 +51,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // SPARK_GRAFT_SHUFFLE_PARTS: probe-side override for the sf10 runs
+    // (r13 verdict #5) — at 10× volume the cpus-sized config caps
+    // volumeParts at 2.5M+ rows/partition and per-task agg/sort state
+    // spills measure the LOCAL cap, not the plan; a production fleet
+    // sizes this config to the cluster. Bench-SF runs leave it unset.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -78,7 +78,11 @@ object GraphAnalytics {
     * again. */
   private[graft] def maxBroadcastVerticesDyn: Long = {
     val spark = org.apache.spark.sql.SparkSession.active
-    math.min(MaxBroadcastVertices, perExecutorHeapBytes(spark) / 900)
+    // SPARK_GRAFT_MAX_BCAST_V: probe-only override so the shuffle
+    // fallbacks can be stage-profiled at bench SFs without a 10× corpus
+    // (the guard normally crosses only past ~19M vertices on this heap)
+    sys.env.get("SPARK_GRAFT_MAX_BCAST_V").map(_.toLong).getOrElse(
+      math.min(MaxBroadcastVertices, perExecutorHeapBytes(spark) / 900))
   }
 
   /** Heap of ONE executor — the budget for anything replicated
@@ -721,8 +725,12 @@ object GraphAnalytics {
       // past the guard the shuffle join stands (correct, linear).
       val lbl = curLabels
       val vCount = lbl.count() // cheap: checkpointed above
+      // past the guard the label side shuffle-HASH-joins (r14): it is
+      // V-rows against the E-row adjacency stream, and an SMJ would
+      // sort the adjacency twice more per contraction
       def mb(df: DataFrame): DataFrame =
-        if (vCount <= maxBroadcastVerticesDyn) broadcast(df) else df
+        if (vCount <= maxBroadcastVerticesDyn) broadcast(df)
+        else df.hint("shuffle_hash")
       val wExpr = if (und.columns.contains("w")) sum(col("w")) else count(lit(1))
       val cundBase = und
         .join(mb(lbl.select(col("vid").as("__u"), col("community").as("cu"))),
@@ -828,14 +836,23 @@ object GraphAnalytics {
     // exchange and one extra pin (heap-budgeted: past pinRowCeiling both
     // copies are serialized DISK_ONLY), amortized over all rounds; the
     // broadcast path is untouched (zero exchanges, measured green).
+    // Both loop-invariant degrees ride the pin: k (= k_u) feeds every
+    // round's gain; kv (= k_v) exists for the IDENTITY shortcut below,
+    // where vol(C=v) = k_v. Joins hint SHUFFLE_HASH so the E-row side
+    // streams unsorted (an SMJ would sort the whole adjacency — at sf10
+    // that sort IS the spill story, re-paid per join).
     val undV: DataFrame = if (useBroadcast) null else {
       val spark = und.sparkSession
       val cols = Seq(col("u"), col("v")) ++
         (if (weighted) Seq(col("w")) else Nil) :+ col("k")
-      persistPinned(repartitionSized(
-        und.join(deg.select(col("vid").as("__u"), col("k")),
-          col("u") === col("__u")).select(cols: _*),
-        volumePartsOpt(spark, twoM), col("v")), twoM)
+      persistPinned(
+        repartitionSized(
+          und.join(deg.select(col("vid").as("__u"), col("k")).hint("shuffle_hash"),
+            col("u") === col("__u")).select(cols: _*),
+          volumePartsOpt(spark, twoM), col("v"))
+          .join(deg.select(col("vid").as("__v"), col("k").as("kv"))
+            .hint("shuffle_hash"), col("v") === col("__v"))
+          .select(cols :+ col("kv"): _*), twoM)
     }
     var state = deg.select(col("vid"), col("vid").as("community"), col("k"))
     (1 to numIter).foreach { i =>
@@ -877,6 +894,35 @@ object GraphAnalytics {
           .agg(max(struct(col("gain"), col("is_cur"),
             (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
           .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
+      } else if (i == 1) {
+        // IDENTITY shortcut: round 1 always starts from the all-singleton
+        // state, where the neighbor-state join is a tautology —
+        // community(v) = v and vol(C=v) = k_v, both already ON the pin.
+        // Distinct (u, v) rows mean w(u→C) needs no (u, community)
+        // pre-aggregation either, so the round is ONE argmax over the
+        // pinned rows: no stv join, no vol exchange, no pair fold — the
+        // most expensive round (every vertex its own community = maximal
+        // candidate count) costs one narrow E/2-row exchange.
+        // Value-identical to the general branch: gain(C=v) =
+        // 2m·w(u,v) − k_u·k_v, gain(cur) = 2m·0 − k_u·(k_u − k_u) = 0.
+        val active = if (weighted)
+          undV.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
+        else undV.where(parityOf(col("u")) === lit(par))
+        active
+          .select(col("u"), col("v").as("community"), col("k"),
+            (lit(twoM).cast("decimal(38,0)") *
+              (if (weighted) col("w") else lit(1L)) -
+              col("k").cast("decimal(38,0)") * col("kv")).as("gain"),
+            lit(0L).as("is_cur"))
+          .unionAll(state.where(parityOf(col("vid")) === lit(par))
+            .select(col("vid").as("u"), col("community"), col("k"),
+              (lit(twoM).cast("decimal(38,0)") * lit(0L) -
+                col("k").cast("decimal(38,0)") * lit(0L)).as("gain"),
+              lit(1L).as("is_cur")))
+          .groupBy(col("u"))
+          .agg(max(struct(col("gain"), col("is_cur"),
+            (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
+          .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
       } else {
         // State-only-exchange plan, value-identical to the broadcast
         // branch: each neighbor-state row carries its community's volume
@@ -884,16 +930,18 @@ object GraphAnalytics {
         // candidate rows, and the union row marks u's current community —
         // so the fold needs NO post-hoc joins: w, k, vol and is_cur all
         // arrive through the one map-side-combined (u, community)
-        // aggregation, and the gain argmax reuses its partitioning.
+        // aggregation, and the gain argmax reuses its partitioning. The
+        // state side hints SHUFFLE_HASH: it is V-rows against the pinned
+        // E-row stream, and an SMJ would re-SORT the pin every round.
         val vol = state.groupBy(col("community"))
           .agg(sum(col("k").cast("decimal(38,0)")).as("vol"))
-        val stv = state.join(vol, Seq("community"))
+        val stv = state.join(vol.hint("shuffle_hash"), Seq("community"))
         val active = if (weighted)
           undV.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
         else undV.where(parityOf(col("u")) === lit(par))
         active
-          .join(stv.select(col("vid").as("__v"), col("community"), col("vol")),
-            col("v") === col("__v"))
+          .join(stv.select(col("vid").as("__v"), col("community"), col("vol"))
+            .hint("shuffle_hash"), col("v") === col("__v"))
           .select(col("u"), col("community"),
             (if (weighted) col("w") else lit(1L)).as("wn"),
             col("k"), col("vol"), lit(0L).as("cur0"))

@@ -4,19 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** Stream ≡ batch at BENCH scale (VERDICT r11 #4): the 11 streaming
-  * families are spec-checked for stream/batch equality at fixture scale;
-  * this main re-proves the three stateful-index families over a full
-  * bench corpus — StreamingCc, StreamingDedup, StreamingPpr driven
-  * through the real foreachBatch machinery in micro-batches, then the
-  * FINAL generation compared row-for-row (exceptAll both ways) against
-  * the one-shot batch operator over the identical input — and measures
-  * sustained ingest rows/s for the four families BASELINE §6 lacked
-  * (er, ppr, linkfeatures, skyline; same first-batch-is-warmup
-  * convention as StreamBench).
+/** Stream ≡ batch at BENCH scale (VERDICT r11 #4; r13 #6 extended the
+  * MATCH set): streaming families driven through the real foreachBatch
+  * machinery in micro-batches, then the FINAL generation compared
+  * row-for-row (exceptAll both ways) against the one-shot batch
+  * operator over the identical input. r12 proved cc/dedup/ppr/nb; r14
+  * adds MATCH rows for er, linkfeatures, skyline and ann (previously
+  * rows/s-only), so every stateful streaming family has a full-corpus
+  * equivalence row. Sustained ingest rows/s uses the same
+  * first-batch-is-warmup convention as StreamBench.
   *
   * Usage: `sbt "runMain graft.tools.StreamEquiv /root/repo/testdata_sf1"`.
-  * Appends one JSON line to bench_history/r12_stream_equiv.jsonl.
+  * Appends one JSON line to bench_history/r14_stream_equiv.jsonl.
   */
 object StreamEquiv {
   def main(args: Array[String]): Unit = {
@@ -145,16 +144,35 @@ object StreamEquiv {
         ms.toDF().toDF("c_custkey", "c_name"), "c_custkey", "c_name",
         blockExpr = expr("substr(c_name, 1, length(c_name)-2)"),
         s"$root/er/index", s"$root/er/pairs", s"$root/er/ckpt"))
-    results += "er" -> s"""{"rows":$erRows,"rps":${f"$erRps%.1f"},"secs":${f"$erSecs%.2f"}}"""
-    println(s"[equiv] er rps=$erRps")
+    // stream ≡ batch (r13 verdict #6): same collected input, same block
+    // expr and caps on both sides; name-prefix blocks stay far under the
+    // 1000-row bucket cap at sf1, so the stream's corpus-so-far cap and
+    // the batch's bucket cap never diverge. Pairs canonicalized (stream
+    // emits (newer, older), batch (larger, smaller)).
+    val erStream = graft.streaming.StreamingEr.allPairs(spark, s"$root/er/pairs")
+      .select(greatest(col("id_a"), col("id_b")).as("id_a"),
+        least(col("id_a"), col("id_b")).as("id_b"), col("dist")).distinct()
+    val erBatch = graft.operators.EntityResolution.fuzzyPairs(
+      customers.toDF("c_custkey", "c_name"), "c_custkey", "c_name",
+      blockExpr = expr("substr(c_name, 1, length(c_name)-2)"))
+      .select(greatest(col("id_a"), col("id_b")).as("id_a"),
+        least(col("id_a"), col("id_b")).as("id_b"), col("dist")).distinct()
+    val erMatch = sameRows(erStream, erBatch)
+    results += "er" -> s"""{"match":$erMatch,"rows":$erRows,"rps":${f"$erRps%.1f"},"secs":${f"$erSecs%.2f"}}"""
+    println(s"[equiv] er match=$erMatch rps=$erRps")
 
     val lfBatches = edges.take(7000).grouped(1000).toSeq
     val (lfRps, lfRows, lfSecs) = drive[(Long, Long)](lfBatches, ms =>
       graft.streaming.StreamingLinkFeatures.incremental(
         ms.toDF().toDF("src", "dst"), "src", "dst",
         s"$root/lf/state", s"$root/lf/ckpt"))
-    results += "linkfeatures" -> s"""{"rows":$lfRows,"rps":${f"$lfRps%.1f"},"secs":${f"$lfSecs%.2f"}}"""
-    println(s"[equiv] linkfeatures rps=$lfRps")
+    val lfStream = graft.streaming.StreamingLinkFeatures.latestFeatures(spark, s"$root/lf/state")
+    val lfBatch = graft.operators.GraphAnalytics.linkFeatures(
+      edges.take(7000).toDF("src", "dst"), "src", "dst",
+      topPerVertex = 5, minCommon = 2)
+    val lfMatch = sameRows(lfStream, lfBatch.select(lfStream.columns.map(col): _*))
+    results += "linkfeatures" -> s"""{"match":$lfMatch,"rows":$lfRows,"rps":${f"$lfRps%.1f"},"secs":${f"$lfSecs%.2f"}}"""
+    println(s"[equiv] linkfeatures match=$lfMatch rps=$lfRps")
 
     val orders = graft.Tables(spark, dir, "orders")
       .withColumn("o_orderdate_d", to_date(col("o_orderdate")))
@@ -171,8 +189,40 @@ object StreamEquiv {
           graft.operators.Skyline.Criterion("recency", col("recency"), maximize = true)),
         s"$root/sk/front", s"$root/sk/ckpt",
         keyCols = Seq("o_orderpriority")))
-    results += "skyline" -> s"""{"rows":$skRows,"rps":${f"$skRps%.1f"},"secs":${f"$skSecs%.2f"}}"""
-    println(s"[equiv] skyline rps=$skRps")
+    val skStream = graft.streaming.StreamingSkyline.currentFront(spark, s"$root/sk/front")
+    val skBatch = graft.operators.Skyline.skylinePerKey(
+      orders.toDF("o_orderkey", "o_orderpriority", "o_totalprice", "recency"),
+      keyCols = Seq("o_orderpriority"),
+      criteria = Seq(
+        graft.operators.Skyline.Criterion("price", col("o_totalprice"), maximize = true),
+        graft.operators.Skyline.Criterion("recency", col("recency"), maximize = true)))
+    val skMatch = sameRows(skStream, skBatch.select(skStream.columns.map(col): _*))
+    results += "skyline" -> s"""{"match":$skMatch,"rows":$skRows,"rps":${f"$skRps%.1f"},"secs":${f"$skSecs%.2f"}}"""
+    println(s"[equiv] skyline match=$skMatch rps=$skRps")
+
+    // ---- StreamingAnn over the full embeddings corpus: the streamed
+    // cell-partitioned index must answer top-k IDENTICALLY to the batch
+    // ivfTopK over the unioned corpus (same trained model both sides)
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val annModel = graft.operators.Similarity.trainIvf(
+      vecs.toDF("vec_id", "embedding"), "embedding", nCells = 16)
+    val annBatches = vecs.grouped(math.max(1, vecs.size / 10)).toSeq
+    val (annRps, annRows, annSecs) = drive[(Long, Array[Float])](annBatches, ms =>
+      graft.streaming.StreamingAnn.incrementalIvfIndex(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", annModel,
+        s"$root/ann/index", s"$root/ann/ckpt"))
+    val annQueries = vecs.take(50).toDF("vec_id", "embedding")
+    val annStream = graft.streaming.StreamingAnn.ivfTopKFromIndex(
+      spark, s"$root/ann/index", annQueries, "vec_id", "embedding",
+      k = 10, annModel, nProbe = 4)
+    val annBatch = graft.operators.Similarity.ivfTopK(
+      vecs.toDF("vec_id", "embedding"), annQueries, "vec_id", "embedding",
+      k = 10, annModel, nProbe = 4)
+    val annMatch = sameRows(annStream, annBatch.select(annStream.columns.map(col): _*))
+    results += "ann" -> s"""{"match":$annMatch,"rows":$annRows,"rps":${f"$annRps%.1f"},"secs":${f"$annSecs%.2f"}}"""
+    println(s"[equiv] ann match=$annMatch rps=$annRps")
 
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"stream_equiv","sf":"$dir",""", ",",
@@ -181,7 +231,7 @@ object StreamEquiv {
     try {
       val repo = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo"))
       java.nio.file.Files.createDirectories(repo.resolve("bench_history"))
-      java.nio.file.Files.writeString(repo.resolve("bench_history/r12_stream_equiv.jsonl"),
+      java.nio.file.Files.writeString(repo.resolve("bench_history/r14_stream_equiv.jsonl"),
         json + "\n", java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable => System.err.println(s"[equiv] log append failed: ${e.getMessage}") }
