@@ -13,7 +13,7 @@ for q in "$@"; do
   echo "[family-probe] $SF $q"
   SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-17g} \
     SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
-    SPARK_GRAFT_BENCH_ONLY="$q" SPARK_GRAFT_BENCH_REPS=1 \
+    SPARK_GRAFT_BENCH_ONLY="$q" SPARK_GRAFT_BENCH_REPS=${PROBE_REPS:-1} \
     sbt -batch "runMain graft.Bench" > /tmp/family_probe_$q.log 2>&1
   rc=$?
   if [ $rc -eq 0 ] && [ -f BENCH_DETAIL.json ]; then
