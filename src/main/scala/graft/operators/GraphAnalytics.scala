@@ -508,10 +508,15 @@ object GraphAnalytics {
     * RDD lineage/serialization becomes the ceiling. */
   def pageRankDF(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    // heap-budgeted pins (r14): E-row checkpoints demote to serialized
+    // DISK_ONLY past pinRowCeiling instead of squatting deserialized in
+    // the storage pool (the r11/r12 OOM class)
+    val (e, _) = pinTwoPhase(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // the degree join is loop-invariant — pay it once, not once per round
-    val ed = e.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+    val (ed, _) = pinTwoPhase(
+      e.join(deg, "src").select(col("src"), col("dst"), col("deg")))
     val verts = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid"))).distinct().localCheckpoint(true)
     var ranks = verts.withColumn("rank", lit(1.0))
@@ -1965,6 +1970,14 @@ object GraphAnalytics {
     require(walksPerVertex >= 1 && steps >= 0, "walksPerVertex >= 1, steps >= 0")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
+    // DELIBERATELY a bare deserialized checkpoint, not a heap-budgeted
+    // pin (measured both ways at sf10, r14): this loop is broadcast-
+    // join-only — each step probes the staged list against a walk-sized
+    // broadcast and never contends for execution memory, so the r11/r12
+    // deserialized-residency OOM class cannot fire; demoting to
+    // serialized DISK_ONLY (pinTwoPhase) re-paid a deserialization of
+    // the full list on every step and took g_negative_samples from
+    // 229 s to 417 s at identical bytes (r14_sf10_heavies.jsonl).
     val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))) else e0)
       .localCheckpoint(true)
     val w0 = starts.select(col(starts.columns.head).as("start")).distinct()
@@ -2123,6 +2136,8 @@ object GraphAnalytics {
     // yield bit-identical candidate and common-neighbor rows, and the
     // per-walk argmax ignores multiplicity — a dedup would be this
     // operator's only full edge exchange
+    // bare deserialized checkpoint on purpose — broadcast-probe loop,
+    // see the measured rationale in [[randomWalks]] (r14)
     val e = (if (undirected) e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))) else e0)
       .localCheckpoint(true)
     val w0 = starts.select(col(starts.columns.head).as("start")).distinct()
