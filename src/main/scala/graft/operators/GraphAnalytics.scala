@@ -870,34 +870,55 @@ object GraphAnalytics {
         val vol = broadcast(state.groupBy(col("community"))
           .agg(sum(col("k").cast("decimal(38,0)")).as("vol")))
         // w(u→C): edge weight from the round's ACTIVE parity class into
-        // each neighboring community; grouping keys ⊇ {u} so the
-        // aggregation rides hash(u). The union row (u, cur, 0) keeps the
-        // current community a candidate even when no neighbor shares it.
+        // each neighboring community. The fold's grouping keys ⊇ {u}, so
+        // it rides the pinned hash(u) layout through the broadcast joins
+        // EXCHANGE-FREE. (The r13 shape unioned a (u, cur, 0) marker row
+        // into this fold — which erased the union's partitioning
+        // advertisement and re-exchanged the E-row candidate set up to
+        // three times per round, 258 MB for the 4-round query at sf0.1.)
         val active = if (weighted)
           und.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
         else und.where(parityOf(col("u")) === lit(par))
-        val wuc = active
+        val folded = active
           .join(st.select(col("vid").as("__v"), col("community")),
             col("v") === col("__v"))
           .select(col("u"), col("community"),
             (if (weighted) col("w") else lit(1L)).as("wn"))
-          .unionAll(state.where(parityOf(col("vid")) === lit(par))
-            .select(col("vid").as("u"), col("community"), lit(0L).as("wn")))
           .groupBy(col("u"), col("community")).agg(sum(col("wn")).as("w"))
-        // argmax (gain, prefer-current-on-tie, then smallest community)
-        wuc
-          .join(st.select(col("vid").as("__u"), col("community").as("cur"),
-            col("k")), col("u") === col("__u"))
+        // candidate structs (gain, prefer-current-on-tie, smallest
+        // community): the neighbor candidates from the fold, UNIONED with
+        // one synthetic zero-weight current-community candidate per
+        // ACTIVE state row — which both keeps `cur` a candidate when no
+        // neighbor shares it AND keeps a self-loop-only super-vertex (no
+        // u≠v rows at all on a contracted graph) in the state. When
+        // (u, cur) also has fold weight, its w>0 struct strictly
+        // dominates the synthetic one, so values are identical to the
+        // r13 summed-marker shape. The union is the round's ONE exchange:
+        // candidate-pair-sized argmax input, narrow rows.
+        val stGain = st.select(col("vid").as("__u"), col("community").as("cur"),
+          col("k"))
+        val cand = folded
+          .join(stGain, col("u") === col("__u"))
           .join(vol, Seq("community"))
-          .select(col("u"), col("community"), col("k"),
-            (lit(twoM).cast("decimal(38,0)") * col("w") -
-              col("k").cast("decimal(38,0)") *
-                (col("vol") - when(col("community") === col("cur"), col("k"))
-                  .otherwise(lit(0L)))).as("gain"),
-            when(col("community") === col("cur"), 1L).otherwise(0L).as("is_cur"))
-          .groupBy(col("u"))
-          .agg(max(struct(col("gain"), col("is_cur"),
-            (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
+          .select(col("u"), col("k"),
+            struct(
+              (lit(twoM).cast("decimal(38,0)") * col("w") -
+                col("k").cast("decimal(38,0)") *
+                  (col("vol") - when(col("community") === col("cur"), col("k"))
+                    .otherwise(lit(0L)))).as("gain"),
+              when(col("community") === col("cur"), 1L).otherwise(0L).as("is_cur"),
+              (-col("community")).as("negc")).as("s"))
+          .unionAll(state.where(parityOf(col("vid")) === lit(par))
+            .join(vol, Seq("community"))
+            .select(col("vid").as("u"), col("k"),
+              struct(
+                (lit(twoM).cast("decimal(38,0)") * lit(0L) -
+                  col("k").cast("decimal(38,0)") *
+                    (col("vol") - col("k"))).as("gain"),
+                lit(1L).as("is_cur"),
+                (-col("community")).as("negc")).as("s")))
+        cand.groupBy(col("u"))
+          .agg(max(col("s")).as("m"), max(col("k")).as("k"))
           .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
       } else if (i == 1) {
         // IDENTITY shortcut: round 1 always starts from the all-singleton
