@@ -183,7 +183,19 @@ object Bench {
         packed.append(entry)
       } else omitted += 1
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$packed},"n_queries":${results.size},"queries_omitted":$omitted,"errors":$totalErrors,"reps":$reps,"jvm_max_heap":$jvmMaxHeap,"detail_file":"$detailFile","sf":"$sfDir"}""")
+    // Contention honesty (r14 verdict #5): the r14 headline (542 s) was
+    // manufactured by ONE contended rep (g_modularity_l2 median 160.8 s
+    // vs min 27.5 s at byte-identical shuffle). The compact line now
+    // carries the min-based total and names the heavies whose median/min
+    // exceeds 2× — a reader must not take a flagged median as a plan
+    // regression without checking the detail's bytes.
+    val totalMin = results.map(_._2.min).sum
+    val contended = results
+      .filter { case (_, s) => s.median >= 2.0 && s.min > 0 && s.median / s.min > 2.0 }
+      .sortBy { case (_, s) => -(s.median - s.min) }
+      .take(10).map { case (k, s) => s""""$k":${fmt(s.median / s.min)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_min":${fmt(totalMin)},"contended":$contended,"queries":{$packed},"n_queries":${results.size},"queries_omitted":$omitted,"errors":$totalErrors,"reps":$reps,"jvm_max_heap":$jvmMaxHeap,"detail_file":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,7 +43,8 @@ object Mis {
     * Sentinel row (−1, still-uncolored count) guards the round budget.
     * Returns (vid, color), colors 0-based. */
   def jpColoring(edges: DataFrame, rounds: Int = 16,
-      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      seed: Long = 7L, srcCol: String = "src", dstCol: String = "dst",
+      localStateCap: Long = JpLocalStateCap): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u") =!= col("v"))
@@ -52,10 +53,34 @@ object Mis {
     var uncolored = und.select(col("u")).distinct()
       .withColumn("p", Dedup.md5Long(concat(lit(s"$seed:"), col("u").cast("string"))))
       .localCheckpoint(true)
+    val nVerts = uncolored.count()
+    // LOCAL-STATE round loop under the cap (the coreness broadcast-map
+    // recipe, r15): the legacy loop below pays ~12 jobs per round (3
+    // checkpoints + per-join broadcast builds + AQE stages), all over
+    // V-sized frames — on the bounded-degree fixture the whole wall is
+    // ~150 job launches × ~150 ms of scheduling floor (QueryProbe r15,
+    // 24.5 s at sf0.1 for 1000 vertices). With integral vids under the
+    // cap, the V-sized state (priorities, colors) lives on the driver
+    // and each round is ONE distributed job over the static adjacency:
+    // a fused aggregate computes every uncolored vertex's blocked flag
+    // AND its distinct colored-neighbor set in one pass; ready + mex
+    // are metadata-sized pure driver folds with the exact legacy
+    // semantics (strict (p, vid)-lexicographic blocking, first-gap mex
+    // over sorted distinct colors). Values are spec-pinned identical
+    // (MisSpec local ≡ legacy) and the 3-SF oracle replays every round.
+    val integralVids = {
+      import org.apache.spark.sql.types._
+      und.schema.take(2).forall(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    if (integralVids && nVerts <= localStateCap)
+      return jpColoringLocalState(und, uncolored, rounds)
     // vertex-sized sides of every edge ⋈ vertex join carry an explicit
     // guarded broadcast hint — same rule and rationale as
     // maximalIndependentSet below
-    val useBroadcast = uncolored.count() <= GraphAnalytics.MaxBroadcastVertices
+    val useBroadcast = nVerts <= GraphAnalytics.MaxBroadcastVertices
     def bc(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     var colors: DataFrame = null
@@ -92,6 +117,84 @@ object Mis {
     val leftover = uncolored.agg(count(lit(1)).as("n")).where(col("n") > 0)
       .select(lit(-1L).as("vid"), col("n").cast("long").as("color"))
     colors.unionAll(leftover)
+  }
+
+  /** Vertex-state cap for [[jpColoring]]'s local-state loop: V rows of
+    * (vid, priority) plus the color map on the driver — ~32 B/vertex,
+    * a few MB at the cap, the coreness-broadcast-map localization
+    * class. Past it the legacy distributed round loop runs unchanged. */
+  private[graft] val JpLocalStateCap = 2000000L
+
+  /** One distributed job per JP round: every uncolored vertex's blocked
+    * flag and distinct colored-neighbor colors come out of ONE fused
+    * aggregate over the static adjacency joined against three
+    * driver-built LocalRelation broadcasts; the ready set and mex are
+    * driver folds over the collected V-sized rows. Value-identical to
+    * the legacy loop (spec-pinned): blocked ⇔ some uncolored neighbor
+    * has lexicographically greater (p, vid); mex = first gap in the
+    * ascending distinct colored-neighbor colors. */
+  private def jpColoringLocalState(und: DataFrame, prio0: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = und.sparkSession
+    // normalized to long once — identical comparisons for every
+    // integral vid type, and the legacy output is long anyway (its
+    // sentinel union promotes the vid column)
+    val e = und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val uncolored = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    prio0.collect().foreach(r => uncolored(r.getAs[Number](0).longValue()) = r.getLong(1))
+    val colors = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val uncSchema = StructType(Seq(
+      StructField("u", LongType), StructField("p", LongType)))
+    val colSchema = StructType(Seq(
+      StructField("v", LongType), StructField("c", LongType)))
+    var r = 0
+    while (r < rounds && uncolored.nonEmpty) {
+      r += 1
+      val uncRows = uncolored.iterator
+        .map { case (u, p) => org.apache.spark.sql.Row(u, p) }.toIndexedSeq
+      val uncB = broadcast(org.apache.spark.sql.graft.DatasetBridge
+        .localRelation(spark, uncSchema, uncRows))
+      val nbrB = broadcast(org.apache.spark.sql.graft.DatasetBridge
+        .localRelation(spark, StructType(Seq(
+          StructField("v", LongType), StructField("pn", LongType))),
+          uncRows.map(row => org.apache.spark.sql.Row(row.getLong(0), row.getLong(1)))))
+      val colB = broadcast(org.apache.spark.sql.graft.DatasetBridge
+        .localRelation(spark, colSchema,
+          colors.iterator.map { case (v, c) => org.apache.spark.sql.Row(v, c) }.toIndexedSeq))
+      val round = e.join(uncB, Seq("u"))
+        .join(nbrB, Seq("v"), "left_outer")
+        .join(colB, Seq("v"), "left_outer")
+        .groupBy(col("u"))
+        .agg(
+          max(when(col("pn") > col("p") ||
+            (col("pn") === col("p") && col("v") > col("u")), lit(true))
+            .otherwise(lit(false))).as("blocked"),
+          sort_array(collect_set(col("c"))).as("nc"))
+        .collect()
+      round.foreach { row =>
+        if (!row.getBoolean(1)) {
+          val u = row.getLong(0)
+          val nc = row.getSeq[Long](2)
+          var mex = nc.length.toLong
+          var i = 0
+          var done = false
+          while (i < nc.length && !done) {
+            if (nc(i) != i.toLong) { mex = i.toLong; done = true }
+            i += 1
+          }
+          colors(u) = mex
+          uncolored.remove(u)
+        }
+      }
+    }
+    val outSchema = StructType(Seq(
+      StructField("vid", LongType), StructField("color", LongType)))
+    val outRows = colors.iterator
+      .map { case (v, c) => org.apache.spark.sql.Row(v, c) }.toIndexedSeq ++
+      (if (uncolored.nonEmpty)
+        Seq(org.apache.spark.sql.Row(-1L, uncolored.size.toLong)) else Nil)
+    org.apache.spark.sql.graft.DatasetBridge.localRelation(spark, outSchema, outRows)
   }
 
   /** (vid, mis_round) for every selected vertex; `mis_round` is the

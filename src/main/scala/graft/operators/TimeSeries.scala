@@ -128,9 +128,13 @@ object TimeSeries {
     // Contract: the spread must fit DECIMAL(18,6) (12 integer digits) —
     // a per-key RANGE bound instead of the old absolute-magnitude one.
     // The oracle mirrors the same shift, so cross-engine equality holds.
+    // the quantization itself is ALSO a try_cast (r14 ADVICE): a raw
+    // |value| >= 1e12 would throw under ANSI one expression before the
+    // shift guard below; as a NULL it flows into __vs and the same
+    // __nvs != n_window window guard covers it in both modes
     df.where(col(keyCol).isNotNull && col(tCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol), col(keyCol), col(tCol),
-        round(col(valueCol), 6).cast("decimal(18,6)").as("__vq"))
+        expr(s"try_cast(round(`$valueCol`, 6) as decimal(18,6))").as("__vq"))
       // OVERFLOW honesty (r13 ADVICE): a spread past DECIMAL(18,6) made
       // the plain cast THROW under ANSI (Spark 4 default — one bad key
       // kills the whole job) and silently null under non-ANSI — where

@@ -311,8 +311,10 @@ object AnalyticsQueries {
   def randomWalks(s: SparkSession, dir: String): DataFrame = {
     val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
     val nationIdx = labels.indexOf("Nation").toLong
-    val starts = edges.select(col("src").as("vid"))
-      .unionAll(edges.select(col("dst").as("vid")))
+    // src ∪ dst read back from the staged walk adjacency (one columnar
+    // scan; value-identical on this self-loop-free graph — see
+    // walkEndpointStream) instead of re-executing the unified lineage
+    val starts = GraphAnalytics.walkEndpointStream(edges)
       .where(shiftright(col("vid"), 44) === nationIdx)
     GraphAnalytics.decode(
       GraphAnalytics.randomWalks(edges, starts, walksPerVertex = WalkCount, steps = WalkSteps),
@@ -331,8 +333,7 @@ object AnalyticsQueries {
   def biasedWalks(s: SparkSession, dir: String): DataFrame = {
     val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
     val nationIdx = labels.indexOf("Nation").toLong
-    val starts = edges.select(col("src").as("vid"))
-      .unionAll(edges.select(col("dst").as("vid")))
+    val starts = GraphAnalytics.walkEndpointStream(edges)
       .where(shiftright(col("vid"), 44) === nationIdx)
     GraphAnalytics.decode(
       GraphAnalytics.biasedRandomWalks(edges, starts,
@@ -348,8 +349,7 @@ object AnalyticsQueries {
   def skipgram(s: SparkSession, dir: String): DataFrame = {
     val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
     val nationIdx = labels.indexOf("Nation").toLong
-    val starts = edges.select(col("src").as("vid"))
-      .unionAll(edges.select(col("dst").as("vid")))
+    val starts = GraphAnalytics.walkEndpointStream(edges)
       .where(shiftright(col("vid"), 44) === nationIdx)
     val walks = GraphAnalytics.randomWalks(edges, starts,
       walksPerVertex = WalkCount, steps = WalkSteps)
@@ -428,15 +428,15 @@ object AnalyticsQueries {
   def negativeSamples(s: SparkSession, dir: String): DataFrame = {
     val (edges, labels) = GraphAnalytics.unifiedEdges(TpchGraph.load(s, dir))
     val nationIdx = labels.indexOf("Nation").toLong
-    val starts = edges.select(col("src").as("vid"))
-      .unionAll(edges.select(col("dst").as("vid")))
-      .where(shiftright(col("vid"), 44) === nationIdx)
+    val endpoints = GraphAnalytics.walkEndpointStream(edges)
+    val starts = endpoints.where(shiftright(col("vid"), 44) === nationIdx)
     val walks = GraphAnalytics.randomWalks(edges, starts,
       walksPerVertex = WalkCount, steps = WalkSteps)
     val pairs = GraphAnalytics.skipGramPairs(walks, window = SkipgramWindow)
-    val deg = edges.select(col("src").as("vid"))
-      .unionAll(edges.select(col("dst").as("vid")))
-      .groupBy("vid").agg(count(lit(1)).as("w"))
+    // degree weights off the SAME staged scan (identical multiset of
+    // endpoint occurrences — the doubled list carries each edge's two
+    // endpoints once each; self-loop-free by the label encoding)
+    val deg = endpoints.groupBy("vid").agg(count(lit(1)).as("w"))
     GraphAnalytics.weightedNegativeSamples(pairs, deg, k = NegK)
   }
 

@@ -448,10 +448,17 @@ object RelationalQueries {
     val nGen = graft.streaming.StreamingDedup.logGenerationCount(s, log)
     val folded = graft.streaming.StreamingDedup.readLog(s, log)
       .groupBy("bucket").agg(max(col("register")).cast("int").as("register"))
-    graft.operators.Sketches.hllEstimate(folded)
+    // materialize the one-row result, then DELETE the log dir (r14
+    // ADVICE): the estimate embeds nGen as a literal and no longer needs
+    // the files, and without the cleanup every bench rep / verify run
+    // left a fresh 6-generation temp dir behind
+    val out = graft.operators.Sketches.hllEstimate(folded)
       .crossJoin(o.agg(count_distinct(col("o_custkey")).as("exact_distinct")))
       .select(lit(nGen.toLong).as("n_generations"),
         col("approx_distinct"), col("exact_distinct"))
+      .localCheckpoint(true)
+    graft.tools.Fs.deleteRecursively(log)
+    out
   }
 
   /** Count-min frequency estimates for every distinct l_partkey (2000·sf

@@ -11,8 +11,18 @@ import org.apache.spark.sql.DataFrame
   * read a half-written retry, fold partial rows into `compact_<id>`,
   * and permanently skip the replayed dir afterwards — silent log loss.
   * With the staged rename, listings, folds and compaction see either
-  * the old dir or the complete new one at every instant; a retried
-  * batch replaces its dir whole (idempotent), and a crash leaves only
+  * the old dir or the complete new one — EXCEPT on the retry path
+  * (r14 ADVICE): replacing an existing `batch_<id>` is delete-then-
+  * rename, so there is a window where the dir is ABSENT. (An
+  * overwriting rename cannot close it: POSIX rename(2) — and hence
+  * FileContext's Rename.OVERWRITE — refuses a non-empty destination
+  * DIRECTORY.) That window is safe because of a log invariant the
+  * readers rely on: a batch is only ever replaced while it is the MAX
+  * id in its log (foreachBatch replays the latest batch, never an
+  * older one), and [[StreamingDedup.compactLog]] folds strictly by
+  * ascending id from the compact watermark — a fold that lists during
+  * the gap sees a shorter log and stops BEFORE the replayed id, never
+  * past it, so no batch is ever silently skipped. A crash leaves only
   * an ignored hidden dir that the next attempt deletes. Rename is
   * atomic on local FS and HDFS; object stores with non-atomic rename
   * need a manifest commit layer instead — out of scope here. */
@@ -30,7 +40,11 @@ object BatchIo {
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
-      if (fs.exists(fin)) fs.delete(fin, true) // retry: replace the batch whole
+      // retry: replace the batch whole. The dir is briefly ABSENT here —
+      // safe only because a replayed batch is always the max id in its
+      // log (see the object scaladoc); do not reuse this helper for
+      // rewriting HISTORICAL ids.
+      if (fs.exists(fin)) fs.delete(fin, true)
       require(fs.rename(tmp, fin), s"could not publish $tmp -> $fin")
     }
   }

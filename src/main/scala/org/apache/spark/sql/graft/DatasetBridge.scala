@@ -13,6 +13,20 @@ object DatasetBridge {
 
   def analyzedPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** True LocalRelation DataFrame from driver-collected rows. Unlike
+    * `createDataFrame(java.util.List, schema)`, which PARALLELIZES the
+    * rows into defaultParallelism partitions (32 near-empty tasks per
+    * downstream touch — measured as 288-task stages under a 9-leg walk
+    * union), a LocalRelation is a driver-local leaf: broadcasts of it
+    * build without a job and unions of per-step frontiers stay local
+    * plans. */
+  def localRelation(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      .fromExternalRows(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema), rows))
+
   /** Drop the block-manager blocks behind a locally-checkpointed
     * DataFrame (`LogicalRDD` is `private[sql]`). ONLY safe when nothing
     * will read `df` again: a localCheckpoint truncates lineage, so the

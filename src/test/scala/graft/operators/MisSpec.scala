@@ -54,6 +54,30 @@ class MisSpec extends SparkTestBase {
     assert(checkColoring(g) == checkColoring(g))
   }
 
+  test("jpColoring: local-state loop ≡ legacy distributed loop, value for value") {
+    def both(edges: Seq[(Long, Long)], rounds: Int, seed: Long): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val local = Mis.jpColoring(edges.toDF("src", "dst"), rounds, seed)
+        .as[(Long, Long)].collect().toSet
+      val legacy = Mis.jpColoring(edges.toDF("src", "dst"), rounds, seed,
+        localStateCap = 0L) // force the legacy loop on any graph
+        .as[(Long, Long)].collect().toSet
+      (local, legacy)
+    }
+    // ring + chords (the fixture shape), K4, star, disconnected, and an
+    // UNDER-provisioned round budget so the sentinel row is compared too
+    val graphs = Seq(
+      (1L to 12L).map(i => (i, i % 12 + 1)) ++ Seq((1L, 7L), (3L, 9L)),
+      for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b),
+      (2L to 9L).map(i => (1L, i)),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    graphs.foreach { g =>
+      val (a, b) = both(g.toSeq, rounds = 16, seed = 7L)
+      assert(a == b, s"diverged on $g")
+      val (a1, b1) = both(g.toSeq, rounds = 1, seed = 99L)
+      assert(a1 == b1, s"diverged under 1 round on $g")
+    }
+  }
+
   test("pure function of (graph, seed): reproducible, seed-sensitive") {
     val g = (for { a <- 1L to 30L; b <- 1L to 30L if a < b && (a + b) % 3 == 0 } yield (a, b)).toSeq
     val s1 = check(g, seed = 7L)

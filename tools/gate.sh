@@ -23,7 +23,11 @@ echo "[gate] 0/4 pin-discipline grep (no raw deserialized persist call sites)"
 # .persist( call — fully-qualified, imported `StorageLevel.MEMORY_*`, or
 # bare `MEMORY_*` — not just the two exact literals; MEMORY_ONLY and the
 # _2 replicated variants are the same residency class.
+# `_SER` spellings are excluded (r14 ADVICE): serialized levels are not
+# the deserialized-residency class this gate exists for, and failing
+# them with a "raw deserialized persist" message would mislead.
 if grep -rn "\.persist(.*MEMORY_" src/main/scala \
+    | grep -v "_SER" \
     | grep -v "GraphAnalytics.scala.*DefaultPinLevel"; then
   echo "[gate] FAIL: raw deserialized persist call site (use persistPinned)"
   exit 1
