@@ -744,9 +744,23 @@ object GraphAnalytics {
           col("v") === col("__v"))
         .groupBy(col("cu").as("u"), col("cv").as("v"))
         .agg(wExpr.as("w"))
+      // Re-key the contracted graph by hash(u) BEFORE pinning (r15): the
+      // contraction fold leaves cund advertising hash(u, v), which
+      // satisfies NO single-key clustering — so the next level's degree
+      // aggregation, its shuffle-fallback undV staging AND every move
+      // round's candidate fold re-exchanged the full contracted edge
+      // list (the level-1 staging invariant — everything rides hash(u)
+      // — silently did not hold past the contraction; measured at sf10:
+      // the 64 GiB broadcast probe shuffled 23.5 GB for 2+2 l2 vs
+      // 7.3 GB for 4 flat rounds on the SAME staging bytes). One
+      // aggregated community-edge-row exchange buys every downstream
+      // consumer the pin-riding layout. Sizing: twoM bounds cund rows
+      // (each und row lands in exactly one (cu, cv) group), same
+      // volume-vs-AQE trade as modularityStage.
       // community-count²-bounded in theory, community-edge-sized in
       // practice; row count unknowable pre-materialization → two-phase
-      val (cund, _) = persistPinnedTwoPhase(cundBase)
+      val (cund, _) = persistPinnedTwoPhase(repartitionSized(cundBase,
+        volumePartsOpt(und1.sparkSession, twoM), col("u")))
       if (und ne und1) und.unpersist(blocking = false)
       und = cund
       // checkpointed because BOTH consumers below read it: the label
@@ -926,29 +940,48 @@ object GraphAnalytics {
         // community(v) = v and vol(C=v) = k_v, both already ON the pin.
         // Distinct (u, v) rows mean w(u→C) needs no (u, community)
         // pre-aggregation either, so the round is ONE argmax over the
-        // pinned rows: no stv join, no vol exchange, no pair fold — the
-        // most expensive round (every vertex its own community = maximal
-        // candidate count) costs one narrow E/2-row exchange.
-        // Value-identical to the general branch: gain(C=v) =
-        // 2m·w(u,v) − k_u·k_v, gain(cur) = 2m·0 − k_u·(k_u − k_u) = 0.
+        // pinned rows: no stv join, no vol exchange, no pair fold.
+        //
+        // EXCHANGE-FREE via the symmetry swap (r15): undV's CONTENT is
+        // symmetric (the doubled distinct adjacency with both endpoint
+        // degrees attached), so renaming u↔v and k↔kv yields the SAME
+        // row set — but partitioned by hash of the NEW u column, because
+        // the pin's hash(v) advertisement rewrites through the aliases.
+        // The per-u argmax therefore rides the existing pin with zero
+        // exchange, where the r14 shape (argmax over the un-swapped
+        // rows, unioned with a synthetic self candidate that erased the
+        // partitioning) exchanged the full E/2-row candidate set — the
+        // single largest fixed exchange in the fallback's byte story
+        // (sf10: the 4-round fallback paid it twice across levels).
+        // The synthetic self candidate is replaced by the value-identical
+        // post-argmax choice: a neighbor wins iff its gain is strictly
+        // positive (at gain = 0 the old struct compare broke the tie
+        // toward is_cur = 1, i.e. stay), ties among neighbors still to
+        // the smallest community id; active vertices with NO u≠v rows
+        // (self-loop-only super-vertices on contracted graphs) are kept
+        // by the V-sized left-outer join with the state — candidate
+        // bytes for them coalesce back to the singleton community.
+        val swapCols = Seq(col("v").as("u"), col("u").as("v")) ++
+          (if (weighted) Seq(col("w")) else Nil) ++
+          Seq(col("kv").as("k"), col("k").as("kv"))
+        val undU = undV.select(swapCols: _*)
         val active = if (weighted)
-          undV.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
-        else undV.where(parityOf(col("u")) === lit(par))
-        active
-          .select(col("u"), col("v").as("community"), col("k"),
+          undU.where(col("u") =!= col("v") && parityOf(col("u")) === lit(par))
+        else undU.where(parityOf(col("u")) === lit(par))
+        val best = active
+          .groupBy(col("u"))
+          .agg(max(struct(
             (lit(twoM).cast("decimal(38,0)") *
               (if (weighted) col("w") else lit(1L)) -
               col("k").cast("decimal(38,0)") * col("kv")).as("gain"),
-            lit(0L).as("is_cur"))
-          .unionAll(state.where(parityOf(col("vid")) === lit(par))
-            .select(col("vid").as("u"), col("community"), col("k"),
-              (lit(twoM).cast("decimal(38,0)") * lit(0L) -
-                col("k").cast("decimal(38,0)") * lit(0L)).as("gain"),
-              lit(1L).as("is_cur")))
-          .groupBy(col("u"))
-          .agg(max(struct(col("gain"), col("is_cur"),
-            (-col("community")).as("negc"))).as("m"), max(col("k")).as("k"))
-          .select(col("u").as("vid"), (-col("m.negc")).as("community"), col("k"))
+            (-col("v")).as("negc"))).as("m"))
+          .select(col("u").as("vid"),
+            when(col("m.gain") > lit(0L).cast("decimal(38,0)"),
+              -col("m.negc")).otherwise(col("u")).as("__bc"))
+        state.where(parityOf(col("vid")) === lit(par))
+          .join(best, Seq("vid"), "left_outer")
+          .select(col("vid"),
+            coalesce(col("__bc"), col("community")).as("community"), col("k"))
       } else {
         // State-only-exchange plan, value-identical to the broadcast
         // branch: each neighbor-state row carries its community's volume
